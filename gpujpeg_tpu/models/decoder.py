@@ -1,0 +1,145 @@
+"""Decoder orchestrator — the analog of ``gpujpeg_decoder_decode``
+(reference: src/gpujpeg_decoder.c:206-402).
+
+Pipeline: parse -> segment-parallel Huffman decode -> fused dequant+IDCT ->
+postprocess -> raw output. Uses the host golden path or JAX device path;
+like the reference, tiny segment counts fall back to the host decoder
+(gpujpeg_decoder.c:238-252).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from ..ops import golden
+from ..ops.blocks import blocks_to_plane
+from ..ops.preprocess import postprocess
+from ..params import ImageParameters, Parameters
+from ..plan import CoderPlan, make_plan
+from ..stream import reader as stream_reader
+from ..tables import HuffmanTable
+from ..types import ColorSpace, PixelFormat, SamplingFactor
+
+#: Below this many segments the host decoder wins
+#: (reference: gpujpeg_decoder.c:238 uses 32).
+CPU_SEGMENT_THRESHOLD = 32
+
+
+class DecoderStats:
+    def __init__(self) -> None:
+        self.duration_stream = 0.0
+        self.duration_huffman_coder = 0.0
+        self.duration_dct_quantization = 0.0
+        self.duration_postprocessor = 0.0
+
+    def asdict(self) -> dict[str, float]:
+        return dict(self.__dict__)
+
+
+class Decoder:
+    def __init__(self, backend: str = "jax"):
+        self.backend = backend
+        self.stats = DecoderStats()
+        self.output_format: PixelFormat | None = None
+        self.output_color_space: ColorSpace | None = None
+        self._jax_ctx = None
+
+    def set_output_format(self, color_space: ColorSpace,
+                          pixel_format: PixelFormat) -> None:
+        """(reference: gpujpeg_decoder_set_output_format,
+        gpujpeg_decoder.c:410-417)"""
+        self.output_color_space = ColorSpace(color_space)
+        self.output_format = PixelFormat(pixel_format)
+
+    # ------------------------------------------------------------------
+    def decode(self, data: bytes) -> tuple[np.ndarray, ImageParameters]:
+        t0 = time.perf_counter()
+        info = stream_reader.read_image(data)
+        self.stats.duration_stream = (time.perf_counter() - t0) * 1e3
+
+        plan, scan_data, segments_by_scan = self._plan_from_info(info)
+
+        dc_by_comp: list[HuffmanTable] = [None] * info.comp_count
+        ac_by_comp: list[HuffmanTable] = [None] * info.comp_count
+        for scan in info.scans:
+            for sc in scan.components:
+                dc_by_comp[sc.comp_index] = info.huffman_tables[(0, sc.dc_table)]
+                ac_by_comp[sc.comp_index] = info.huffman_tables[(1, sc.ac_table)]
+
+        out_image = ImageParameters(
+            width=info.width, height=info.height,
+            color_space=self.output_color_space or ColorSpace.RGB,
+            pixel_format=self.output_format or info.deduce_pixel_format(),
+        )
+
+        use_golden = (self.backend == "golden"
+                      or plan.n_segments < CPU_SEGMENT_THRESHOLD)
+        if use_golden:
+            t1 = time.perf_counter()
+            coeff_scan = golden.decode_segments(
+                plan, scan_data, segments_by_scan, dc_by_comp, ac_by_comp)
+            t2 = time.perf_counter()
+            coeff_plane = np.empty_like(coeff_scan)
+            coeff_plane[plan.block_plane_idx] = coeff_scan
+            planes = []
+            pos = 0
+            for c in plan.components:
+                qt = info.quant_tables[info.components[c.index].quant_table_index]
+                blocks = golden.dequant_idct(
+                    coeff_plane[pos:pos + c.block_count], qt)
+                planes.append(blocks_to_plane(blocks, c.data_height, c.data_width, np))
+                pos += c.block_count
+            t3 = time.perf_counter()
+            raw = postprocess(planes, out_image, plan, np)
+            t4 = time.perf_counter()
+            self.stats.duration_huffman_coder = (t2 - t1) * 1e3
+            self.stats.duration_dct_quantization = (t3 - t2) * 1e3
+            self.stats.duration_postprocessor = (t4 - t3) * 1e3
+        else:
+            from ..ops.jax_pipeline import decode_device
+            raw = decode_device(self, plan, info, scan_data, segments_by_scan,
+                                dc_by_comp, ac_by_comp, out_image)
+        return np.asarray(raw), out_image
+
+    # ------------------------------------------------------------------
+    def _plan_from_info(self, info: stream_reader.JpegInfo):
+        """Reconstruct the coder plan from parsed stream info
+        (analog of gpujpeg_decoder_init, gpujpeg_decoder.c:158-202)."""
+        sampling = tuple(c.sampling for c in info.components)
+        sampling = sampling + (SamplingFactor(1, 1),) * (4 - len(sampling))
+        params = Parameters(
+            quality=75,  # unknown from stream; tables come from DQT anyway
+            restart_interval=info.restart_interval,
+            interleaved=info.interleaved,
+            color_space_internal=info.color_space,
+            sampling_factor=sampling,
+        )
+        image = ImageParameters(
+            width=info.width, height=info.height,
+            color_space=ColorSpace.RGB,
+            pixel_format=info.deduce_pixel_format(),
+        )
+        plan = make_plan(params, image)
+
+        # Map stream scans onto plan scans (non-interleaved plan scans are
+        # ordered by component index; foreign streams may order differently).
+        scan_data = [np.zeros(0, np.uint8)] * len(plan.scans)
+        segments_by_scan: list[list[tuple[int, int]]] = [[] for _ in plan.scans]
+        if info.interleaved:
+            if info.scans:
+                scan_data[0] = info.scans[0].data
+                segments_by_scan[0] = info.scans[0].segments
+        else:
+            for scan in info.scans:
+                comp = scan.components[0].comp_index
+                scan_data[comp] = scan.data
+                segments_by_scan[comp] = scan.segments
+
+        # When the stream has no restart markers, the whole scan is one
+        # segment (reference: gpujpeg_common.c:640-650).
+        for i, segs in enumerate(segments_by_scan):
+            if not segs and scan_data[i].size:
+                segments_by_scan[i] = [(0, int(scan_data[i].size))]
+        return plan, scan_data, segments_by_scan

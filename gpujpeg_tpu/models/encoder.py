@@ -1,0 +1,120 @@
+"""Encoder orchestrator — the analog of ``gpujpeg_encoder_encode``
+(reference: src/gpujpeg_encoder.c:287-548).
+
+Pipeline: plan -> preprocess -> fused DCT+quant -> segment-parallel Huffman
+-> stream assembly. The compute stages run either on the host golden path
+(NumPy; reference's CPU fallback analog) or on device via JAX (default).
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..ops import golden
+from ..ops.blocks import plane_to_blocks
+from ..ops.preprocess import preprocess
+from ..params import ImageParameters, Parameters
+from ..plan import CoderPlan, make_plan
+from ..stream.writer import HeaderType, JpegWriter
+from ..tables import default_huffman_table, quant_table_zz
+from ..types import ComponentType, HuffmanType
+
+
+class EncoderStats:
+    """Per-stage wall-clock durations in ms
+    (analog of struct gpujpeg_duration_stats, gpujpeg_common.h:315-325)."""
+
+    def __init__(self) -> None:
+        self.duration_preprocessor = 0.0
+        self.duration_dct_quantization = 0.0
+        self.duration_huffman_coder = 0.0
+        self.duration_stream = 0.0
+        self.duration_in_gpu = 0.0
+
+    def asdict(self) -> dict[str, float]:
+        return dict(self.__dict__)
+
+
+class Encoder:
+    """Reusable encoder. Holds table state; the geometry plan is cached per
+    (params, image) just like the reference re-uses its coder
+    (gpujpeg_encoder.c:300-315)."""
+
+    def __init__(self, backend: str = "jax", header_type: HeaderType = HeaderType.DEFAULT):
+        self.backend = backend
+        self.header_type = header_type
+        self.stats = EncoderStats()
+        self._jax_ctx = None
+
+    # ------------------------------------------------------------------
+    def _tables(self, params: Parameters):
+        quant_zz = {
+            0: quant_table_zz(ComponentType.LUMINANCE, params.quality),
+            1: quant_table_zz(ComponentType.CHROMINANCE, params.quality),
+        }
+        huff = {
+            (ct, ht): default_huffman_table(ct, ht)
+            for ct in (ComponentType.LUMINANCE, ComponentType.CHROMINANCE)
+            for ht in (HuffmanType.DC, HuffmanType.AC)
+        }
+        return quant_zz, huff
+
+    def encode(self, raw, params: Parameters, image: ImageParameters) -> bytes:
+        plan = make_plan(params, image)
+        quant_zz, huff = self._tables(params)
+
+        if self.backend == "golden":
+            seg_bytes = self._encode_segments_golden(raw, plan, quant_zz, huff)
+        else:
+            seg_bytes = self._encode_segments_jax(raw, plan, quant_zz, huff)
+
+        t0 = time.perf_counter()
+        out = self._assemble(plan, quant_zz, huff, seg_bytes)
+        self.stats.duration_stream = (time.perf_counter() - t0) * 1e3
+        return out
+
+    # ------------------------------------------------------------------
+    def _encode_segments_golden(self, raw, plan: CoderPlan, quant_zz, huff):
+        t0 = time.perf_counter()
+        planes = preprocess(raw, plan.image, plan, np)
+        t1 = time.perf_counter()
+        coeff_plane = np.concatenate([
+            golden.fdct_quant(plane_to_blocks(planes[c.index], np),
+                              quant_zz[c.quant_table_index])
+            for c in plan.components
+        ])
+        coeff_scan = coeff_plane[plan.block_plane_idx]
+        t2 = time.perf_counter()
+        dc_by_comp = [huff[(c.comp_type, HuffmanType.DC)] for c in plan.components]
+        ac_by_comp = [huff[(c.comp_type, HuffmanType.AC)] for c in plan.components]
+        seg_bytes = golden.encode_segments(plan, coeff_scan, dc_by_comp, ac_by_comp)
+        t3 = time.perf_counter()
+        self.stats.duration_preprocessor = (t1 - t0) * 1e3
+        self.stats.duration_dct_quantization = (t2 - t1) * 1e3
+        self.stats.duration_huffman_coder = (t3 - t2) * 1e3
+        return seg_bytes
+
+    def _encode_segments_jax(self, raw, plan: CoderPlan, quant_zz, huff):
+        from ..ops.jax_pipeline import encode_segments_device
+        return encode_segments_device(self, raw, plan, quant_zz, huff)
+
+    # ------------------------------------------------------------------
+    def _assemble(self, plan: CoderPlan, quant_zz, huff, seg_bytes) -> bytes:
+        """Final stream formatting (reference: gpujpeg_encoder.c:479-537)."""
+        w = JpegWriter()
+        w.write_header(plan, quant_zz, huff, self.header_type)
+        seg = 0
+        for scan in plan.scans:
+            w.write_scan_header(plan, scan.index)
+            n = scan.segment_count
+            for i in range(n):
+                w.write_segment_info()
+                w.emit_bytes(seg_bytes[seg])
+                seg += 1
+                if i != n - 1:
+                    w.emit_byte(0xFF)
+                    w.emit_byte(0xD0 + (i % 8))
+            w.write_segment_info()
+        w.write_eoi()
+        return w.tobytes()

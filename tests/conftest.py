@@ -1,0 +1,38 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh so the
+multi-chip sharding paths are testable without TPU hardware."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def make_test_rgb(height: int, width: int, seed: int = 7) -> np.ndarray:
+    """Natural-ish test image: smooth gradients + structured detail, so
+    JPEG round-trip PSNR is meaningful (pure noise compresses terribly)."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:height, 0:width]
+    r = 128 + 90 * np.sin(x / 23.0) * np.cos(y / 17.0)
+    g = 128 + 80 * np.cos(x / 31.0 + 1.0) * np.sin(y / 11.0)
+    b = 128 + 70 * np.sin((x + y) / 41.0)
+    img = np.stack([r, g, b], axis=-1)
+    img += rng.normal(0, 3.0, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return 99.0
+    return 10.0 * np.log10(255.0 ** 2 / mse)
