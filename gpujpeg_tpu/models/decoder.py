@@ -33,6 +33,7 @@ class DecoderStats:
         self.duration_huffman_coder = 0.0
         self.duration_dct_quantization = 0.0
         self.duration_postprocessor = 0.0
+        self.duration_in_gpu = 0.0
 
     def asdict(self) -> dict[str, float]:
         return dict(self.__dict__)

@@ -64,15 +64,38 @@ class Encoder:
         plan = make_plan(params, image)
         quant_zz, huff = self._tables(params)
 
-        if self.backend == "golden":
+        result = None
+        if self.backend != "golden":
+            result = self._encode_segments_jax(raw, plan, quant_zz, huff)
+        if result is None:  # golden backend or device capacity fallback
             seg_bytes = self._encode_segments_golden(raw, plan, quant_zz, huff)
-        else:
-            seg_bytes = self._encode_segments_jax(raw, plan, quant_zz, huff)
+            result = self._to_scan_bodies(plan, seg_bytes)
+        scan_bodies, seg_sizes_by_scan = result
 
         t0 = time.perf_counter()
-        out = self._assemble(plan, quant_zz, huff, seg_bytes)
+        out = self._assemble(plan, quant_zz, huff, scan_bodies, seg_sizes_by_scan)
         self.stats.duration_stream = (time.perf_counter() - t0) * 1e3
         return out
+
+    @staticmethod
+    def _to_scan_bodies(plan: CoderPlan, seg_bytes: list[bytes]):
+        """Join per-segment bytes into per-scan bodies with RST markers
+        (reference stream formatter: gpujpeg_encoder.c:479-537)."""
+        scan_bodies, seg_sizes_by_scan = [], []
+        seg = 0
+        for scan in plan.scans:
+            parts, sizes = [], []
+            n = scan.segment_count
+            for i in range(n):
+                data = seg_bytes[seg]
+                seg += 1
+                if i != n - 1:
+                    data = data + bytes((0xFF, 0xD0 + (i % 8)))
+                parts.append(data)
+                sizes.append(len(data))
+            scan_bodies.append(b"".join(parts))
+            seg_sizes_by_scan.append(np.array(sizes, dtype=np.int64))
+        return scan_bodies, seg_sizes_by_scan
 
     # ------------------------------------------------------------------
     def _encode_segments_golden(self, raw, plan: CoderPlan, quant_zz, huff):
@@ -100,21 +123,18 @@ class Encoder:
         return encode_segments_device(self, raw, plan, quant_zz, huff)
 
     # ------------------------------------------------------------------
-    def _assemble(self, plan: CoderPlan, quant_zz, huff, seg_bytes) -> bytes:
-        """Final stream formatting (reference: gpujpeg_encoder.c:479-537)."""
+    def _assemble(self, plan: CoderPlan, quant_zz, huff, scan_bodies,
+                  seg_sizes_by_scan) -> bytes:
+        """Final stream formatting (reference: gpujpeg_encoder.c:479-537).
+        Scan bodies arrive with RST markers already in place (inserted on
+        device, or by :meth:`_to_scan_bodies` on the golden path)."""
         w = JpegWriter()
         w.write_header(plan, quant_zz, huff, self.header_type)
-        seg = 0
         for scan in plan.scans:
             w.write_scan_header(plan, scan.index)
-            n = scan.segment_count
-            for i in range(n):
-                w.write_segment_info()
-                w.emit_bytes(seg_bytes[seg])
-                seg += 1
-                if i != n - 1:
-                    w.emit_byte(0xFF)
-                    w.emit_byte(0xD0 + (i % 8))
-            w.write_segment_info()
+            w.emit_bytes(scan_bodies[scan.index])
+            sizes = seg_sizes_by_scan[scan.index]
+            offsets = np.concatenate([[0], np.cumsum(sizes)])
+            w.patch_segment_info(offsets)
         w.write_eoi()
         return w.tobytes()

@@ -1,0 +1,239 @@
+"""Device (JAX/TPU) pipeline orchestration.
+
+Builds and caches jitted end-to-end compute functions per coder plan:
+
+* encode: raw pixels -> preprocess -> fused DCT+quant (MXU) -> vectorized
+  segment-parallel Huffman -> per-segment bytes (one device round trip for
+  lengths + one compaction gather — mirroring the reference's single
+  output-size sync, gpujpeg_huffman_gpu_encoder.cu:1158).
+* decode: entropy bytes -> lockstep segment-parallel Huffman -> fused
+  dequant+IDCT (MXU) -> postprocess -> raw pixels.
+
+Everything inside the jit boundary has static shapes derived from the
+plan; variable-length byte buffers are bucketed to powers of two so a
+video stream of same-geometry frames reuses one compiled executable.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..plan import CoderPlan
+from ..params import ImageParameters
+from .blocks import blocks_to_plane, plane_to_blocks
+from .dct import (
+    dequant_idct_device,
+    fdct_operator_f32,
+    fdct_quant_device,
+    idct_operator_f32,
+)
+from .huffman_decode import (
+    build_dec_geometry,
+    build_dec_tables,
+    huffman_decode_kernel,
+)
+from .huffman_encode import (
+    build_enc_geometry,
+    build_enc_tables,
+    compact_segments,
+    huffman_encode_kernel,
+)
+from .preprocess import postprocess, preprocess
+
+
+def _bucket(n: int, minimum: int = 4096) -> int:
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+_ENC_CACHE: dict = {}
+
+
+class _EncContext:
+    def __init__(self, plan: CoderPlan, quant_zz: dict, huff: dict):
+        self.plan = plan
+        g = build_enc_geometry(plan)
+        t = build_enc_tables(huff)
+        self.cap_seg_bytes = g.cap_seg_bytes
+        self.cap_out_bytes = g.cap_out_bytes
+        gd = {
+            "block_cls": jnp.asarray(g.block_cls),
+            "dc_pred_idx": jnp.asarray(g.dc_pred_idx),
+            "block_segment": jnp.asarray(g.block_segment),
+            "seg_block_start": jnp.asarray(g.seg_block_start),
+            "seg_block_count": jnp.asarray(g.seg_block_count),
+            "seg_rst_marker": jnp.asarray(g.seg_rst_marker),
+            "seg_has_rst": jnp.asarray(g.seg_has_rst),
+            "cap_seg_bytes": g.cap_seg_bytes,
+            "cap_out_bytes": g.cap_out_bytes,
+        }
+        td = {
+            "dc_code": jnp.asarray(t.dc_code),
+            "dc_len": jnp.asarray(t.dc_len),
+            "ac_code": jnp.asarray(t.ac_code),
+            "ac_len": jnp.asarray(t.ac_len),
+        }
+        ops = {
+            c.index: fdct_operator_f32(tuple(int(x) for x in quant_zz[c.quant_table_index]))
+            for c in plan.components
+        }
+        block_plane_idx = jnp.asarray(plan.block_plane_idx)
+
+        @jax.jit
+        def fn(raw):
+            planes = preprocess(raw, plan.image, plan, jnp)
+            parts = []
+            for c in plan.components:
+                M, bias = ops[c.index]
+                blocks = plane_to_blocks(planes[c.index], jnp)
+                parts.append(fdct_quant_device(blocks, jnp.asarray(M), jnp.asarray(bias)))
+            coeff_scan = jnp.concatenate(parts)[block_plane_idx]
+            return huffman_encode_kernel(coeff_scan, gd, td)
+
+        self.fn = fn
+
+
+def _enc_context(plan: CoderPlan, quant_zz, huff) -> _EncContext:
+    key = (plan.params, plan.image)
+    ctx = _ENC_CACHE.get(key)
+    if ctx is None:
+        ctx = _EncContext(plan, quant_zz, huff)
+        _ENC_CACHE[key] = ctx
+    return ctx
+
+
+def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
+    """Run the device encoder; returns (scan_bodies, seg_sizes_by_scan):
+    per scan, the ready-to-emit entropy bytes (RST markers included) and
+    the per-segment byte sizes (for APP13 segment-info back-patching)."""
+    import time
+    ctx = _enc_context(plan, quant_zz, huff)
+    raw = np.asarray(raw, dtype=np.uint8).reshape(-1)
+
+    t0 = time.perf_counter()
+    out_flat, out_len, seg_bits, n_ff = ctx.fn(jnp.asarray(raw))
+    out_len_h = np.asarray(out_len)
+    seg_bits_h = np.asarray(seg_bits)
+    n_ff_h = np.asarray(n_ff)
+    encoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
+
+    # capacity overflow => the fixed worst-case region was too small
+    # (pathological input); fall back to the host golden coder.
+    stuffed = ((seg_bits_h + 7) >> 3) + n_ff_h
+    if (seg_bits_h > ctx.cap_seg_bytes * 8).any() or \
+       (stuffed + 2 > ctx.cap_out_bytes).any():
+        return None  # caller falls back
+
+    flat, starts = compact_segments(out_flat, out_len_h, ctx.cap_out_bytes)
+
+    scan_bodies = []
+    seg_sizes_by_scan = []
+    seg = 0
+    for scan in plan.scans:
+        n = scan.segment_count
+        body = flat[starts[seg]:starts[seg + n]]
+        sizes = out_len_h[seg:seg + n]
+        scan_bodies.append(body.tobytes())
+        seg_sizes_by_scan.append(sizes)
+        seg += n
+    return scan_bodies, seg_sizes_by_scan
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+_DEC_CACHE: dict = {}
+
+
+def _dec_fn(plan: CoderPlan, out_image: ImageParameters, L_pad: int,
+            n_luts: int, max_iters: int):
+    key = (plan.params, plan.image, out_image, L_pad, n_luts)
+    fn = _DEC_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    g = build_dec_geometry(plan)
+    gd = {
+        "block_comp": jnp.asarray(g.block_comp),
+        "seg_block_start": jnp.asarray(g.seg_block_start),
+        "seg_block_count": jnp.asarray(g.seg_block_count),
+    }
+    # inverse of the scan-order gather
+    inv = np.empty(plan.n_blocks, dtype=np.int32)
+    inv[plan.block_plane_idx] = np.arange(plan.n_blocks, dtype=np.int32)
+    inv = jnp.asarray(inv)
+    n_blocks = plan.n_blocks
+
+    comp_slices = []
+    pos = 0
+    for c in plan.components:
+        comp_slices.append((pos, c.block_count, c.data_height, c.data_width))
+        pos += c.block_count
+
+    @jax.jit
+    def fn(data, seg_starts, dc_tab, ac_tab, luts, Ws):
+        coeff_scan = huffman_decode_kernel(
+            data, seg_starts, gd, luts, dc_tab, ac_tab, n_blocks, max_iters)
+        coeff_plane = coeff_scan[inv]
+        planes = []
+        for (start, count, dh, dw), W in zip(comp_slices, Ws):
+            blocks = dequant_idct_device(coeff_plane[start:start + count], W)
+            planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+        return postprocess(planes, out_image, plan, jnp)
+
+    _DEC_CACHE[key] = fn
+    return fn
+
+
+def decode_device(decoder, plan: CoderPlan, info, scan_data,
+                  segments_by_scan, dc_by_comp, ac_by_comp,
+                  out_image: ImageParameters):
+    import time
+    # concatenate all scans' entropy bytes; segment starts in plan order
+    scan_base = []
+    base = 0
+    for sd in scan_data:
+        scan_base.append(base)
+        base += int(sd.size)
+    concat = (np.concatenate([np.asarray(s, np.uint8) for s in scan_data])
+              if base else np.zeros(1, np.uint8))
+
+    seg_starts = np.zeros(plan.n_segments, np.int32)
+    for s in range(plan.n_segments):
+        scan_id = int(plan.seg_scan[s])
+        seg_idx = int(plan.seg_scan_index[s])
+        seg_list = segments_by_scan[scan_id]
+        if seg_idx < len(seg_list):
+            seg_starts[s] = scan_base[scan_id] + seg_list[seg_idx][0]
+
+    L_pad = _bucket(concat.size)
+    data = np.zeros(L_pad, np.uint8)
+    data[:concat.size] = concat
+
+    luts, dc_tab, ac_tab = build_dec_tables(dc_by_comp, ac_by_comp)
+    g = build_dec_geometry(plan)
+    fn = _dec_fn(plan, out_image, L_pad, luts.shape[0], g.max_iters)
+
+    Ws = tuple(
+        jnp.asarray(idct_operator_f32(
+            tuple(int(x) for x in info.quant_tables[
+                info.components[c.index].quant_table_index])))
+        for c in plan.components
+    )
+
+    t0 = time.perf_counter()
+    raw = fn(jnp.asarray(data), jnp.asarray(seg_starts),
+             jnp.asarray(dc_tab), jnp.asarray(ac_tab), jnp.asarray(luts), Ws)
+    raw = np.asarray(raw)
+    decoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
+    return raw

@@ -278,14 +278,15 @@ class JpegWriter:
         self.emit_byte(0x3F)  # Se
         self.emit_byte(0)     # Ah/Al
 
-    def write_segment_info(self) -> None:
-        """Record current position as the next segment boundary in the
-        reserved APP13 blocks (reference: gpujpeg_writer.c:500-526)."""
+    def write_segment_info(self, position: int | None = None) -> None:
+        """Record current (or given) position as the next segment boundary
+        in the reserved APP13 blocks (reference: gpujpeg_writer.c:500-526)."""
         if not self._seginfo_slices:
             return
         if self._seginfo_position == 0:
             self._seginfo_position = len(self.buf)
-        position = len(self.buf) - self._seginfo_position
+        if position is None:
+            position = len(self.buf) - self._seginfo_position
         offset = self._seginfo_index * 4
         for start, size in self._seginfo_slices:
             if offset < size:
@@ -293,6 +294,12 @@ class JpegWriter:
                 break
             offset -= size
         self._seginfo_index += 1
+
+    def patch_segment_info(self, offsets) -> None:
+        """Back-patch all segment boundary positions at once (used when the
+        whole scan body was emitted in one shot by the device encoder)."""
+        for off in offsets:
+            self.write_segment_info(int(off))
 
     def tobytes(self) -> bytes:
         return bytes(self.buf)

@@ -1,0 +1,163 @@
+"""Device (JAX) pipeline vs golden oracle — runs on CPU backend in tests,
+exercising the exact code path that runs on TPU."""
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gpujpeg_tpu import (
+    ColorSpace, Decoder, Encoder, ImageParameters, Parameters, PixelFormat,
+)
+from gpujpeg_tpu.plan import make_plan
+from gpujpeg_tpu.tables import quant_table_zz, default_huffman_table
+from gpujpeg_tpu.types import ComponentType, HuffmanType
+from tests.conftest import make_test_rgb, psnr
+
+
+def _tables(quality):
+    quant_zz = {
+        0: quant_table_zz(ComponentType.LUMINANCE, quality),
+        1: quant_table_zz(ComponentType.CHROMINANCE, quality),
+    }
+    huff = {(ct, ht): default_huffman_table(ct, ht)
+            for ct in ComponentType for ht in HuffmanType}
+    return quant_zz, huff
+
+
+def test_device_dct_matches_golden():
+    import jax.numpy as jnp
+    from gpujpeg_tpu.ops import golden
+    from gpujpeg_tpu.ops.dct import fdct_quant_device, dequant_idct_device
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(0, 256, (256, 64)).astype(np.uint8)
+    for q in (10, 50, 75, 100):
+        qt = quant_table_zz(ComponentType.LUMINANCE, q)
+        want = golden.fdct_quant(blocks, qt)
+        from gpujpeg_tpu.tables import fdct_quant_matrix, idct_dequant_matrix
+        M, bias = fdct_quant_matrix(qt)
+        got = np.asarray(fdct_quant_device(
+            jnp.asarray(blocks), jnp.asarray(M.astype(np.float32)),
+            jnp.asarray(bias.astype(np.float32))))
+        # f32 vs f64 rounding may differ by 1 near .5 boundaries; on pure
+        # noise at Q100 (quant=1) that's ~0.4% of coefficients
+        assert np.abs(got - want).max() <= 1, q
+        assert (got != want).mean() < 5e-3, q
+
+        W = idct_dequant_matrix(qt)
+        pix_want = golden.dequant_idct(want, qt)
+        pix_got = np.asarray(dequant_idct_device(
+            jnp.asarray(want), jnp.asarray(W.astype(np.float32))))
+        assert np.abs(pix_got.astype(int) - pix_want.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("quality,ri,interleaved,sub", [
+    (75, 4, False, 444),
+    (90, 2, True, 420),
+    (50, 8, False, 422),
+    (100, 4, False, 444),
+])
+def test_device_huffman_encode_matches_golden(quality, ri, interleaved, sub):
+    """The vectorized device entropy coder must produce byte-identical
+    segments to the serial golden coder, given identical coefficients."""
+    import jax.numpy as jnp
+    from gpujpeg_tpu.ops import golden
+    from gpujpeg_tpu.ops.blocks import plane_to_blocks
+    from gpujpeg_tpu.ops.preprocess import preprocess
+    from gpujpeg_tpu.ops.huffman_encode import (
+        build_enc_geometry, build_enc_tables, huffman_encode_kernel)
+    from gpujpeg_tpu.types import HuffmanType
+
+    h, w = 32, 32
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=quality, restart_interval=ri,
+                        interleaved=interleaved).with_chroma_subsampling(sub)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    plan = make_plan(params, image)
+    quant_zz, huff = _tables(quality)
+
+    # identical coefficients for both coders (golden f64 DCT)
+    planes = preprocess(img.reshape(-1), image, plan, np)
+    coeff_plane = np.concatenate([
+        golden.fdct_quant(plane_to_blocks(planes[c.index], np),
+                          quant_zz[c.quant_table_index])
+        for c in plan.components])
+    coeff_scan = coeff_plane[plan.block_plane_idx]
+
+    dc_by_comp = [huff[(c.comp_type, HuffmanType.DC)] for c in plan.components]
+    ac_by_comp = [huff[(c.comp_type, HuffmanType.AC)] for c in plan.components]
+    want_segs = golden.encode_segments(plan, coeff_scan, dc_by_comp, ac_by_comp)
+
+    g = build_enc_geometry(plan)
+    t = build_enc_tables(huff)
+    gd = {f: jnp.asarray(getattr(g, f)) for f in (
+        "block_cls", "dc_pred_idx", "block_segment", "seg_block_start",
+        "seg_block_count", "seg_rst_marker", "seg_has_rst")}
+    gd["cap_seg_bytes"] = g.cap_seg_bytes
+    gd["cap_out_bytes"] = g.cap_out_bytes
+    td = {f: jnp.asarray(getattr(t, f)) for f in (
+        "dc_code", "dc_len", "ac_code", "ac_len")}
+    out, out_len, seg_bits, n_ff = huffman_encode_kernel(
+        jnp.asarray(coeff_scan), gd, td)
+    out = np.asarray(out)
+    out_len = np.asarray(out_len)
+    assert (np.asarray(seg_bits) <= g.cap_seg_bytes * 8).all(), "capacity overflow"
+
+    for s, want in enumerate(want_segs):
+        rst = 2 * int(g.seg_has_rst[s])
+        got = out[s * g.cap_out_bytes:
+                  s * g.cap_out_bytes + out_len[s] - rst].tobytes()
+        assert got == want, f"segment {s}: {got.hex()} != {want.hex()}"
+
+
+def test_device_encoder_full_stream_pil():
+    h, w = 64, 80
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=4)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    enc = Encoder(backend="jax")
+    data = enc.encode(img.reshape(-1), params, image)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(pil, img) > 32.0
+
+
+def test_device_decoder_matches_golden():
+    h, w = 64, 80
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=1)  # many segments
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    enc = Encoder(backend="golden")
+    data = enc.encode(img.reshape(-1), params, image)
+
+    dec_g = Decoder(backend="golden")
+    dec_g.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    want, _ = dec_g.decode(data)
+
+    dec_d = Decoder(backend="jax")
+    dec_d.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    got, _ = dec_d.decode(data)
+    # Huffman decode is exact; IDCT f32 vs f64 may differ by 1 LSB
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    assert psnr(got.reshape(h, w, 3), img) > 30.0
+
+
+def test_device_decoder_foreign_jpeg():
+    h, w = 48, 48
+    img = make_test_rgb(h, w)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90, subsampling=0)
+    # force device path despite few segments
+    import gpujpeg_tpu.models.decoder as dmod
+    dec = Decoder(backend="jax")
+    old = dmod.CPU_SEGMENT_THRESHOLD
+    dmod.CPU_SEGMENT_THRESHOLD = 0
+    try:
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        got, _ = dec.decode(buf.getvalue())
+    finally:
+        dmod.CPU_SEGMENT_THRESHOLD = old
+    pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    assert psnr(got.reshape(h, w, 3), pil) > 38.0
