@@ -1,0 +1,349 @@
+"""Multi-chip sharded JPEG encode over a ``jax.sharding.Mesh``.
+
+This is the capability the reference does NOT have (SURVEY §2.3: GPUJPEG is
+single-process/single-GPU; multi-GPU only via one coder per device,
+reference: gpujpeg_common.c:192-260). The TPU build makes distribution a
+first-class axis:
+
+* **Band sharding ('seg' mesh axis)** — one huge image is split into
+  horizontal *bands* of whole MCU rows. JPEG makes this embarrassingly
+  parallel: 8x8 blocks are independent through DCT+quant, and restart
+  markers make entropy segments independent too (DC prediction resets at
+  every RST, reference: gpujpeg_huffman_gpu_encoder.cu:326-337). Each
+  device runs the full pixel+entropy pipeline on its band; the only
+  cross-device work is assembling the variable-length per-segment byte
+  ranges — per-segment byte counts come back to the host (the analog of
+  the reference's single output-size D2H sync,
+  gpujpeg_huffman_gpu_encoder.cu:1158) and the bitstream is compacted with
+  one vectorized gather.
+
+* **Frame sharding ('frame' mesh axis)** — a video batch dimension; frames
+  are dealt across the other mesh axis (per-host frame sharding for Y4M
+  streams, BASELINE.json config 5).
+
+Alignment rules (validated by :func:`plan_bands`):
+
+* pixel rows per band must be a multiple of the MCU pixel height
+  (8 * max vertical sampling), so bands contain whole MCU rows;
+* the restart interval must divide every component's per-band MCU count,
+  so band boundaries coincide with segment boundaries and every
+  non-final segment is exactly ``restart_interval`` MCUs as DRI promises.
+  :func:`choose_restart_interval` picks the largest conforming interval
+  at or below the single-chip heuristic
+  (reference: gpujpeg_encoder_suggest_restart_interval,
+  gpujpeg_encoder.c:256-283).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..params import ImageParameters, Parameters, suggest_restart_interval
+from ..plan import CoderPlan, make_plan
+from ..stream.writer import HeaderType, JpegWriter
+from ..tables import default_huffman_table, quant_table_zz
+from ..types import ComponentType, HuffmanType, PixelFormat, PIXEL_FORMAT_DESC
+from ..ops.blocks import plane_to_blocks
+from ..ops.dct import fdct_operator_f32, fdct_quant_device
+from ..ops.huffman_encode import (
+    build_enc_geometry,
+    build_enc_tables,
+    huffman_encode_kernel,
+)
+from ..ops.preprocess import preprocess
+
+
+@dataclasses.dataclass(frozen=True)
+class BandLayout:
+    """Static description of how an image splits into per-device bands."""
+
+    n_bands: int
+    rows_per_band: int
+    band_image: ImageParameters
+    plan: CoderPlan           # per-band coder plan (identical for all bands)
+    band_raw_bytes: int
+
+    @property
+    def segs_per_band(self) -> int:
+        return self.plan.n_segments
+
+
+def _mcu_pixel_height(params: Parameters, comp_count: int) -> int:
+    if comp_count == 1:
+        return 8
+    max_v = max(s.vertical for s in params.sampling_factor[:comp_count])
+    return 8 * max_v
+
+
+def choose_restart_interval(params: Parameters, image: ImageParameters,
+                            n_bands: int) -> int:
+    """Largest restart interval <= the single-chip suggestion that divides
+    every component's per-band MCU count (so all bands' segments are full)."""
+    rows = image.height // n_bands
+    subsampled = any(s != params.sampling_factor[0]
+                     for s in params.sampling_factor[:image.comp_count])
+    want = suggest_restart_interval(image, subsampled, params.interleaved)
+    band_image = dataclasses.replace(image, height=rows)
+    plan = make_plan(dataclasses.replace(params, restart_interval=0), band_image)
+    if params.interleaved and image.comp_count > 1:
+        counts = [plan.scans[0].mcu_count]
+    else:
+        counts = [c.mcu_count for c in plan.components]
+    for ri in range(min(want, min(counts)), 0, -1):
+        if all(cnt % ri == 0 for cnt in counts):
+            return ri
+    return 1
+
+
+def plan_bands(params: Parameters, image: ImageParameters,
+               n_bands: int) -> BandLayout:
+    """Split the image into ``n_bands`` equal horizontal bands of whole MCU
+    rows and build the per-band coder plan."""
+    mcu_h = _mcu_pixel_height(params, image.comp_count)
+    if params.restart_interval <= 0 and n_bands > 1:
+        raise ValueError("sharded encode requires restart markers "
+                         "(restart_interval > 0): segments are the unit of "
+                         "cross-device independence")
+    if image.height % n_bands != 0:
+        raise ValueError(
+            f"image height {image.height} not divisible into {n_bands} bands")
+    rows = image.height // n_bands
+    if rows % mcu_h != 0:
+        raise ValueError(
+            f"band height {rows} is not a multiple of the MCU height {mcu_h}")
+    band_image = dataclasses.replace(image, height=rows)
+    plan = make_plan(params, band_image)
+    # every band but the last must end exactly on a segment boundary, i.e.
+    # the restart interval divides each scan's per-band MCU count
+    if n_bands > 1:
+        if params.interleaved and image.comp_count > 1:
+            counts = {0: plan.scans[0].mcu_count}
+        else:
+            counts = {c.index: c.mcu_count for c in plan.components}
+        for idx, cnt in counts.items():
+            if cnt % params.restart_interval != 0:
+                raise ValueError(
+                    f"restart interval {params.restart_interval} does not "
+                    f"divide scan {idx}'s per-band MCU count {cnt}; use "
+                    "choose_restart_interval()")
+    from ..types import image_calculate_size
+    return BandLayout(
+        n_bands=n_bands, rows_per_band=rows, band_image=band_image,
+        plan=plan,
+        band_raw_bytes=image_calculate_size(image.width, rows,
+                                            image.pixel_format),
+    )
+
+
+def split_raw_bands(raw, image: ImageParameters, layout: BandLayout) -> np.ndarray:
+    """Reshape a raw frame into (n_bands, band_raw_bytes) — contiguous for
+    packed formats, a per-component row-slice shuffle for planar ones."""
+    raw = np.asarray(raw, dtype=np.uint8).reshape(-1)
+    desc = PIXEL_FORMAT_DESC[PixelFormat(image.pixel_format)]
+    n, rows = layout.n_bands, layout.rows_per_band
+    if not desc.planar:
+        return raw.reshape(n, rows * image.width * desc.bpp)
+    # planar: slice each component's plane by rows, re-concat per band
+    sf0 = desc.sampling[0]
+    parts = []
+    pos = 0
+    for c in range(desc.comp_count):
+        sfc = desc.sampling[c]
+        cw = -(-image.width * sfc.horizontal // sf0.horizontal)
+        ch = -(-image.height * sfc.vertical // sf0.vertical)
+        plane = raw[pos:pos + cw * ch].reshape(ch, cw)
+        pos += cw * ch
+        parts.append(plane.reshape(n, ch // n * cw))
+    return np.concatenate(parts, axis=1)
+
+
+def _global_rst_arrays(layout: BandLayout) -> tuple[np.ndarray, np.ndarray]:
+    """Per-band RST markers / has-RST flags with *global* scan numbering.
+
+    Within one scan, segment i gets RST(i % 8) after it, except the very
+    last segment of the scan (reference: gpujpeg_encoder.c:479-537). Bands
+    concatenate in order inside each scan, so band b's local segment j of
+    scan s has global index b * segs_per_band(s) + j.
+    """
+    plan = layout.plan
+    n = layout.n_bands
+    S = plan.n_segments
+    rst = np.zeros((n, S), np.int32)
+    has = np.ones((n, S), np.int32)
+    for s in range(S):
+        scan_id = int(plan.seg_scan[s])
+        local_idx = int(plan.seg_scan_index[s])
+        spb = plan.scans[scan_id].segment_count
+        for b in range(n):
+            g = b * spb + local_idx
+            rst[b, s] = 0xD0 + (g % 8)
+            if b == n - 1 and local_idx == spb - 1:
+                has[b, s] = 0
+    return rst, has
+
+
+class ShardedEncoder:
+    """Encoder that shards one image's MCU-row bands across the 'seg' mesh
+    axis and (optionally) a frame batch across the 'frame' axis."""
+
+    def __init__(self, mesh: Mesh | None = None):
+        if mesh is None:
+            devs = np.array(jax.devices())
+            mesh = Mesh(devs.reshape(1, -1), ("frame", "seg"))
+        if "seg" not in mesh.axis_names:
+            raise ValueError("mesh must have a 'seg' axis")
+        self.mesh = mesh
+        self.n_seg = mesh.shape["seg"]
+        self.n_frame = mesh.shape.get("frame", 1)
+        self._cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _build(self, params: Parameters, image: ImageParameters):
+        key = (params, image)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+
+        layout = plan_bands(params, image, self.n_seg)
+        plan = layout.plan
+        quant_zz = {
+            0: quant_table_zz(ComponentType.LUMINANCE, params.quality),
+            1: quant_table_zz(ComponentType.CHROMINANCE, params.quality),
+        }
+        huff = {
+            (ct, ht): default_huffman_table(ct, ht)
+            for ct in (ComponentType.LUMINANCE, ComponentType.CHROMINANCE)
+            for ht in (HuffmanType.DC, HuffmanType.AC)
+        }
+        g = build_enc_geometry(plan)
+        t = build_enc_tables(huff)
+        rst_np, has_np = _global_rst_arrays(layout)
+
+        gd_static = {
+            "block_cls": jnp.asarray(g.block_cls),
+            "dc_pred_idx": jnp.asarray(g.dc_pred_idx),
+            "block_segment": jnp.asarray(g.block_segment),
+            "seg_block_start": jnp.asarray(g.seg_block_start),
+            "seg_block_count": jnp.asarray(g.seg_block_count),
+            "cap_seg_bytes": g.cap_seg_bytes,
+            "cap_out_bytes": g.cap_out_bytes,
+        }
+        td = {
+            "dc_code": jnp.asarray(t.dc_code),
+            "dc_len": jnp.asarray(t.dc_len),
+            "ac_code": jnp.asarray(t.ac_code),
+            "ac_len": jnp.asarray(t.ac_len),
+        }
+        ops = {
+            c.index: fdct_operator_f32(
+                tuple(int(x) for x in quant_zz[c.quant_table_index]))
+            for c in plan.components
+        }
+        block_plane_idx = jnp.asarray(plan.block_plane_idx)
+        band_image = layout.band_image
+
+        def encode_band(raw_band, rst, has_rst):
+            gd = dict(gd_static)
+            gd["seg_rst_marker"] = rst
+            gd["seg_has_rst"] = has_rst
+            planes = preprocess(raw_band, band_image, plan, jnp)
+            parts = []
+            for c in plan.components:
+                M, bias = ops[c.index]
+                blocks = plane_to_blocks(planes[c.index], jnp)
+                parts.append(fdct_quant_device(
+                    blocks, jnp.asarray(M), jnp.asarray(bias)))
+            coeff = jnp.concatenate(parts)[block_plane_idx]
+            return huffman_encode_kernel(coeff, gd, td)
+
+        def local_fn(raw, rst, has_rst):
+            # raw: (B_local, 1, band_bytes); rst/has: (1, S_local)
+            out, out_len, seg_bits, n_ff = jax.vmap(
+                lambda r: encode_band(r, rst[0], has_rst[0]))(raw[:, 0])
+            return (out[:, None], out_len[:, None],
+                    seg_bits[:, None], n_ff[:, None])
+
+        fspec = "frame" if "frame" in self.mesh.axis_names else None
+        fn = jax.jit(_shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(fspec, "seg", None), P("seg", None), P("seg", None)),
+            out_specs=(P(fspec, "seg", None), P(fspec, "seg", None),
+                       P(fspec, "seg", None), P(fspec, "seg", None)),
+        ))
+
+        built = (layout, quant_zz, huff, g, rst_np, has_np, fn)
+        self._cache[key] = built
+        return built
+
+    # ------------------------------------------------------------------
+    def encode(self, raw, params: Parameters, image: ImageParameters) -> bytes:
+        """Encode one frame sharded across the 'seg' axis."""
+        return self.encode_batch([raw], params, image)[0]
+
+    def encode_batch(self, raws, params: Parameters,
+                     image: ImageParameters) -> list[bytes]:
+        """Encode a batch of same-geometry frames: frames sharded over the
+        'frame' axis, each frame's bands over the 'seg' axis."""
+        layout, quant_zz, huff, g, rst_np, has_np, fn = self._build(params, image)
+        B = len(raws)
+        # pad the batch to a multiple of the frame axis
+        Bp = -(-B // self.n_frame) * self.n_frame
+        bands = np.stack([
+            split_raw_bands(raws[min(i, B - 1)], image, layout)
+            for i in range(Bp)
+        ])  # (Bp, n_bands, band_bytes)
+
+        out, out_len, seg_bits, n_ff = fn(
+            jnp.asarray(bands), jnp.asarray(rst_np), jnp.asarray(has_np))
+        out_h = np.asarray(jax.device_get(out))
+        len_h = np.asarray(jax.device_get(out_len))
+        bits_h = np.asarray(jax.device_get(seg_bits))
+        if (bits_h > g.cap_seg_bytes * 8).any():
+            raise OverflowError(
+                "per-segment capacity exceeded in sharded encode; raise "
+                "cap_bytes_per_block (pathological input)")
+
+        return [self._assemble(layout, quant_zz, huff,
+                               out_h[f], len_h[f], params, image)
+                for f in range(B)]
+
+    # ------------------------------------------------------------------
+    def _assemble(self, layout: BandLayout, quant_zz, huff,
+                  out_f: np.ndarray, len_f: np.ndarray,
+                  params: Parameters, image: ImageParameters) -> bytes:
+        """Host-side stream formatting: concatenate per-band segment bytes in
+        global scan order (reference: gpujpeg_encoder.c:479-537)."""
+        plan = layout.plan
+        n, S = layout.n_bands, plan.n_segments
+        cap = out_f.shape[-1] // S
+        regions = out_f.reshape(n * S, cap)
+        lens = len_f.reshape(n * S)
+
+        # full-image plan for the header (correct total height)
+        full_plan = make_plan(params, image)
+        w = JpegWriter()
+        w.write_header(full_plan, quant_zz, huff, HeaderType.DEFAULT)
+        for scan in plan.scans:
+            local_ids = np.nonzero(plan.seg_scan == scan.index)[0]
+            order = (np.arange(n)[:, None] * S + local_ids[None, :]).reshape(-1)
+            slens = lens[order]
+            starts = np.concatenate([[0], np.cumsum(slens)])
+            total = int(starts[-1])
+            seg_of_byte = np.repeat(np.arange(order.size), slens)
+            off_of_byte = np.arange(total) - np.repeat(starts[:-1], slens)
+            body = regions[order[seg_of_byte], off_of_byte]
+            w.write_scan_header(full_plan, scan.index)
+            w.emit_bytes(body)
+            w.patch_segment_info(starts)
+        w.write_eoi()
+        return w.tobytes()

@@ -1,0 +1,81 @@
+"""Multi-device sharded encode on the virtual 8-device CPU mesh.
+
+The strongest possible oracle: band/segment sharding must not change the
+bitstream at all — segments are byte-identical whether coded on 1 chip or 8,
+because DC prediction resets at every restart marker (the same invariant the
+reference's segment-parallel GPU kernels rely on,
+gpujpeg_huffman_gpu_encoder.cu:326-337).
+"""
+import numpy as np
+import pytest
+import jax
+from jax.sharding import Mesh
+
+from gpujpeg_tpu.models.encoder import Encoder
+from gpujpeg_tpu.models.decoder import Decoder
+from gpujpeg_tpu.params import ImageParameters, Parameters
+from gpujpeg_tpu.parallel import ShardedEncoder, choose_restart_interval, plan_bands
+from gpujpeg_tpu.types import ColorSpace, PixelFormat
+
+from conftest import make_test_rgb, psnr
+
+
+def _mesh(frame: int, seg: int) -> Mesh:
+    devs = np.array(jax.devices()[: frame * seg]).reshape(frame, seg)
+    return Mesh(devs, ("frame", "seg"))
+
+
+@pytest.mark.parametrize("interleaved", [False, True])
+def test_sharded_encode_bit_identical(interleaved):
+    H, W = 128, 160
+    img = make_test_rgb(H, W, seed=3)
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(quality=80, restart_interval=4, interleaved=interleaved)
+
+    single = Encoder(backend="jax").encode(img, params, image)
+
+    enc = ShardedEncoder(_mesh(1, 8))
+    sharded = enc.encode(img, params, image)
+    assert sharded == single
+
+
+def test_sharded_batch_frames():
+    H, W = 64, 64
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(quality=75, restart_interval=2)
+    frames = [make_test_rgb(H, W, seed=s) for s in range(3)]
+
+    enc = ShardedEncoder(_mesh(2, 4))
+    outs = enc.encode_batch(frames, params, image)
+    assert len(outs) == 3
+    dec = Decoder(backend="golden")
+    for f, out in zip(frames, outs):
+        raw, info = dec.decode(out)
+        assert psnr(f, raw.reshape(H, W, 3)) > 30
+
+
+def test_choose_restart_interval_divides():
+    image = ImageParameters(width=1920, height=1088, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(interleaved=False)
+    ri = choose_restart_interval(params, image, 8)
+    assert ri >= 1
+    layout = plan_bands(
+        Parameters(interleaved=False, restart_interval=ri), image, 8)
+    # every scan's per-band MCU count divides cleanly
+    for c in layout.plan.components:
+        assert c.mcu_count % ri == 0
+
+
+def test_plan_bands_rejects_misaligned():
+    image = ImageParameters(width=64, height=100, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    with pytest.raises(ValueError):
+        plan_bands(Parameters(restart_interval=2), image, 8)
+    with pytest.raises(ValueError):
+        plan_bands(Parameters(restart_interval=0),
+                   ImageParameters(width=64, height=128,
+                                   color_space=ColorSpace.RGB,
+                                   pixel_format=PixelFormat.PF_444_U8_P012), 8)
