@@ -36,6 +36,7 @@ from .huffman_decode import (
     huffman_decode_kernel,
 )
 from .huffman_encode import (
+    build_chunked_enc_geometry,
     build_enc_geometry,
     build_enc_tables,
     compact_segments,
@@ -59,45 +60,87 @@ _ENC_CACHE: dict = {}
 
 
 class _EncContext:
+    """Chunked device encoder: the image's blocks stream through a
+    ``lax.map`` over segment-aligned chunks, bounding peak HBM to one
+    chunk's working set (8K would otherwise materialize >16 GB of
+    (NB, 65) Huffman temporaries). DCT+quant runs inside the chunk body
+    on the MXU with a single component-independent DCT operator and a
+    per-block-class quant divisor."""
+
     def __init__(self, plan: CoderPlan, quant_zz: dict, huff: dict):
+        from ..tables import dct_zigzag_operator
+
         self.plan = plan
-        g = build_enc_geometry(plan)
+        cg = build_chunked_enc_geometry(plan)
         t = build_enc_tables(huff)
-        self.cap_seg_bytes = g.cap_seg_bytes
-        self.cap_out_bytes = g.cap_out_bytes
-        gd = {
-            "block_cls": jnp.asarray(g.block_cls),
-            "dc_pred_idx": jnp.asarray(g.dc_pred_idx),
-            "block_segment": jnp.asarray(g.block_segment),
-            "seg_block_start": jnp.asarray(g.seg_block_start),
-            "seg_block_count": jnp.asarray(g.seg_block_count),
-            "seg_rst_marker": jnp.asarray(g.seg_rst_marker),
-            "seg_has_rst": jnp.asarray(g.seg_has_rst),
-            "cap_seg_bytes": g.cap_seg_bytes,
-            "cap_out_bytes": g.cap_out_bytes,
-        }
+        self.cap_seg_bytes = cg.cap_seg_bytes
+        self.cap_out_bytes = cg.cap_out_bytes
+        self.n_pad_segments = cg.n_chunks * cg.chunk_segs
+
         td = {
             "dc_code": jnp.asarray(t.dc_code),
             "dc_len": jnp.asarray(t.dc_len),
             "ac_code": jnp.asarray(t.ac_code),
             "ac_len": jnp.asarray(t.ac_len),
         }
-        ops = {
-            c.index: fdct_operator_f32(tuple(int(x) for x in quant_zz[c.quant_table_index]))
-            for c in plan.components
+        D64, bias64 = dct_zigzag_operator()
+        D = jnp.asarray(D64.astype(np.float32))
+        bias = jnp.asarray(bias64.astype(np.float32))
+        # (n_quant_tables, 64) divisors indexed by block class
+        n_qt = max(c.quant_table_index for c in plan.components) + 1
+        qdiv = np.zeros((max(n_qt, 2), 64), np.float32)
+        for qi in range(max(n_qt, 2)):
+            if qi in quant_zz:
+                qdiv[qi] = np.asarray(quant_zz[qi], np.float32)
+        qdiv = jnp.asarray(np.maximum(qdiv, 1.0))
+
+        chunk_arrays = {
+            "gather_idx": jnp.asarray(cg.gather_idx),
+            "block_cls": jnp.asarray(cg.block_cls),
+            "dc_pred_idx": jnp.asarray(cg.dc_pred_idx),
+            "block_segment": jnp.asarray(cg.block_segment),
+            "block_valid": jnp.asarray(cg.block_valid),
+            "seg_block_start": jnp.asarray(cg.seg_block_start),
+            "seg_block_count": jnp.asarray(cg.seg_block_count),
+            "seg_rst_marker": jnp.asarray(cg.seg_rst_marker),
+            "seg_has_rst": jnp.asarray(cg.seg_has_rst),
         }
-        block_plane_idx = jnp.asarray(plan.block_plane_idx)
+        cap_seg_bytes = cg.cap_seg_bytes
+        cap_out_bytes = cg.cap_out_bytes
 
         @jax.jit
         def fn(raw):
             planes = preprocess(raw, plan.image, plan, jnp)
-            parts = []
-            for c in plan.components:
-                M, bias = ops[c.index]
-                blocks = plane_to_blocks(planes[c.index], jnp)
-                parts.append(fdct_quant_device(blocks, jnp.asarray(M), jnp.asarray(bias)))
-            coeff_scan = jnp.concatenate(parts)[block_plane_idx]
-            return huffman_encode_kernel(coeff_scan, gd, td)
+            pblocks = jnp.concatenate(
+                [plane_to_blocks(p, jnp) for p in planes])
+            # dummy row for padded block slots
+            pblocks = jnp.concatenate(
+                [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
+
+            def chunk_body(ca):
+                x = pblocks[ca["gather_idx"]].astype(jnp.float32)
+                y = jax.lax.dot_general(
+                    x, D, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) - bias
+                coeff = jnp.rint(y / qdiv[ca["block_cls"]]).astype(jnp.int32)
+                gd = {
+                    "block_cls": ca["block_cls"],
+                    "dc_pred_idx": ca["dc_pred_idx"],
+                    "block_segment": ca["block_segment"],
+                    "block_valid": ca["block_valid"],
+                    "seg_block_start": ca["seg_block_start"],
+                    "seg_block_count": ca["seg_block_count"],
+                    "seg_rst_marker": ca["seg_rst_marker"],
+                    "seg_has_rst": ca["seg_has_rst"],
+                    "cap_seg_bytes": cap_seg_bytes,
+                    "cap_out_bytes": cap_out_bytes,
+                }
+                return huffman_encode_kernel(coeff, gd, td)
+
+            out, out_len, seg_bits, n_ff = jax.lax.map(chunk_body, chunk_arrays)
+            return (out.reshape(-1), out_len.reshape(-1),
+                    seg_bits.reshape(-1), n_ff.reshape(-1))
 
         self.fn = fn
 
@@ -122,8 +165,8 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
     t0 = time.perf_counter()
     out_flat, out_len, seg_bits, n_ff = ctx.fn(jnp.asarray(raw))
     out_len_h = np.asarray(out_len)
-    seg_bits_h = np.asarray(seg_bits)
-    n_ff_h = np.asarray(n_ff)
+    seg_bits_h = np.asarray(seg_bits)[:plan.n_segments]
+    n_ff_h = np.asarray(n_ff)[:plan.n_segments]
     encoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
 
     # capacity overflow => the fixed worst-case region was too small

@@ -7,10 +7,13 @@ Behavioral analog of the reference's template-matrix CUDA kernels
 (nearest-neighbor chroma replication), apply the integer color transform,
 then subsample-store into MCU-padded per-component planes — and the inverse.
 
-Backend-generic (``xp`` = numpy or jax.numpy). Under jit, XLA fuses the
-unpack + transform + subsample chain into a single pass over HBM, which is
-the TPU-idiomatic replacement for the reference's fused one-thread-per-pixel
-kernel.
+Backend-generic (``xp`` = numpy or jax.numpy). TPU layout note: packed
+pixel data is viewed as ``(H, W*bpp)`` and channels are extracted with
+minor-dim strided slices — never reshaped to ``(H, W, C)``, whose size-C
+minor dimension would be padded to the 128-lane tile (a 42x HBM blow-up
+at 8K). Under jit, XLA fuses the slice + color transform + subsample
+chain into one pass over HBM — the TPU-idiomatic replacement for the
+reference's fused one-thread-per-pixel kernel.
 """
 from __future__ import annotations
 
@@ -29,6 +32,25 @@ def _edge_pad(plane, dh: int, dw: int, xp):
     return xp.pad(plane, ((0, dh - h), (0, dw - w)), mode="edge")
 
 
+def _deinterleave(raw, H: int, W: int, step: int, xp):
+    """(H*W*step,) u8 -> ``step`` channels (H, W) via lane-stride slices."""
+    m = raw.reshape(H, W * step)
+    return [m[:, c::step] for c in range(step)]
+
+
+def _interleave(channels, H: int, W: int, step: int, xp, fill: int = 0):
+    """channels (H, W) -> (H*W*step,) u8, scattering into lane strides."""
+    if xp is np:
+        out = np.full((H, W * step), fill, np.uint8)
+        for c, ch in enumerate(channels):
+            out[:, c::step] = ch
+    else:
+        out = xp.full((H, W * step), fill, xp.uint8)
+        for c, ch in enumerate(channels):
+            out = out.at[:, c::step].set(ch.astype(xp.uint8))
+    return out.reshape(-1)
+
+
 def unpack_raw(raw, image: ImageParameters, xp=np):
     """Raw image buffer -> list of full-resolution channels (H, W) int32.
 
@@ -43,20 +65,17 @@ def unpack_raw(raw, image: ImageParameters, xp=np):
     if pf == PixelFormat.U8:
         return [raw.reshape(H, W).astype(xp.int32)]
     if pf == PixelFormat.PF_444_U8_P012:
-        px = raw.reshape(H, W, 3).astype(xp.int32)
-        return [px[..., 0], px[..., 1], px[..., 2]]
+        return [c.astype(xp.int32) for c in _deinterleave(raw, H, W, 3, xp)]
     if pf in (PixelFormat.PF_444_U8_P012Z, PixelFormat.PF_444_U8_P012A):
-        px = raw.reshape(H, W, 4).astype(xp.int32)
-        chans = [px[..., 0], px[..., 1], px[..., 2]]
-        if desc.comp_count == 4 or image.comp_count == 4:
-            chans.append(px[..., 3])
-        return chans
+        chans = _deinterleave(raw, H, W, 4, xp)
+        n = 4 if (desc.comp_count == 4 or image.comp_count == 4) else 3
+        return [c.astype(xp.int32) for c in chans[:n]]
     if pf == PixelFormat.PF_422_U8_P1020:
         # byte order per 2 pixels: comp#1 comp#0 comp#2 comp#0 (U Y V Y)
-        px = raw.reshape(H, W // 2, 4).astype(xp.int32)
-        y = xp.stack([px[..., 1], px[..., 3]], axis=-1).reshape(H, W)
-        u = xp.repeat(px[..., 0], 2, axis=1)
-        v = xp.repeat(px[..., 2], 2, axis=1)
+        m = raw.reshape(H, W * 2)
+        y = m[:, 1::2].astype(xp.int32)
+        u = xp.repeat(m[:, 0::4].astype(xp.int32), 2, axis=1)
+        v = xp.repeat(m[:, 2::4].astype(xp.int32), 2, axis=1)
         return [y, u, v]
     if pf in (PixelFormat.PF_444_U8_P0P1P2, PixelFormat.PF_422_U8_P0P1P2,
               PixelFormat.PF_420_U8_P0P1P2):
@@ -89,22 +108,28 @@ def pack_raw(channels, image: ImageParameters, xp=np):
     if pf == PixelFormat.U8:
         return channels[0].astype(xp.uint8).reshape(-1)
     if pf == PixelFormat.PF_444_U8_P012:
-        return xp.stack(channels[:3], axis=-1).astype(xp.uint8).reshape(-1)
+        return _interleave(channels[:3], H, W, 3, xp)
     if pf == PixelFormat.PF_444_U8_P012Z:
-        z = xp.zeros((H, W), dtype=xp.int32)
-        return xp.stack(channels[:3] + [z], axis=-1).astype(xp.uint8).reshape(-1)
+        return _interleave(channels[:3], H, W, 4, xp, fill=0)
     if pf == PixelFormat.PF_444_U8_P012A:
         if len(channels) >= 4:
-            a = channels[3]
-        else:
-            # alpha fill 0xFF when decoding 3-comp JPEG to p012a
-            # (reference: gpujpeg_postprocessor.cu:247-249)
-            a = xp.full((H, W), 255, dtype=xp.int32)
-        return xp.stack(channels[:3] + [a], axis=-1).astype(xp.uint8).reshape(-1)
+            return _interleave(channels[:4], H, W, 4, xp)
+        # alpha fill 0xFF when decoding 3-comp JPEG to p012a
+        # (reference: gpujpeg_postprocessor.cu:247-249)
+        return _interleave(channels[:3], H, W, 4, xp, fill=255)
     if pf == PixelFormat.PF_422_U8_P1020:
         y, u, v = channels[:3]
-        out = xp.stack([u[:, ::2], y[:, ::2], v[:, ::2], y[:, 1::2]], axis=-1)
-        return out.astype(xp.uint8).reshape(-1)
+        if xp is np:
+            out = np.empty((H, W * 2), np.uint8)
+            out[:, 1::2] = y
+            out[:, 0::4] = u[:, ::2]
+            out[:, 2::4] = v[:, ::2]
+        else:
+            out = xp.zeros((H, W * 2), xp.uint8)
+            out = out.at[:, 1::2].set(y.astype(xp.uint8))
+            out = out.at[:, 0::4].set(u[:, ::2].astype(xp.uint8))
+            out = out.at[:, 2::4].set(v[:, ::2].astype(xp.uint8))
+        return out.reshape(-1)
     if pf in (PixelFormat.PF_444_U8_P0P1P2, PixelFormat.PF_422_U8_P0P1P2,
               PixelFormat.PF_420_U8_P0P1P2):
         sf = desc.sampling
@@ -137,9 +162,7 @@ def preprocess(raw, image: ImageParameters, plan: CoderPlan, xp=np):
         rx = (W + comp.width - 1) // comp.width if comp.width else 1
         ry = (H + comp.height - 1) // comp.height if comp.height else 1
         if rx > 1 or ry > 1:
-            row_idx = xp.minimum(xp.arange(comp.height) * ry, H - 1)
-            col_idx = xp.minimum(xp.arange(comp.width) * rx, W - 1)
-            sel = chan[row_idx][:, col_idx]
+            sel = chan[::ry, ::rx][:comp.height, :comp.width]
         else:
             sel = chan
         plane = _edge_pad(sel.astype(xp.uint8), comp.data_height, comp.data_width, xp)

@@ -54,7 +54,7 @@ from ..stream.writer import HeaderType, JpegWriter
 from ..tables import default_huffman_table, quant_table_zz
 from ..types import ComponentType, HuffmanType, PixelFormat, PIXEL_FORMAT_DESC
 from ..ops.blocks import plane_to_blocks
-from ..ops.dct import fdct_operator_f32, fdct_quant_device
+from ..ops.dct import fdct_operator_f32  # noqa: F401 (legacy path)
 from ..ops.huffman_encode import (
     build_enc_geometry,
     build_enc_tables,
@@ -244,12 +244,17 @@ class ShardedEncoder:
             "ac_code": jnp.asarray(t.ac_code),
             "ac_len": jnp.asarray(t.ac_len),
         }
-        ops = {
-            c.index: fdct_operator_f32(
-                tuple(int(x) for x in quant_zz[c.quant_table_index]))
-            for c in plan.components
-        }
+        from ..tables import dct_zigzag_operator
+        D64, bias64 = dct_zigzag_operator()
+        D = jnp.asarray(D64.astype(np.float32))
+        bias = jnp.asarray(bias64.astype(np.float32))
+        qdiv_np = np.stack([
+            np.asarray(quant_zz[0], np.float32),
+            np.asarray(quant_zz[1], np.float32),
+        ])
+        qdiv = jnp.asarray(np.maximum(qdiv_np, 1.0))
         block_plane_idx = jnp.asarray(plan.block_plane_idx)
+        block_cls = jnp.asarray(g.block_cls)
         band_image = layout.band_image
 
         def encode_band(raw_band, rst, has_rst):
@@ -257,13 +262,14 @@ class ShardedEncoder:
             gd["seg_rst_marker"] = rst
             gd["seg_has_rst"] = has_rst
             planes = preprocess(raw_band, band_image, plan, jnp)
-            parts = []
-            for c in plan.components:
-                M, bias = ops[c.index]
-                blocks = plane_to_blocks(planes[c.index], jnp)
-                parts.append(fdct_quant_device(
-                    blocks, jnp.asarray(M), jnp.asarray(bias)))
-            coeff = jnp.concatenate(parts)[block_plane_idx]
+            pblocks = jnp.concatenate(
+                [plane_to_blocks(p, jnp) for p in planes])
+            x = pblocks[block_plane_idx].astype(jnp.float32)
+            y = jax.lax.dot_general(
+                x, D, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32) - bias
+            coeff = jnp.rint(y / qdiv[block_cls]).astype(jnp.int32)
             return huffman_encode_kernel(coeff, gd, td)
 
         def local_fn(raw, rst, has_rst):

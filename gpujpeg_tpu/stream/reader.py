@@ -79,6 +79,31 @@ class JpegInfo:
     def sampling(self) -> tuple[SamplingFactor, ...]:
         return tuple(c.sampling for c in self.components)
 
+    @property
+    def segment_count(self) -> int:
+        """Total restart segments: counted from parsed scans when present,
+        else derived from geometry + DRI (reference prints this in info
+        mode, src/main.c:133-136)."""
+        if self.scans and any(s.segments for s in self.scans):
+            return sum(len(s.segments) for s in self.scans)
+        if not self.width or not self.height or not self.components:
+            return 0
+        mcu_counts = []
+        max_h = max(c.sampling.horizontal for c in self.components)
+        max_v = max(c.sampling.vertical for c in self.components)
+        if self.interleaved and self.comp_count > 1:
+            mcu_counts.append(
+                (-(-self.width // (8 * max_h))) * (-(-self.height // (8 * max_v))))
+        else:
+            for c in self.components:
+                cw = -(-self.width * c.sampling.horizontal // max_h)
+                ch = -(-self.height * c.sampling.vertical // max_v)
+                mcu_counts.append((-(-cw // 8)) * (-(-ch // 8)))
+        ri = self.restart_interval
+        if ri <= 0:
+            return len(mcu_counts)
+        return sum(-(-m // ri) for m in mcu_counts)
+
     def deduce_pixel_format(self) -> PixelFormat:
         """Output pixel format from sampling factors
         (reference: gpujpeg_reader.c:1523-1691)."""

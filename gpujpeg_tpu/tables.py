@@ -309,6 +309,22 @@ def fdct_quant_matrix(quant_zz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return Mq_zz.T.copy(), bias           # x(row) @ M(64,64) layout
 
 
+def dct_zigzag_operator() -> tuple[np.ndarray, np.ndarray]:
+    """Quantization-independent forward-DCT operator.
+
+    Returns ``(D64, bias)`` (float64) such that ``y_zz = x @ D64 - bias``
+    is the *unquantized* 2-D DCT of the flattened block in zig-zag order
+    with the -128 level shift folded into ``bias``. Quantized coefficients
+    are then ``round(y_zz / q_zz)``. Splitting quantization out of the
+    matrix lets one MXU operator serve blocks of mixed component classes
+    (the chunked pipeline mixes luma and chroma blocks in one matmul)."""
+    D = dct8_matrix()
+    M = np.kron(D, D)
+    M_zz = M[ZIGZAG_TO_NATURAL, :]
+    bias = 128.0 * M_zz.sum(axis=1)
+    return M_zz.T.copy(), bias
+
+
 def idct_dequant_matrix(quant_zz: np.ndarray) -> np.ndarray:
     """Fused dequantization + inverse-DCT operator.
 
