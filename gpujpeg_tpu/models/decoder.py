@@ -79,8 +79,12 @@ class Decoder:
                       or plan.n_segments < CPU_SEGMENT_THRESHOLD)
         if use_golden:
             t1 = time.perf_counter()
-            coeff_scan = golden.decode_segments(
+            from ..native import decode_segments_native
+            coeff_scan = decode_segments_native(
                 plan, scan_data, segments_by_scan, dc_by_comp, ac_by_comp)
+            if coeff_scan is None:  # no compiler available
+                coeff_scan = golden.decode_segments(
+                    plan, scan_data, segments_by_scan, dc_by_comp, ac_by_comp)
             t2 = time.perf_counter()
             coeff_plane = np.empty_like(coeff_scan)
             coeff_plane[plan.block_plane_idx] = coeff_scan

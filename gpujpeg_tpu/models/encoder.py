@@ -111,7 +111,10 @@ class Encoder:
         t2 = time.perf_counter()
         dc_by_comp = [huff[(c.comp_type, HuffmanType.DC)] for c in plan.components]
         ac_by_comp = [huff[(c.comp_type, HuffmanType.AC)] for c in plan.components]
-        seg_bytes = golden.encode_segments(plan, coeff_scan, dc_by_comp, ac_by_comp)
+        from ..native import encode_segments_native
+        seg_bytes = encode_segments_native(plan, coeff_scan, dc_by_comp, ac_by_comp)
+        if seg_bytes is None:  # no compiler available
+            seg_bytes = golden.encode_segments(plan, coeff_scan, dc_by_comp, ac_by_comp)
         t3 = time.perf_counter()
         self.stats.duration_preprocessor = (t1 - t0) * 1e3
         self.stats.duration_dct_quantization = (t2 - t1) * 1e3
