@@ -1,0 +1,607 @@
+"""Gather/scatter-free segment-parallel Huffman encoder (v2).
+
+TPU microarchitecture dictates this design: XLA lowers arbitrary gathers
+and scatters to ~11 ns/element serial loops, so the v1 formulation
+(scatter codeword bits into the output, gather from code tables) ran
+seconds per 8K frame. v2 eliminates both:
+
+* **Code table lookups** run on the VPU's per-lane dynamic-gather unit
+  (``tpu.dynamic_gather``, reachable only through Pallas
+  ``jnp.take_along_axis`` along lanes, 128-entry tables per vreg): 100M
+  lookups ≈ 1 ms. The Annex-K tables are packed as ``code<<5 | len``
+  (≤21 bits) and split into 128-entry halves.
+
+* **Bit assembly** is dense math instead of scatter: every block's ≤64
+  codeword chunks know their intra-block bit offset (a lane-wise cumsum);
+  each of the block's output words is a masked sum of shifted chunk
+  contributions (bits are disjoint, so add == or). One Pallas kernel
+  fuses symbol synthesis, table lookups, and window assembly per block.
+
+* **Cross-block concatenation** is a logarithmic tree merge over each
+  segment's (power-of-two padded) blocks: at every level, the right
+  string shifts by the left string's bit length — a per-lane variable
+  bit-shift (native VPU) plus a barrel word-roll (log-step selects).
+
+* **Byte stuffing** is a bounded select-chain of rolls: each byte moves
+  right by the number of 0xFF bytes before it; skipped output slots are
+  exactly the inserted 0x00 stuff bytes.
+
+The whole stage therefore runs on dense vector ops; the only remaining
+gathers are tiny (one row per segment). The reference's warp/atomics
+pipeline (gpujpeg_huffman_gpu_encoder.cu:191-615) maps to this as:
+encode_kernel -> block_chunks (Pallas), serialization -> merge+stuff,
+compaction -> host-side prefix-sum slice (unchanged).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..plan import CoderPlan
+from ..tables import HuffmanTable
+from ..types import ComponentType, HuffmanType
+from .huffman_encode import cap_for_quality
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Tables: packed (code<<5 | len) entries
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PackedTables:
+    ac512: np.ndarray   # (512,) int32: [cls*256 + sym] -> code<<5|len
+    dc64: np.ndarray    # (64,)  int32: [cls*32 + cat]  -> code<<5|len
+    zrl: np.ndarray     # (2, 2) int32: [cls] -> (code, len)
+    eob: np.ndarray     # (2, 2) int32: [cls] -> (code, len)
+
+
+def build_packed_tables(huff: dict) -> PackedTables:
+    ac512 = np.zeros(512, np.int32)
+    dc64 = np.zeros(64, np.int32)
+    zrl = np.zeros((2, 2), np.int32)
+    eob = np.zeros((2, 2), np.int32)
+    for ct in (ComponentType.LUMINANCE, ComponentType.CHROMINANCE):
+        c = int(ct)
+        dc: HuffmanTable = huff[(ct, HuffmanType.DC)]
+        ac: HuffmanTable = huff[(ct, HuffmanType.AC)]
+        ac512[c * 256:(c + 1) * 256] = \
+            (ac.ehufco.astype(np.int64) << 5 | ac.ehufsi).astype(np.int32)
+        dc64[c * 32:c * 32 + 16] = \
+            (dc.ehufco[:16].astype(np.int64) << 5 | dc.ehufsi[:16]).astype(np.int32)
+        zrl[c] = (int(ac.ehufco[0xF0]), int(ac.ehufsi[0xF0]))
+        eob[c] = (int(ac.ehufco[0x00]), int(ac.ehufsi[0x00]))
+    return PackedTables(ac512, dc64, zrl, eob)
+
+
+# ---------------------------------------------------------------------------
+# Uniform segment geometry: every segment padded to BPS (pow2) blocks
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class UniformGeometry:
+    n_segments: int
+    bps: int                 # blocks per segment (power of two, padded)
+    n_rows: int              # n_segments * bps
+    #: (n_rows,) gather index into the scan-order coefficient array;
+    #: n_blocks = dummy zero row (padded slots)
+    coeff_idx: np.ndarray
+    block_cls: np.ndarray    # (n_rows,)
+    block_valid: np.ndarray  # (n_rows,)
+    #: (n_rows,) distance (in scan order) to the DC predecessor; 0 = none
+    dc_dist: np.ndarray
+    dc_distances: tuple      # distinct nonzero distances
+    seg_rst_marker: np.ndarray  # (S,)
+    seg_has_rst: np.ndarray     # (S,)
+    words_per_block: int        # W
+    cap_seg_words: int          # merged string capacity (words)
+    cap_out_bytes: int          # stuffed output region capacity per segment
+
+
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def build_uniform_geometry(plan: CoderPlan,
+                           cap_bytes_per_block: int | None = None,
+                           rst_marker: np.ndarray | None = None,
+                           has_rst: np.ndarray | None = None) -> UniformGeometry:
+    if cap_bytes_per_block is None:
+        cap_bytes_per_block = cap_for_quality(plan.params.quality)
+    S = plan.n_segments
+    bps = _pow2(int(plan.max_seg_block_count))
+    n_rows = S * bps
+
+    coeff_idx = np.full(n_rows, plan.n_blocks, np.int32)
+    cls = np.zeros(n_rows, np.int32)
+    valid = np.zeros(n_rows, np.int32)
+    dc_dist = np.zeros(n_rows, np.int32)
+
+    starts = plan.seg_block_start
+    counts = plan.seg_block_count
+    rows = np.arange(n_rows)
+    seg = rows // bps
+    k = rows % bps
+    real = k < counts[seg]
+    b = starts[seg] + np.minimum(k, np.maximum(counts[seg] - 1, 0))
+    coeff_idx[real] = b[real]
+    from .huffman_encode import build_enc_geometry
+    g = build_enc_geometry(plan, cap_bytes_per_block)
+    cls_all = g.block_cls
+    cls[real] = cls_all[b[real]]
+    valid[real] = 1
+    pred = plan.dc_pred_idx
+    dist = np.where(pred >= 0, np.arange(plan.n_blocks) - pred, 0)
+    dc_dist[real] = dist[b[real]]
+    distances = tuple(sorted(set(int(d) for d in np.unique(dist) if d > 0)))
+
+    W = max(2, (cap_bytes_per_block + 3) // 4)
+    cap_seg_words = (int(plan.max_seg_block_count) * cap_bytes_per_block + 3) // 4
+    cap_seg_words = -(-cap_seg_words // 4) * 4 + 2
+    cap_out = cap_seg_words * 4
+    cap_out = cap_out + cap_out // 2 + 8          # stuffing slack + RST
+    cap_out = -(-cap_out // 128) * 128
+    return UniformGeometry(
+        n_segments=S, bps=bps, n_rows=n_rows,
+        coeff_idx=coeff_idx, block_cls=cls, block_valid=valid,
+        dc_dist=dc_dist, dc_distances=distances,
+        seg_rst_marker=(rst_marker if rst_marker is not None
+                        else g.seg_rst_marker),
+        seg_has_rst=(has_rst if has_rst is not None else g.seg_has_rst),
+        words_per_block=W, cap_seg_words=cap_seg_words,
+        cap_out_bytes=cap_out,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — per-block chunks + window assembly
+# ---------------------------------------------------------------------------
+
+def _chunk_planes(c, diff, cls, valid, t):
+    """Shared symbol-synthesis math (traceable under XLA or Pallas).
+
+    Args:
+      c: (T, 64) int32 zig-zag coefficients.
+      diff: (T, 1) int32 DC difference.
+      cls/valid: (T, 1) int32.
+      t: dict of packed table arrays (ac512, dc64, zrl2, eob2 jnp arrays)
+        plus a `lookup(tab, idx, n)` function.
+
+    Returns (vals, lens, offs) lists of three (T, 64) planes
+    [A: up-to-2 ZRLs | B: 3rd ZRL | C: code+value bits] with plane A col 0
+    repurposed for the EOB chunk, plus block_bits (T, 1).
+    """
+    T = c.shape[0]
+    k = jax.lax.broadcasted_iota(I32, (T, 64), 1)
+    is_dc = k == 0
+    v = jnp.where(is_dc, diff, c)
+    nz = (v != 0) & (~is_dc)
+
+    av = jnp.abs(v)
+    cat = 32 - t["clz"](av)                       # 0 for v == 0
+    vbits = jnp.where(v >= 0, v, v + (1 << cat) - 1) & ((1 << cat) - 1)
+
+    # runs of zeros before each nonzero AC
+    prev_incl = t["cummax"](jnp.where(nz, k, 0))
+    prev = t["shift_lanes_right"](prev_incl, 1)
+    run = jnp.where(nz, k - prev - 1, 0)
+    r16 = jnp.where(nz, run >> 4, 0)
+
+    # C plane: DC or AC code + value bits
+    sym = ((run & 15) << 4) | cat
+    entry_ac = t["lookup512"](cls * 256 + sym)
+    entry_dc = t["lookup64"](cls * 32 + jnp.minimum(cat, 15))
+    entry = jnp.where(is_dc, entry_dc, entry_ac)
+    code = entry >> 5
+    clen = entry & 31
+    emit = is_dc | nz
+    lenC = jnp.where(emit, clen + cat, 0) * valid
+    valC = jnp.where(emit, (code << cat) | vbits, 0)
+
+    # ZRL planes
+    zc = jnp.where(cls > 0, t["zrl_c"][0], t["zrl_l"][0])
+    zl = jnp.where(cls > 0, t["zrl_c"][1], t["zrl_l"][1])
+    n1 = jnp.minimum(r16, 2)
+    lenA = n1 * zl * valid
+    valA = jnp.where(n1 == 2, (zc << zl) | zc,
+                     jnp.where(n1 == 1, zc, 0))
+    lenB = jnp.maximum(r16 - 2, 0) * zl * valid
+    valB = jnp.where(lenB > 0, zc, 0)
+
+    # per-position lengths in emission order (A,B,C), cumsum over lanes
+    len_pos = lenA + lenB + lenC
+    csum = t["cumsum"](len_pos)
+    off_pos = csum - len_pos
+    pre_eob_bits = csum[:, 63:64]
+
+    offA = off_pos
+    offB = off_pos + lenA
+    offC = offB + lenB
+
+    # EOB in plane A col 0 (order-free: only offsets matter)
+    has_eob = (c[:, 63:64] == 0) & (valid > 0)
+    ec = jnp.where(cls > 0, t["eob_c"][0], t["eob_l"][0])
+    el = jnp.where(cls > 0, t["eob_c"][1], t["eob_l"][1])
+    eob_len = jnp.where(has_eob, el, 0)
+    col0 = k == 0
+    lenA = jnp.where(col0, eob_len, lenA)
+    valA = jnp.where(col0, ec, valA)
+    offA = jnp.where(col0, pre_eob_bits, offA)
+
+    block_bits = pre_eob_bits + eob_len
+    return (valA, valB, valC), (lenA, lenB, lenC), (offA, offB, offC), block_bits
+
+
+def _windows(vals, lens, offs, W: int):
+    """Dense window assembly: (T, W) words from 3 chunk planes.
+
+    Runs in int32 (Mosaic cannot reduce unsigned ints): chunk values are
+    non-negative and <= 27 bits, so `>>` never sign-extends and `<<`
+    wraps mod 2^32 exactly like the uint math the merge stage expects;
+    the final convert to uint32 is a mod-2^32 reinterpretation."""
+    T = vals[0].shape[0]
+    out = []
+    for w in range(W):
+        acc = jnp.zeros((T, 1), I32)
+        for val, ln, off in zip(vals, lens, offs):
+            rel = off - 32 * w
+            sh = 32 - rel - ln
+            pos_sh = jnp.clip(sh, 0, 31)
+            neg_sh = jnp.clip(-sh, 0, 31)
+            contrib = jnp.where(sh >= 0, val << pos_sh, val >> neg_sh)
+            mask = (ln > 0) & (rel < 32) & (rel + ln > 0)
+            acc = acc + jnp.sum(jnp.where(mask, contrib, 0),
+                                axis=1, keepdims=True, dtype=I32)
+        out.append(acc)
+    return jnp.concatenate(out, axis=1).astype(U32)
+
+
+# ---- XLA reference implementation (CPU fallback + oracle) ----
+
+def _xla_helpers(tabs: PackedTables):
+    ac512 = jnp.asarray(tabs.ac512)
+    dc64 = jnp.asarray(tabs.dc64)
+    return {
+        "clz": jax.lax.clz,
+        "cummax": lambda x: jax.lax.cummax(x, axis=1),
+        "cumsum": lambda x: jnp.cumsum(x, axis=1),
+        "shift_lanes_right": lambda x, s: jnp.concatenate(
+            [jnp.zeros((x.shape[0], s), x.dtype), x[:, :-s]], axis=1),
+        "lookup512": lambda i: ac512[i],
+        "lookup64": lambda i: dc64[i],
+        "zrl_l": tuple(int(v) for v in tabs.zrl[0]),
+        "zrl_c": tuple(int(v) for v in tabs.zrl[1]),
+        "eob_l": tuple(int(v) for v in tabs.eob[0]),
+        "eob_c": tuple(int(v) for v in tabs.eob[1]),
+    }
+
+
+def block_chunks_xla(coeff, diff, cls, valid, tabs: PackedTables, W: int):
+    """(N, 64) coeffs -> (N, W) uint32 local words + (N, 1) bit lengths."""
+    t = _xla_helpers(tabs)
+    vals, lens, offs, bits = _chunk_planes(
+        coeff, diff, cls[:, None], valid[:, None], t)
+    return _windows(vals, lens, offs, W), bits
+
+
+# ---- Pallas TPU implementation ----
+
+def _pallas_helpers(ac512_ref, dc128_ref, tabs: PackedTables):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    def lane_gather128(table_row, idx):
+        """idx (T, L) values in [0,128) -> per-lane dynamic gather."""
+        T = idx.shape[0]
+        tbl = jnp.broadcast_to(table_row.reshape(1, 128), (T, idx.shape[1]) if idx.shape[1] == 128 else (T, 128))
+        if idx.shape[1] != 128:
+            pad = jnp.zeros((T, 128 - idx.shape[1]), idx.dtype)
+            idx_p = jnp.concatenate([idx, pad], axis=1)
+            out = jnp.take_along_axis(jnp.broadcast_to(
+                table_row.reshape(1, 128), (T, 128)), idx_p, axis=1)
+            return out[:, :idx.shape[1]]
+        return jnp.take_along_axis(tbl, idx, axis=1)
+
+    def lookup512(idx):
+        lo = idx & 127
+        h = idx >> 7                      # 0..3
+        r0 = lane_gather128(ac512_ref[0:128], lo)
+        r1 = lane_gather128(ac512_ref[128:256], lo)
+        r2 = lane_gather128(ac512_ref[256:384], lo)
+        r3 = lane_gather128(ac512_ref[384:512], lo)
+        return jnp.where(h == 0, r0,
+                         jnp.where(h == 1, r1,
+                                   jnp.where(h == 2, r2, r3)))
+
+    def lookup64(idx):
+        return lane_gather128(dc128_ref, idx)
+
+    def cummax(x):
+        T, L = x.shape
+        lane = jax.lax.broadcasted_iota(I32, (T, L), 1)
+        s = 1
+        while s < L:
+            sh = jnp.concatenate(
+                [jnp.full((T, s), jnp.iinfo(jnp.int32).min, x.dtype),
+                 x[:, :-s]], axis=1)
+            x = jnp.maximum(x, jnp.where(lane >= s, sh, x))
+            s <<= 1
+        return x
+
+    def cumsum(x):
+        T, L = x.shape
+        lane = jax.lax.broadcasted_iota(I32, (T, L), 1)
+        s = 1
+        while s < L:
+            sh = jnp.concatenate(
+                [jnp.zeros((T, s), x.dtype), x[:, :-s]], axis=1)
+            x = x + jnp.where(lane >= s, sh, 0)
+            s <<= 1
+        return x
+
+    return {
+        "clz": jax.lax.clz,
+        "cummax": cummax,
+        "cumsum": cumsum,
+        "shift_lanes_right": lambda x, s: jnp.concatenate(
+            [jnp.zeros((x.shape[0], s), x.dtype), x[:, :-s]], axis=1),
+        "lookup512": lookup512,
+        "lookup64": lookup64,
+        "zrl_l": tuple(int(v) for v in tabs.zrl[0]),
+        "zrl_c": tuple(int(v) for v in tabs.zrl[1]),
+        "eob_l": tuple(int(v) for v in tabs.eob[0]),
+        "eob_c": tuple(int(v) for v in tabs.eob[1]),
+    }
+
+
+def block_chunks_pallas(coeff, diff, cls, valid, tabs: PackedTables, W: int,
+                        tile: int = 512):
+    """Pallas version of :func:`block_chunks_xla` (TPU only)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = coeff.shape[0]
+    pad = (-N) % tile
+    if pad:
+        coeff = jnp.pad(coeff, ((0, pad), (0, 0)))
+        diff = jnp.pad(diff, ((0, pad), (0, 0)))
+        cls = jnp.pad(cls, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+        N += pad
+    ac512 = jnp.asarray(tabs.ac512)
+    dc128 = jnp.asarray(np.concatenate([tabs.dc64, np.zeros(64, np.int32)]))
+
+    def kernel(coeff_ref, diff_ref, cls_ref, valid_ref, ac_ref, dc_ref,
+               words_ref, bits_ref):
+        t = _pallas_helpers(ac_ref[:], dc_ref[:], tabs)
+        vals, lens, offs, bits = _chunk_planes(
+            coeff_ref[:], diff_ref[:], cls_ref[:], valid_ref[:], t)
+        words_ref[:] = _windows(vals, lens, offs, W)
+        bits_ref[:] = bits
+
+    grid = (N // tile,)
+    words, bits = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((N, W), jnp.uint32),
+                   jax.ShapeDtypeStruct((N, 1), jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((512,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(coeff, diff, cls[:, None], valid[:, None], ac512, dc128)
+    if pad:
+        words = words[:-pad]
+        bits = bits[:-pad]
+    return words, bits
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — tree merge of block strings into segment strings
+# ---------------------------------------------------------------------------
+
+def _word_roll_right(x, o):
+    """Barrel roll: shift each row right by o (per-row) words."""
+    R = x.shape[1]
+    bit = 1
+    while bit < R:
+        sh = jnp.concatenate(
+            [jnp.zeros((x.shape[0], bit), x.dtype), x[:, :-bit]], axis=1)
+        x = jnp.where((o & bit) > 0, sh, x)
+        bit <<= 1
+    return x
+
+
+def _merge_pair(lw, lb, rw, rb, R_out: int):
+    """Concatenate bit strings: (left words, left bits) + (right ...)."""
+    rows = lw.shape[0]
+    R_in = lw.shape[1]
+    lw = jnp.pad(lw, ((0, 0), (0, R_out - R_in)))
+    rw = jnp.pad(rw, ((0, 0), (0, R_out - R_in)))
+    sh = (lb & 31).astype(U32)                    # (rows, 1)
+    prev = jnp.concatenate(
+        [jnp.zeros((rows, 1), rw.dtype), rw[:, :-1]], axis=1)
+    lo = jnp.where(sh > 0, rw >> sh, rw)
+    hi = jnp.where(sh > 0, prev << ((32 - sh) & 31).astype(U32), 0)
+    shifted = lo | hi
+    rolled = _word_roll_right(shifted, lb >> 5)
+    return lw | rolled, lb + rb
+
+
+def merge_segments(words, bits, bps: int, cap_words: int):
+    """(S*bps, W) block strings -> (S, cap_words) segment strings + bits."""
+    n_rows, W = words.shape
+    R = W
+    lv_words = words
+    lv_bits = bits
+    blocks = bps
+    while blocks > 1:
+        R_out = min(2 * R, cap_words)
+        lw = lv_words[0::2]
+        rw = lv_words[1::2]
+        lb = lv_bits[0::2]
+        rb = lv_bits[1::2]
+        lv_words, lv_bits = _merge_pair(lw, lb, rw, rb, R_out)
+        R = R_out
+        blocks //= 2
+    if R < cap_words:
+        lv_words = jnp.pad(lv_words, ((0, 0), (0, cap_words - R)))
+    return lv_words, lv_bits[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 — byte stuffing + RST append (byte-per-lane domain)
+# ---------------------------------------------------------------------------
+
+MAX_STUFF = 256  # max 0xFF bytes per segment handled on device
+
+
+def stuff_and_rst(seg_words, seg_bits, rst_marker, has_rst, cap_out: int):
+    """(S, CW) uint32 big-endian words -> (S, cap_out) uint8 stuffed bytes
+    with byte-align padding and RST markers; returns (out, out_len, n_ff)."""
+    S, CW = seg_words.shape
+    capB = CW * 4
+
+    # unpack words to byte lanes (static strided writes)
+    by = jnp.zeros((S, capB), I32)
+    w = seg_words
+    by = by.at[:, 0::4].set(((w >> 24) & 0xFF).astype(I32))
+    by = by.at[:, 1::4].set(((w >> 16) & 0xFF).astype(I32))
+    by = by.at[:, 2::4].set(((w >> 8) & 0xFF).astype(I32))
+    by = by.at[:, 3::4].set((w & 0xFF).astype(I32))
+
+    # byte-align: pad final partial byte with 1-bits (T.81 F.1.2.3)
+    pad = (-seg_bits) & 7
+    seg_len = (seg_bits + pad) >> 3
+    idx = jax.lax.broadcasted_iota(I32, (S, capB), 1)
+    last = (seg_bits >> 3)[:, None]
+    by = jnp.where(idx == last, by | ((1 << pad) - 1)[:, None], by)
+    valid = idx < seg_len[:, None]
+    by = jnp.where(valid, by, 0)
+
+    is_ff = (by == 0xFF) & valid
+    pref = jnp.cumsum(is_ff.astype(I32), axis=1)
+    pref_ex = pref - is_ff
+    n_ff = pref[:, -1]
+
+    # Forward-route each byte right by the number of 0xFF bytes before it.
+    # Displacements are non-decreasing along the row, so an MSB-first
+    # butterfly (conditional shift by 2^b per stage) is collision-free:
+    # floor(p/2^b)*2^b stays monotone, hence injective at every stage.
+    # Slots nothing routes to are exactly the inserted 0x00 stuff bytes.
+    arr = jnp.pad(by, ((0, 0), (0, cap_out - capB)))
+    disp = jnp.where(jnp.pad(valid, ((0, 0), (0, cap_out - capB))),
+                     jnp.pad(pref_ex, ((0, 0), (0, cap_out - capB))), 0)
+    b = MAX_STUFF.bit_length() - 1
+    while (1 << b) >= cap_out:
+        b -= 1
+    while b >= 0:
+        step = 1 << b
+        move = (disp >> b) & 1
+        arr_s = jnp.concatenate(
+            [jnp.zeros((S, step), I32), arr[:, :-step]], axis=1)
+        disp_s = jnp.concatenate(
+            [jnp.zeros((S, step), I32), disp[:, :-step]], axis=1)
+        move_s = jnp.concatenate(
+            [jnp.zeros((S, step), I32), move[:, :-step]], axis=1)
+        arr = jnp.where(move_s > 0, arr_s, jnp.where(move > 0, 0, arr))
+        disp = jnp.where(move_s > 0, disp_s - step,
+                         jnp.where(move > 0, 0, disp))
+        b -= 1
+    out = arr
+
+    stuffed_len = seg_len + jnp.minimum(n_ff, MAX_STUFF)
+    oidx = jax.lax.broadcasted_iota(I32, (S, cap_out), 1)
+    rpos = stuffed_len[:, None]
+    hr = (has_rst > 0)[:, None]
+    out = jnp.where(hr & (oidx == rpos), 0xFF, out)
+    out = jnp.where(hr & (oidx == rpos + 1), rst_marker[:, None], out)
+    out_len = stuffed_len + 2 * has_rst
+    return out.astype(jnp.uint8), out_len, n_ff
+
+
+# ---------------------------------------------------------------------------
+# Full entropy encode (drop-in for huffman_encode_kernel, uniform geometry)
+# ---------------------------------------------------------------------------
+
+def dc_diff(dc, dc_dist, distances):
+    """DC differences via static shifts (no gather): dc (N,) in scan order,
+    dc_dist (N_rows,) distance to predecessor in scan order (0 = none)."""
+    prev = jnp.zeros_like(dc)
+    for d in distances:
+        sh = jnp.concatenate([jnp.zeros((d,), dc.dtype), dc[:-d]])
+        prev = jnp.where(dc_dist == d, sh, prev)
+    return dc - prev
+
+
+def dc_diff_rows(dc_rows, geo: UniformGeometry):
+    """DC differences computed in row space via static shifts (no gather).
+
+    Within a segment, consecutive scan-order blocks occupy consecutive
+    rows (padding only at segment tails, and DC prediction resets at
+    segment starts), so the scan-order predecessor distance equals the
+    row distance."""
+    dist = jnp.asarray(geo.dc_dist)
+    prev = jnp.zeros_like(dc_rows)
+    for d in geo.dc_distances:
+        sh = jnp.concatenate(
+            [jnp.zeros((d,), dc_rows.dtype), dc_rows[:-d]])
+        prev = jnp.where(dist == d, sh, prev)
+    return dc_rows - prev
+
+
+def encode_rows(rows, geo: UniformGeometry, tabs: PackedTables,
+                use_pallas: bool):
+    """Entropy-encode uniform-layout coefficient rows.
+
+    rows: (n_rows, 64) int32 — segment-uniform layout (geo.coeff_idx
+    applied by the caller; padded rows arbitrary, masked by block_valid).
+
+    Returns (out u8 (S*cap_out,), out_len (S,), seg_bits (S,), n_ff (S,))
+    — the contract of huffman_encode_kernel. Capacity overflow (block
+    string > W words, or > MAX_STUFF stuffed bytes) is folded into
+    seg_bits so the host's single seg_bits-vs-cap check catches it."""
+    cls = jnp.asarray(geo.block_cls)
+    valid = jnp.asarray(geo.block_valid)
+    diff_rows = dc_diff_rows(rows[:, 0], geo)[:, None]
+
+    W = geo.words_per_block
+    if use_pallas:
+        words, bits = block_chunks_pallas(rows, diff_rows, cls, valid, tabs, W)
+    else:
+        words, bits = block_chunks_xla(rows, diff_rows, cls, valid, tabs, W)
+
+    seg_words, seg_bits = merge_segments(words, bits, geo.bps,
+                                         geo.cap_seg_words)
+    out, out_len, n_ff = stuff_and_rst(
+        seg_words, seg_bits, jnp.asarray(geo.seg_rst_marker),
+        jnp.asarray(geo.seg_has_rst), geo.cap_out_bytes)
+    overflow = (jnp.max(bits) > W * 32) | (jnp.max(n_ff) > MAX_STUFF)
+    seg_bits = jnp.where(overflow, seg_bits + (geo.cap_seg_words + 1) * 32,
+                         seg_bits)
+    return out.reshape(-1), out_len, seg_bits, n_ff
+
+
+def encode_entropy_v2(coeff_scan, geo: UniformGeometry, tabs: PackedTables,
+                      use_pallas: bool):
+    """coeff_scan: (n_blocks, 64) int32 scan-order zig-zag coefficients."""
+    coeff_idx = jnp.asarray(geo.coeff_idx)
+    cpad = jnp.concatenate([coeff_scan, jnp.zeros((1, 64), coeff_scan.dtype)])
+    rows = cpad[coeff_idx]                              # (n_rows, 64) row gather
+    return encode_rows(rows, geo, tabs, use_pallas)

@@ -185,14 +185,19 @@ def huffman_decode_kernel(data: jax.Array, seg_starts: jax.Array,
         bitpos4 = jnp.where(active, bitpos3, bitpos)
         return (it + 1, active2, bitpos4, blk2, pos2, dc_pred, coeff)
 
+    # Derive all carries from the (possibly device-varying) inputs so the
+    # loop types check under shard_map's varying-axis discipline: constants
+    # would be 'invariant' on entry but 'varying' after one iteration.
+    z = seg_starts.astype(I32) * 0            # varying zero (S,)
+    vz = data[0].astype(I32) & 0               # varying zero scalar
     init = (
-        jnp.zeros((), I32),
-        g["seg_block_count"] > 0,
+        jnp.zeros((), I32) + vz,
+        (g["seg_block_count"] + z) > 0,
         seg_starts.astype(I32) * 8,
-        jnp.zeros((S,), I32),
-        jnp.zeros((S,), I32),
-        jnp.zeros((S, 4), I32),
-        coeff0,
+        z,
+        z,
+        jnp.zeros((S, 4), I32) + z[:, None],
+        coeff0 + vz,
     )
     final = jax.lax.while_loop(cond, body, init)
     return final[-1][:n_blocks]

@@ -60,33 +60,28 @@ _ENC_CACHE: dict = {}
 
 
 class _EncContext:
-    """Chunked device encoder: the image's blocks stream through a
-    ``lax.map`` over segment-aligned chunks, bounding peak HBM to one
-    chunk's working set (8K would otherwise materialize >16 GB of
-    (NB, 65) Huffman temporaries). DCT+quant runs inside the chunk body
-    on the MXU with a single component-independent DCT operator and a
-    per-block-class quant divisor."""
+    """Device encoder (v2 entropy): preprocess -> MXU DCT+quant over the
+    segment-uniform row layout -> gather/scatter-free entropy encode
+    (Pallas per-lane table gathers on TPU, plain-XLA reference elsewhere).
+    See ops/entropy_v2.py for the design rationale."""
 
     def __init__(self, plan: CoderPlan, quant_zz: dict, huff: dict):
         from ..tables import dct_zigzag_operator
+        from .entropy_v2 import (
+            build_packed_tables, build_uniform_geometry, encode_rows)
 
         self.plan = plan
-        cg = build_chunked_enc_geometry(plan)
-        t = build_enc_tables(huff)
-        self.cap_seg_bytes = cg.cap_seg_bytes
-        self.cap_out_bytes = cg.cap_out_bytes
-        self.n_pad_segments = cg.n_chunks * cg.chunk_segs
+        geo = build_uniform_geometry(plan)
+        tabs = build_packed_tables(huff)
+        self.cap_seg_bytes = geo.cap_seg_words * 4
+        self.cap_out_bytes = geo.cap_out_bytes
+        self.n_pad_segments = geo.n_segments
 
-        td = {
-            "dc_code": jnp.asarray(t.dc_code),
-            "dc_len": jnp.asarray(t.dc_len),
-            "ac_code": jnp.asarray(t.ac_code),
-            "ac_len": jnp.asarray(t.ac_len),
-        }
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+
         D64, bias64 = dct_zigzag_operator()
         D = jnp.asarray(D64.astype(np.float32))
         bias = jnp.asarray(bias64.astype(np.float32))
-        # (n_quant_tables, 64) divisors indexed by block class
         n_qt = max(c.quant_table_index for c in plan.components) + 1
         qdiv = np.zeros((max(n_qt, 2), 64), np.float32)
         for qi in range(max(n_qt, 2)):
@@ -94,53 +89,28 @@ class _EncContext:
                 qdiv[qi] = np.asarray(quant_zz[qi], np.float32)
         qdiv = jnp.asarray(np.maximum(qdiv, 1.0))
 
-        chunk_arrays = {
-            "gather_idx": jnp.asarray(cg.gather_idx),
-            "block_cls": jnp.asarray(cg.block_cls),
-            "dc_pred_idx": jnp.asarray(cg.dc_pred_idx),
-            "block_segment": jnp.asarray(cg.block_segment),
-            "block_valid": jnp.asarray(cg.block_valid),
-            "seg_block_start": jnp.asarray(cg.seg_block_start),
-            "seg_block_count": jnp.asarray(cg.seg_block_count),
-            "seg_rst_marker": jnp.asarray(cg.seg_rst_marker),
-            "seg_has_rst": jnp.asarray(cg.seg_has_rst),
-        }
-        cap_seg_bytes = cg.cap_seg_bytes
-        cap_out_bytes = cg.cap_out_bytes
+        # uniform rows gather straight from plane-order blocks
+        NB = plan.n_blocks
+        spp = np.append(plan.block_plane_idx, plan.n_blocks)  # scan -> plane
+        idx_plane = spp[np.minimum(geo.coeff_idx, NB)]
+        idx_plane[geo.coeff_idx >= NB] = plan.n_blocks        # dummy row
+        idx_plane_j = jnp.asarray(idx_plane)
+        cls_rows = jnp.asarray(geo.block_cls)
 
         @jax.jit
         def fn(raw):
             planes = preprocess(raw, plan.image, plan, jnp)
             pblocks = jnp.concatenate(
                 [plane_to_blocks(p, jnp) for p in planes])
-            # dummy row for padded block slots
             pblocks = jnp.concatenate(
                 [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
-
-            def chunk_body(ca):
-                x = pblocks[ca["gather_idx"]].astype(jnp.float32)
-                y = jax.lax.dot_general(
-                    x, D, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) - bias
-                coeff = jnp.rint(y / qdiv[ca["block_cls"]]).astype(jnp.int32)
-                gd = {
-                    "block_cls": ca["block_cls"],
-                    "dc_pred_idx": ca["dc_pred_idx"],
-                    "block_segment": ca["block_segment"],
-                    "block_valid": ca["block_valid"],
-                    "seg_block_start": ca["seg_block_start"],
-                    "seg_block_count": ca["seg_block_count"],
-                    "seg_rst_marker": ca["seg_rst_marker"],
-                    "seg_has_rst": ca["seg_has_rst"],
-                    "cap_seg_bytes": cap_seg_bytes,
-                    "cap_out_bytes": cap_out_bytes,
-                }
-                return huffman_encode_kernel(coeff, gd, td)
-
-            out, out_len, seg_bits, n_ff = jax.lax.map(chunk_body, chunk_arrays)
-            return (out.reshape(-1), out_len.reshape(-1),
-                    seg_bits.reshape(-1), n_ff.reshape(-1))
+            x = pblocks[idx_plane_j].astype(jnp.float32)     # (n_rows, 64)
+            y = jax.lax.dot_general(
+                x, D, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32) - bias
+            rows = jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
+            return encode_rows(rows, geo, tabs, use_pallas)
 
         self.fn = fn
 

@@ -5,6 +5,7 @@ package is the new first-class distribution layer: band/segment sharding of
 one image over a mesh, frame sharding for video batches.
 """
 from .sharded import (
+    ShardedDecoder,
     BandLayout,
     ShardedEncoder,
     choose_restart_interval,
@@ -14,6 +15,7 @@ from .sharded import (
 
 __all__ = [
     "BandLayout",
+    "ShardedDecoder",
     "ShardedEncoder",
     "choose_restart_interval",
     "plan_bands",

@@ -192,6 +192,197 @@ def _global_rst_arrays(layout: BandLayout) -> tuple[np.ndarray, np.ndarray]:
     return rst, has
 
 
+class ShardedDecoder:
+    """Decoder that deals restart segments to devices band by band.
+
+    The decode mirror of :class:`ShardedEncoder`: the host parses markers
+    and splits the scan into segments (O(1) with APP13 segment info,
+    reference: gpujpeg_reader.c:1058-1126), deals each band's segments to
+    its device, and every device runs Huffman decode -> dequant+IDCT ->
+    postprocess on its band. The host stitches the raw bands back
+    together. Requires every scan's segment count to divide evenly into
+    bands (true for streams produced by :class:`ShardedEncoder` and for
+    any stream whose per-scan MCU count is band-aligned)."""
+
+    def __init__(self, mesh: Mesh | None = None):
+        if mesh is None:
+            devs = np.array(jax.devices())
+            mesh = Mesh(devs.reshape(1, -1), ("frame", "seg"))
+        if "seg" not in mesh.axis_names:
+            raise ValueError("mesh must have a 'seg' axis")
+        self.mesh = mesh
+        self.n_seg = mesh.shape["seg"]
+        self._cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def decode(self, data: bytes) -> tuple[np.ndarray, ImageParameters]:
+        from ..stream import reader as stream_reader
+        from ..models.decoder import Decoder
+        from ..types import ColorSpace
+
+        info = stream_reader.read_image(data)
+        n = self.n_seg
+        # feasibility: height splits into whole-MCU-row bands and every
+        # scan's segments divide across bands
+        try:
+            params, image, plan_full = self._plan_params(info)
+            layout = plan_bands(params, image, n)
+        except ValueError:
+            dec = Decoder(backend="jax")
+            return dec.decode(data)
+        for scan in layout.plan.scans:
+            full = plan_full.scans[scan.index].segment_count
+            if full != scan.segment_count * n:
+                dec = Decoder(backend="jax")
+                return dec.decode(data)
+
+        out_image = ImageParameters(
+            width=info.width, height=info.height,
+            color_space=ColorSpace.RGB,
+            pixel_format=info.deduce_pixel_format())
+        raw_bands = self._decode_bands(info, layout, out_image)
+        raw = self._stitch(raw_bands, out_image, layout)
+        return raw, out_image
+
+    # ------------------------------------------------------------------
+    def _plan_params(self, info):
+        from ..types import ColorSpace, SamplingFactor
+        sampling = tuple(c.sampling for c in info.components)
+        sampling = sampling + (SamplingFactor(1, 1),) * (4 - len(sampling))
+        params = Parameters(
+            restart_interval=info.restart_interval,
+            interleaved=info.interleaved,
+            color_space_internal=info.color_space,
+            sampling_factor=sampling,
+        )
+        image = ImageParameters(
+            width=info.width, height=info.height,
+            color_space=ColorSpace.RGB,
+            pixel_format=info.deduce_pixel_format(),
+        )
+        return params, image, make_plan(params, image)
+
+    def _decode_bands(self, info, layout: BandLayout, out_image):
+        from ..ops.huffman_decode import (
+            build_dec_geometry, build_dec_tables, huffman_decode_kernel)
+        from ..ops.blocks import blocks_to_plane
+        from ..ops.dct import idct_operator_f32
+        from ..ops.preprocess import postprocess
+        from ..tables import HuffmanTable
+
+        plan = layout.plan
+        n = layout.n_bands
+        band_out = dataclasses.replace(out_image, height=layout.rows_per_band)
+
+        dc_by_comp: list[HuffmanTable] = [None] * info.comp_count
+        ac_by_comp: list[HuffmanTable] = [None] * info.comp_count
+        for scan in info.scans:
+            for sc in scan.components:
+                dc_by_comp[sc.comp_index] = info.huffman_tables[(0, sc.dc_table)]
+                ac_by_comp[sc.comp_index] = info.huffman_tables[(1, sc.ac_table)]
+        luts, dc_tab, ac_tab = build_dec_tables(dc_by_comp, ac_by_comp)
+        g = build_dec_geometry(plan)
+
+        # deal each band its segments' bytes: band b of plan-scan s gets
+        # global segments [b*spb, (b+1)*spb) of that scan
+        spb = {s.index: s.segment_count for s in plan.scans}
+        # per band: concatenated per-scan data slices + local seg starts
+        band_blobs, band_starts = [], []
+        for b in range(n):
+            parts, starts = [], np.zeros(plan.n_segments, np.int64)
+            base = 0
+            for scan in plan.scans:
+                stream_scan = info.scans[0] if info.interleaved \
+                    else next(sc for sc in info.scans
+                              if sc.components[0].comp_index == scan.index)
+                segs = stream_scan.segments
+                lo_seg = b * spb[scan.index]
+                hi_seg = lo_seg + spb[scan.index]
+                lo = segs[lo_seg][0]
+                hi = segs[hi_seg - 1][1]
+                part = np.asarray(stream_scan.data[lo:hi], np.uint8)
+                sel = plan.seg_scan == scan.index
+                starts[sel] = base + np.array(
+                    [segs[i][0] - lo for i in range(lo_seg, hi_seg)])
+                parts.append(part)
+                base += part.size
+            band_blobs.append(np.concatenate(parts) if parts
+                              else np.zeros(1, np.uint8))
+            band_starts.append(starts)
+        L_pad = max(1024, 1 << int(np.ceil(np.log2(
+            max(max(bb.size for bb in band_blobs), 1)))))
+        datab = np.zeros((n, L_pad), np.uint8)
+        for b, bb in enumerate(band_blobs):
+            datab[b, :bb.size] = bb
+        startsb = np.stack(band_starts).astype(np.int32)
+
+        Ws = tuple(
+            jnp.asarray(idct_operator_f32(
+                tuple(int(x) for x in info.quant_tables[
+                    info.components[c.index].quant_table_index])))
+            for c in plan.components
+        )
+        inv = np.empty(plan.n_blocks, dtype=np.int32)
+        inv[plan.block_plane_idx] = np.arange(plan.n_blocks, dtype=np.int32)
+        inv_j = jnp.asarray(inv)
+        gd = {
+            "block_comp": jnp.asarray(g.block_comp),
+            "seg_block_start": jnp.asarray(g.seg_block_start),
+            "seg_block_count": jnp.asarray(g.seg_block_count),
+        }
+        luts_j = jnp.asarray(luts)
+        dc_j, ac_j = jnp.asarray(dc_tab), jnp.asarray(ac_tab)
+        comp_slices = []
+        pos = 0
+        for c in plan.components:
+            comp_slices.append((pos, c.block_count, c.data_height, c.data_width))
+            pos += c.block_count
+        n_blocks, max_iters = plan.n_blocks, g.max_iters
+
+        from ..ops.dct import dequant_idct_device
+
+        def local_fn(db, sb):
+            def one(dbb, sbb):
+                coeff = huffman_decode_kernel(
+                    dbb, sbb, gd, luts_j, dc_j, ac_j, n_blocks, max_iters)
+                coeff = coeff[inv_j]
+                planes = []
+                for (start, count, dh, dw), W in zip(comp_slices, Ws):
+                    blocks = dequant_idct_device(coeff[start:start + count], W)
+                    planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+                return postprocess(planes, band_out, plan, jnp)
+            return jax.vmap(one)(db, sb)
+
+        fn = jax.jit(_shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P("seg", None), P("seg", None)),
+            out_specs=P("seg", None),
+        ))
+        out = fn(jnp.asarray(datab), jnp.asarray(startsb))
+        return np.asarray(jax.device_get(out))
+
+    @staticmethod
+    def _stitch(raw_bands: np.ndarray, out_image: ImageParameters,
+                layout: BandLayout) -> np.ndarray:
+        """Inverse of split_raw_bands: per-band raw buffers -> one frame."""
+        desc = PIXEL_FORMAT_DESC[PixelFormat(out_image.pixel_format)]
+        if not desc.planar:
+            return raw_bands.reshape(-1)
+        n = layout.n_bands
+        H, W = out_image.height, out_image.width
+        sf0 = desc.sampling[0]
+        parts = []
+        pos = 0
+        for c in range(desc.comp_count):
+            sfc = desc.sampling[c]
+            cw = -(-W * sfc.horizontal // sf0.horizontal)
+            ch = -(-H * sfc.vertical // sf0.vertical)
+            rows_band = ch // n
+            parts.append(raw_bands[:, pos:pos + rows_band * cw].reshape(-1))
+            pos += rows_band * cw
+        return np.concatenate(parts)
+
+
 class ShardedEncoder:
     """Encoder that shards one image's MCU-row bands across the 'seg' mesh
     axis and (optionally) a frame batch across the 'frame' axis."""

@@ -79,3 +79,34 @@ def test_plan_bands_rejects_misaligned():
                    ImageParameters(width=64, height=128,
                                    color_space=ColorSpace.RGB,
                                    pixel_format=PixelFormat.PF_444_U8_P012), 8)
+
+
+def test_sharded_decode_round_trip():
+    from gpujpeg_tpu.parallel import ShardedDecoder
+    H, W = 128, 160
+    img = make_test_rgb(H, W, seed=5)
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(quality=85, restart_interval=4)
+    data = Encoder(backend="jax").encode(img, params, image)
+
+    mesh = _mesh(1, 8)
+    raw, out_img = ShardedDecoder(mesh).decode(data)
+    assert (out_img.width, out_img.height) == (W, H)
+    # must match the single-chip decoder exactly
+    ref, _ = Decoder(backend="jax").decode(data)
+    np.testing.assert_array_equal(raw, ref)
+    assert psnr(img, raw.reshape(H, W, 3)) > 30
+
+
+def test_sharded_decode_fallback_non_aligned():
+    from gpujpeg_tpu.parallel import ShardedDecoder
+    # 40-pixel height cannot split into 8 MCU-row bands -> silent fallback
+    H, W = 40, 64
+    img = make_test_rgb(H, W, seed=6)
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(
+        img, Parameters(quality=80, restart_interval=3), image)
+    raw, out_img = ShardedDecoder(_mesh(1, 8)).decode(data)
+    assert psnr(img, raw.reshape(H, W, 3)) > 30
