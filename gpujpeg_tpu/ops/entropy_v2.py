@@ -111,10 +111,28 @@ def _pow2(n: int) -> int:
     return p
 
 
+def seg_budget_for_quality(quality: int, bps: int) -> int:
+    """Typical-content per-segment byte budget (tier-1 sizing). Real photo
+    blocks at Q75 average ~4-8 bytes; the worst-case cap (cap_for_quality)
+    is ~4-8x larger. Merge/stuff cost scales with this, so the encoder
+    first runs with this budget and falls back to the worst-case tier
+    only when a segment overflows (detected via seg_bits)."""
+    if quality >= 98:
+        return bps * 96
+    if quality >= 90:
+        return bps * 40
+    if quality >= 80:
+        return bps * 20
+    if quality >= 50:
+        return bps * 14
+    return bps * 10
+
+
 def build_uniform_geometry(plan: CoderPlan,
                            cap_bytes_per_block: int | None = None,
                            rst_marker: np.ndarray | None = None,
-                           has_rst: np.ndarray | None = None) -> UniformGeometry:
+                           has_rst: np.ndarray | None = None,
+                           seg_byte_budget: int | None = None) -> UniformGeometry:
     if cap_bytes_per_block is None:
         cap_bytes_per_block = cap_for_quality(plan.params.quality)
     S = plan.n_segments
@@ -145,7 +163,11 @@ def build_uniform_geometry(plan: CoderPlan,
     distances = tuple(sorted(set(int(d) for d in np.unique(dist) if d > 0)))
 
     W = max(2, (cap_bytes_per_block + 3) // 4)
-    cap_seg_words = (int(plan.max_seg_block_count) * cap_bytes_per_block + 3) // 4
+    if seg_byte_budget is not None:
+        cap_seg_words = max(W, -(-seg_byte_budget // 4))
+    else:
+        cap_seg_words = (int(plan.max_seg_block_count) *
+                         cap_bytes_per_block + 3) // 4
     cap_seg_words = -(-cap_seg_words // 4) * 4 + 2
     cap_out = cap_seg_words * 4
     cap_out = cap_out + cap_out // 2 + 8          # stuffing slack + RST
@@ -469,35 +491,40 @@ def merge_segments(words, bits, bps: int, cap_words: int):
 # Stage 3 — byte stuffing + RST append (byte-per-lane domain)
 # ---------------------------------------------------------------------------
 
-MAX_STUFF = 256  # max 0xFF bytes per segment handled on device
+MAX_STUFF = 255  # max 0xFF bytes per segment handled on device (fits uint8)
 
 
 def stuff_and_rst(seg_words, seg_bits, rst_marker, has_rst, cap_out: int):
     """(S, CW) uint32 big-endian words -> (S, cap_out) uint8 stuffed bytes
-    with byte-align padding and RST markers; returns (out, out_len, n_ff)."""
+    with byte-align padding and RST markers; returns (out, out_len, n_ff).
+
+    Runs in the uint8 domain (4x vreg density vs int32): displacements
+    fit in a byte because MAX_STUFF <= 255.
+    """
     S, CW = seg_words.shape
     capB = CW * 4
+    U8 = jnp.uint8
 
     # unpack words to byte lanes (static strided writes)
-    by = jnp.zeros((S, capB), I32)
+    by = jnp.zeros((S, capB), U8)
     w = seg_words
-    by = by.at[:, 0::4].set(((w >> 24) & 0xFF).astype(I32))
-    by = by.at[:, 1::4].set(((w >> 16) & 0xFF).astype(I32))
-    by = by.at[:, 2::4].set(((w >> 8) & 0xFF).astype(I32))
-    by = by.at[:, 3::4].set((w & 0xFF).astype(I32))
+    by = by.at[:, 0::4].set((w >> 24).astype(U8))
+    by = by.at[:, 1::4].set((w >> 16).astype(U8))
+    by = by.at[:, 2::4].set((w >> 8).astype(U8))
+    by = by.at[:, 3::4].set(w.astype(U8))
 
     # byte-align: pad final partial byte with 1-bits (T.81 F.1.2.3)
     pad = (-seg_bits) & 7
     seg_len = (seg_bits + pad) >> 3
     idx = jax.lax.broadcasted_iota(I32, (S, capB), 1)
     last = (seg_bits >> 3)[:, None]
-    by = jnp.where(idx == last, by | ((1 << pad) - 1)[:, None], by)
+    by = jnp.where(idx == last, by | ((1 << pad) - 1)[:, None].astype(U8), by)
     valid = idx < seg_len[:, None]
     by = jnp.where(valid, by, 0)
 
     is_ff = (by == 0xFF) & valid
     pref = jnp.cumsum(is_ff.astype(I32), axis=1)
-    pref_ex = pref - is_ff
+    pref_ex = (pref - is_ff)
     n_ff = pref[:, -1]
 
     # Forward-route each byte right by the number of 0xFF bytes before it.
@@ -507,22 +534,25 @@ def stuff_and_rst(seg_words, seg_bits, rst_marker, has_rst, cap_out: int):
     # Slots nothing routes to are exactly the inserted 0x00 stuff bytes.
     arr = jnp.pad(by, ((0, 0), (0, cap_out - capB)))
     disp = jnp.where(jnp.pad(valid, ((0, 0), (0, cap_out - capB))),
-                     jnp.pad(pref_ex, ((0, 0), (0, cap_out - capB))), 0)
-    b = MAX_STUFF.bit_length() - 1
+                     jnp.pad(jnp.minimum(pref_ex, MAX_STUFF).astype(U8),
+                             ((0, 0), (0, cap_out - capB))),
+                     jnp.uint8(0))
+    b = min(MAX_STUFF, 255).bit_length() - 1
     while (1 << b) >= cap_out:
         b -= 1
+    zero8 = jnp.uint8(0)
     while b >= 0:
         step = 1 << b
         move = (disp >> b) & 1
         arr_s = jnp.concatenate(
-            [jnp.zeros((S, step), I32), arr[:, :-step]], axis=1)
+            [jnp.zeros((S, step), U8), arr[:, :-step]], axis=1)
         disp_s = jnp.concatenate(
-            [jnp.zeros((S, step), I32), disp[:, :-step]], axis=1)
+            [jnp.zeros((S, step), U8), disp[:, :-step]], axis=1)
         move_s = jnp.concatenate(
-            [jnp.zeros((S, step), I32), move[:, :-step]], axis=1)
-        arr = jnp.where(move_s > 0, arr_s, jnp.where(move > 0, 0, arr))
-        disp = jnp.where(move_s > 0, disp_s - step,
-                         jnp.where(move > 0, 0, disp))
+            [jnp.zeros((S, step), U8), move[:, :-step]], axis=1)
+        arr = jnp.where(move_s > 0, arr_s, jnp.where(move > 0, zero8, arr))
+        disp = jnp.where(move_s > 0, disp_s - jnp.uint8(step),
+                         jnp.where(move > 0, zero8, disp))
         b -= 1
     out = arr
 
@@ -530,10 +560,11 @@ def stuff_and_rst(seg_words, seg_bits, rst_marker, has_rst, cap_out: int):
     oidx = jax.lax.broadcasted_iota(I32, (S, cap_out), 1)
     rpos = stuffed_len[:, None]
     hr = (has_rst > 0)[:, None]
-    out = jnp.where(hr & (oidx == rpos), 0xFF, out)
-    out = jnp.where(hr & (oidx == rpos + 1), rst_marker[:, None], out)
+    out = jnp.where(hr & (oidx == rpos), jnp.uint8(0xFF), out)
+    out = jnp.where(hr & (oidx == rpos + 1),
+                    rst_marker[:, None].astype(U8), out)
     out_len = stuffed_len + 2 * has_rst
-    return out.astype(jnp.uint8), out_len, n_ff
+    return out, out_len, n_ff
 
 
 # ---------------------------------------------------------------------------

@@ -66,18 +66,51 @@ class _EncContext:
     See ops/entropy_v2.py for the design rationale."""
 
     def __init__(self, plan: CoderPlan, quant_zz: dict, huff: dict):
-        from ..tables import dct_zigzag_operator
         from .entropy_v2 import (
-            build_packed_tables, build_uniform_geometry, encode_rows)
+            build_packed_tables, build_uniform_geometry, seg_budget_for_quality)
 
         self.plan = plan
-        geo = build_uniform_geometry(plan)
-        tabs = build_packed_tables(huff)
-        self.cap_seg_bytes = geo.cap_seg_words * 4
-        self.cap_out_bytes = geo.cap_out_bytes
-        self.n_pad_segments = geo.n_segments
+        self._quant_zz = quant_zz
+        self._tabs = build_packed_tables(huff)
+        self._use_pallas = jax.devices()[0].platform not in ("cpu",)
 
-        use_pallas = jax.devices()[0].platform not in ("cpu",)
+        # tier 1: typical-content segment budget; tier 2 (lazy): worst case
+        geo_probe = build_uniform_geometry(plan)
+        budget = seg_budget_for_quality(plan.params.quality, geo_probe.bps)
+        self.geo = build_uniform_geometry(
+            plan, seg_byte_budget=min(budget, geo_probe.cap_seg_words * 4))
+        self.cap_seg_bytes = self.geo.cap_seg_words * 4
+        self.cap_out_bytes = self.geo.cap_out_bytes
+        self.n_pad_segments = self.geo.n_segments
+        self.fn = self._build_fn(self.geo)
+        self._tier2: "_EncContext | None" = None
+
+    def tier2(self) -> "_EncContext":
+        """Worst-case-capacity context, built lazily on tier-1 overflow."""
+        if self._tier2 is None:
+            from .entropy_v2 import build_uniform_geometry
+            ctx = object.__new__(_EncContext)
+            ctx.plan = self.plan
+            ctx._quant_zz = self._quant_zz
+            ctx._tabs = self._tabs
+            ctx._use_pallas = self._use_pallas
+            ctx.geo = build_uniform_geometry(self.plan)
+            ctx.cap_seg_bytes = ctx.geo.cap_seg_words * 4
+            ctx.cap_out_bytes = ctx.geo.cap_out_bytes
+            ctx.n_pad_segments = ctx.geo.n_segments
+            ctx.fn = ctx._build_fn(ctx.geo)
+            ctx._tier2 = ctx
+            self._tier2 = ctx
+        return self._tier2
+
+    def _build_fn(self, geo):
+        from ..tables import dct_zigzag_operator
+        from .entropy_v2 import encode_rows
+
+        plan = self.plan
+        quant_zz = self._quant_zz
+        tabs = self._tabs
+        use_pallas = self._use_pallas
 
         D64, bias64 = dct_zigzag_operator()
         D = jnp.asarray(D64.astype(np.float32))
@@ -112,7 +145,7 @@ class _EncContext:
             rows = jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
             return encode_rows(rows, geo, tabs, use_pallas)
 
-        self.fn = fn
+        return fn
 
 
 def _enc_context(plan: CoderPlan, quant_zz, huff) -> _EncContext:
@@ -131,20 +164,24 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
     import time
     ctx = _enc_context(plan, quant_zz, huff)
     raw = np.asarray(raw, dtype=np.uint8).reshape(-1)
+    raw_j = jnp.asarray(raw)
 
     t0 = time.perf_counter()
-    out_flat, out_len, seg_bits, n_ff = ctx.fn(jnp.asarray(raw))
-    out_len_h = np.asarray(out_len)
-    seg_bits_h = np.asarray(seg_bits)[:plan.n_segments]
-    n_ff_h = np.asarray(n_ff)[:plan.n_segments]
+    for tier in (1, 2):
+        out_flat, out_len, seg_bits, n_ff = ctx.fn(raw_j)
+        out_len_h = np.asarray(out_len)
+        seg_bits_h = np.asarray(seg_bits)[:plan.n_segments]
+        n_ff_h = np.asarray(n_ff)[:plan.n_segments]
+        stuffed = ((seg_bits_h + 7) >> 3) + n_ff_h
+        overflow = (seg_bits_h > ctx.cap_seg_bytes * 8).any() or \
+            (stuffed + 2 > ctx.cap_out_bytes).any()
+        if not overflow:
+            break
+        if tier == 1:
+            ctx = ctx.tier2()   # busier content than the typical budget
+        else:
+            return None         # beyond worst-case caps: host golden coder
     encoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
-
-    # capacity overflow => the fixed worst-case region was too small
-    # (pathological input); fall back to the host golden coder.
-    stuffed = ((seg_bits_h + 7) >> 3) + n_ff_h
-    if (seg_bits_h > ctx.cap_seg_bytes * 8).any() or \
-       (stuffed + 2 > ctx.cap_out_bytes).any():
-        return None  # caller falls back
 
     flat, starts = compact_segments(out_flat, out_len_h, ctx.cap_out_bytes)
 

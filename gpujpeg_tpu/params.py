@@ -65,10 +65,16 @@ class ImageParameters:
 
 
 def suggest_restart_interval(img: ImageParameters, subsampled: bool,
-                             interleaved: bool) -> int:
+                             interleaved: bool, pow2: bool = True) -> int:
     """Heuristic restart interval by image size
     (reference: gpujpeg_encoder_suggest_restart_interval,
-    gpujpeg_encoder.c:256-283)."""
+    gpujpeg_encoder.c:256-283).
+
+    On TPU, power-of-two intervals are strongly preferred: the entropy
+    stage pads every segment to a power-of-two block count for its
+    logarithmic merge tree, so ri=36 would waste 78% of the kernel rows
+    where ri=32 wastes none. ``pow2=True`` (default) rounds accordingly.
+    """
     mpix = img.width * img.height / 1_000_000.0
     if mpix < 1:
         ri = 4
@@ -82,4 +88,9 @@ def suggest_restart_interval(img: ImageParameters, subsampled: bool,
         ri = max(1, ri // 2)
     if not interleaved:
         ri *= img.comp_count
+    if pow2:
+        p = 1
+        while p * 2 <= ri:
+            p *= 2
+        ri = p * 2 if ri - p > p * 2 - ri else p
     return ri
