@@ -245,10 +245,126 @@ def _dec_fn(plan: CoderPlan, out_image: ImageParameters, L_pad: int,
     return fn
 
 
+_DEC_V2_CACHE: dict = {}
+
+
+def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
+                      segments_by_scan, dc_by_comp, ac_by_comp,
+                      out_image: ImageParameters):
+    """TPU decode path: Pallas block-synchronous lockstep Huffman kernel
+    (ops/pallas_decode.py) + MXU dequant/IDCT + postprocess."""
+    import time
+    from .pallas_decode import (
+        build_dec_tables_v2, build_segment_rows, make_decode_kernel)
+
+    S = plan.n_segments
+    bps = int(plan.max_seg_block_count)
+
+    # unique table slots
+    uniq: list = []
+    def slot_of(t):
+        for i, u in enumerate(uniq):
+            if u is t:
+                return i
+        uniq.append(t)
+        return len(uniq) - 1
+    dc_slot = np.zeros(4, np.int32)
+    ac_slot = np.zeros(4, np.int32)
+    for c in plan.components:
+        dc_slot[c.index] = slot_of(dc_by_comp[c.index])
+        ac_slot[c.index] = slot_of(ac_by_comp[c.index])
+    n_slots = len(uniq)
+    tabs = build_dec_tables_v2(uniq)
+
+    rows, wcap = build_segment_rows(scan_data, segments_by_scan, plan)
+    # VMEM-budgeted tile: data tile (double-buffered) + one-slot out tile
+    # + window scratch + the symbol loop's live (T,128) intermediates
+    # (empirically ~9 KB/segment at wcap=128)
+    per_seg = wcap * 4 * 2 + 8 << 10
+    seg_tile = max(64, min(2048, (14 << 20) // per_seg))
+    seg_tile = 1 << (seg_tile.bit_length() - 1)
+    S_pad = -(-S // seg_tile) * seg_tile
+    rows_pad = np.zeros((S_pad, wcap), np.uint32)
+    rows_pad[:S] = rows
+
+    seg_comp = np.zeros((S_pad, 1), np.int32)
+    seg_nblk = np.zeros((S_pad, 1), np.int32)
+    if plan.params.interleaved and plan.image.comp_count > 1:
+        tpl = np.asarray(
+            [plan.block_comp[i] for i in range(bps)], np.int32)
+        seg_nblk[:S, 0] = plan.seg_block_count
+    else:
+        tpl = np.full(bps, -1, np.int32)
+        seg_comp[:S, 0] = plan.seg_scan  # scan index == component index
+        seg_nblk[:S, 0] = plan.seg_block_count
+
+    # scan-order block -> kernel output row (output layout: (bps, S_pad))
+    slot_in_seg = np.arange(plan.n_blocks, dtype=np.int32) - \
+        plan.seg_block_start[plan.block_segment]
+    out_row = slot_in_seg.astype(np.int64) * S_pad + plan.block_segment
+
+    key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad)
+    fn = _DEC_V2_CACHE.get(key)
+    if fn is None:
+        run = make_decode_kernel(seg_tile, bps, wcap, n_slots,
+                                 bps * 68 + 16, tpl, 4)
+        inv = np.empty(plan.n_blocks, dtype=np.int32)
+        inv[plan.block_plane_idx] = np.arange(plan.n_blocks, dtype=np.int32)
+        inv_j = jnp.asarray(inv)
+        out_row_j = jnp.asarray(out_row)
+        comp_slices = []
+        pos = 0
+        for c in plan.components:
+            comp_slices.append((pos, c.block_count, c.data_height,
+                                c.data_width))
+            pos += c.block_count
+
+        @jax.jit
+        def fn(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode, delta,
+               huffval, dcs, acs, Ws):
+            from . import pallas_decode as _pd
+            t = _pd.DecTables(quick, maxcode, delta, huffval)
+            out3 = run(rows_j, seg_comp_j, seg_nblk_j, t, dcs, acs)
+            coeff_scan = out3.reshape(-1, 64)[out_row_j]
+            coeff_plane = coeff_scan[inv_j]
+            planes = []
+            for (start, count, dh, dw), W in zip(comp_slices, Ws):
+                blocks = dequant_idct_device(
+                    coeff_plane[start:start + count], W)
+                planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+            return postprocess(planes, out_image, plan, jnp)
+        _DEC_V2_CACHE[key] = fn
+
+    Ws = tuple(
+        jnp.asarray(idct_operator_f32(
+            tuple(int(x) for x in info.quant_tables[
+                info.components[c.index].quant_table_index])))
+        for c in plan.components
+    )
+    t0 = time.perf_counter()
+    raw = fn(jnp.asarray(rows_pad), jnp.asarray(seg_comp),
+             jnp.asarray(seg_nblk), jnp.asarray(tabs.quick),
+             jnp.asarray(tabs.maxcode), jnp.asarray(tabs.delta),
+             jnp.asarray(tabs.huffval), jnp.asarray(dc_slot),
+             jnp.asarray(ac_slot), Ws)
+    raw = np.asarray(raw)
+    decoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
+    return raw
+
+
 def decode_device(decoder, plan: CoderPlan, info, scan_data,
                   segments_by_scan, dc_by_comp, ac_by_comp,
                   out_image: ImageParameters):
     import time
+    if jax.devices()[0].platform not in ("cpu",):
+        try:
+            return _decode_device_v2(decoder, plan, info, scan_data,
+                                     segments_by_scan, dc_by_comp,
+                                     ac_by_comp, out_image)
+        except Exception as e:  # pragma: no cover - kernel gaps
+            import logging
+            logging.getLogger(__name__).warning(
+                "pallas decode path failed (%s); using XLA fallback", e)
     # concatenate all scans' entropy bytes; segment starts in plan order
     scan_base = []
     base = 0

@@ -1,0 +1,394 @@
+"""Segment-parallel Huffman decoder v2 (Pallas, TPU).
+
+The v1 lockstep decoder (ops/huffman_decode.py) does three (S,)-element
+gathers per iteration through XLA, which lowers them to ~11 ns/element
+serial loops — 11.5 s for an 8K frame. This kernel keeps the lockstep
+design (one symbol per segment per iteration across VPU lanes — the TPU
+analog of the reference's one-thread-per-segment kernel,
+gpujpeg_huffman_gpu_decoder.cu:397-544) but maps every data-dependent
+access onto the per-lane dynamic-gather unit:
+
+* **Stream access**: each segment's destuffed bytes live as a row of
+  big-endian u32 words. A per-segment 128-word *window* is refreshed
+  from the row only when some lane approaches its end; the current
+  48-bit view is one ``(T, 128)`` lane-gather per iteration.
+* **Symbol lookup**: a 10-bit lookahead table per (DC/AC x table-id)
+  (the reference's "quick" table, gpujpeg_huffman_gpu_decoder.cu:43-44)
+  as 128-entry half-gathers; codes longer than 10 bits take the
+  canonical mincode/maxcode arithmetic path (T.81 F.16) with a
+  huffval gather.
+* **Coefficient writes**: decoding runs *block-synchronously* — an
+  outer loop over the segment's block slots, an inner while-loop until
+  every lane finished its current block. The current block accumulates
+  into a one-hot-masked (T, 64) register tile, and the completed block
+  stores to HBM with a *static* strided index — no scatter anywhere.
+
+Corrupt-stream guards mirror the reference: invalid codes consume one
+bit, out-of-range coefficient positions end the block, reads past the
+stream see zero words.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..tables import HuffmanTable
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Table preparation (host)
+# ---------------------------------------------------------------------------
+
+QUICK_BITS = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class DecTables:
+    """Up to 4 table slots: 2*dc_table_idx + 0, 2*ac_table_idx + 1 order —
+    slot = comp's (kind, index) resolved by the caller."""
+
+    quick: np.ndarray     # (n_slots, 1024) int32: sym<<5 | len (len 0 = slow)
+    maxcode: np.ndarray   # (n_slots, 18) int32 (code < maxcode[l] test), l=1..17
+    delta: np.ndarray     # (n_slots, 17) int32: valptr[l] - mincode[l]
+    huffval: np.ndarray   # (n_slots, 256) int32
+
+
+def build_dec_tables_v2(tables: list[HuffmanTable]) -> DecTables:
+    n = len(tables)
+    quick = np.zeros((n, 1 << QUICK_BITS), np.int32)
+    maxcode = np.zeros((n, 18), np.int32)
+    delta = np.zeros((n, 17), np.int32)
+    huffval = np.zeros((n, 256), np.int32)
+    for t, tab in enumerate(tables):
+        nv = min(len(tab.values), 256)
+        huffval[t, :nv] = tab.values[:nv]
+        # canonical code enumeration (T.81 C.2)
+        code = 0
+        k = 0
+        mincode = np.zeros(17, np.int64)
+        valptr = np.zeros(17, np.int64)
+        for l in range(1, 17):
+            valptr[l] = k
+            mincode[l] = code
+            nl = int(tab.bits[l - 1])
+            for _ in range(nl):
+                if l <= QUICK_BITS:
+                    lo = code << (QUICK_BITS - l)
+                    hi = (code + 1) << (QUICK_BITS - l)
+                    quick[t, lo:hi] = (int(tab.values[k]) << 5) | l
+                k += 1
+                code += 1
+            maxcode[t, l] = code << (16 - l)  # compare against 16-bit peek
+            code <<= 1
+        maxcode[t, 17] = 1 << 30              # terminator (gpujpeg_table.c:423)
+        delta[t, :] = (valptr - mincode)[:17]
+    return DecTables(quick, maxcode, delta, huffval)
+
+
+# ---------------------------------------------------------------------------
+# Host-side stream prep: destuffed per-segment word rows
+# ---------------------------------------------------------------------------
+
+def build_segment_rows(scan_data, segments_by_scan, plan) -> tuple[np.ndarray, int]:
+    """Per plan-segment destuffed big-endian u32 word rows (S, Wcap).
+
+    Returns (rows, Wcap). Destuffing (dropping 0x00 after 0xFF) runs
+    host-side in NumPy — the analog of the reference's host scan split
+    (the C++ native module accelerates the split itself)."""
+    S = plan.n_segments
+    segs: list[np.ndarray] = []
+    max_bytes = 1
+    for s in range(S):
+        scan_id = int(plan.seg_scan[s])
+        seg_idx = int(plan.seg_scan_index[s])
+        seg_list = segments_by_scan[scan_id]
+        if seg_idx >= len(seg_list):
+            segs.append(np.zeros(0, np.uint8))
+            continue
+        lo, hi = seg_list[seg_idx]
+        d = np.asarray(scan_data[scan_id][lo:hi], np.uint8)
+        if d.size:
+            # drop 0x00 immediately after 0xFF
+            prev = np.concatenate([[0], d[:-1]])
+            d = d[~((d == 0) & (prev == 0xFF))]
+        segs.append(d)
+        max_bytes = max(max_bytes, d.size)
+    Wcap = -(-(max_bytes + 4) // 4)
+    Wcap = -(-Wcap // 128) * 128
+    rows = np.zeros((S, Wcap * 4), np.uint8)
+    for s, d in enumerate(segs):
+        rows[s, :d.size] = d
+    w = rows.reshape(S, Wcap, 4).astype(np.uint32)
+    words = (w[:, :, 0] << 24) | (w[:, :, 1] << 16) | (w[:, :, 2] << 8) | w[:, :, 3]
+    return words.astype(np.uint32), Wcap
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _lane_gather(table_2d, idx):
+    """Per-lane gather: table_2d (rows, 128), idx (rows, 128) -> gathered."""
+    return jnp.take_along_axis(table_2d, idx, axis=1)
+
+
+def _gather128(table_row128, idx):
+    """128-entry table lookup for idx (T, L<=128)."""
+    T, L = idx.shape
+    tbl = jnp.broadcast_to(table_row128.reshape(1, 128), (T, 128))
+    if L != 128:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((T, 128 - L), idx.dtype)], axis=1)
+    out = _lane_gather(tbl, idx)
+    return out[:, :L]
+
+
+def _table_lookup(flat_table, idx, n_entries: int):
+    """Lookup idx (T, L) in a flat table of n_entries (multiple of 128)
+    via half-gathers + select tree."""
+    n_half = n_entries // 128
+    parts = [_gather128(flat_table[h * 128:(h + 1) * 128], idx & 127)
+             for h in range(n_half)]
+    h_idx = idx >> 7
+    out = parts[0]
+    for h in range(1, n_half):
+        out = jnp.where(h_idx == h, parts[h], out)
+    return out
+
+
+def make_decode_kernel(seg_tile: int, bps: int, wcap: int, n_slots: int,
+                       max_sym_per_block: int, interleaved_tpl: np.ndarray,
+                       n_comp: int):
+    """Build the pallas decode kernel for a fixed geometry.
+
+    Grid is (segment tiles, block slots): scratch state (bit positions,
+    stream windows, DC predictors) persists across the slot axis, and the
+    output tile is one block slot — (T, 1, 64) — so large segment tiles
+    fit VMEM. interleaved_tpl: (bps,) int32 — component index of each
+    block slot (non-interleaved plans pass -1 and use the per-segment
+    component id input)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_groups = wcap // 128
+    uses_tpl = bool((interleaved_tpl >= 0).any())
+    tpl_np = interleaved_tpl.astype(np.int32)
+    SLOW_LENS = tuple(range(QUICK_BITS + 1, 17))
+
+    def kernel(data_ref, segcomp_ref, segnblk_ref,
+               quick_ref, maxcode_ref, delta_ref, huffval_ref,
+               dcslot_ref, acslot_ref,
+               out_ref, window, base, bitpos, dcpred):
+        T = seg_tile
+        b = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(I32, (T, 128), 1)
+
+        def refresh(wordpos):
+            win = jnp.zeros((T, 128), U32)
+            idx = wordpos + lane                     # (T, 128) absolute
+            grp = idx >> 7
+            loc = idx & 127
+            for g in range(n_groups):
+                part = _lane_gather(data_ref[:, g * 128:(g + 1) * 128], loc)
+                win = jnp.where(grp == g, part, win)
+            return jnp.where(idx < wcap, win, 0)
+
+        @pl.when(b == 0)
+        def _():
+            bitpos[:] = jnp.zeros((T, 1), I32)
+            base[:] = jnp.zeros((T, 1), I32)
+            window[:] = refresh(jnp.zeros((T, 1), I32))
+            dcpred[:] = jnp.zeros((T, 4), I32)
+
+        # component of this slot: interleaved plans follow the static MCU
+        # template (selected arithmetically); others use the per-segment id
+        if uses_tpl:
+            comp = jnp.full((T, 1), tpl_np[0], I32)
+            for slot_i in range(1, len(tpl_np)):
+                comp = jnp.where(b == slot_i,
+                                 jnp.full((T, 1), tpl_np[slot_i], I32), comp)
+        else:
+            comp = segcomp_ref[:]
+        # tiny-table slot select (Mosaic gathers need equal shapes)
+        dslot = jnp.zeros((T, 1), I32)
+        aslot = jnp.zeros((T, 1), I32)
+        for ci in range(min(4, n_comp)):
+            dslot = jnp.where(comp == ci, dcslot_ref[ci], dslot)
+            aslot = jnp.where(comp == ci, acslot_ref[ci], aslot)
+
+        # hoist slow-path table scalars out of the symbol loop
+        mc_dc, mc_ac, dl_dc, dl_ac = {}, {}, {}, {}
+        for l in SLOW_LENS:
+            md = jnp.zeros((T, 1), I32)
+            ma = jnp.zeros((T, 1), I32)
+            dd = jnp.zeros((T, 1), I32)
+            da = jnp.zeros((T, 1), I32)
+            for t in range(n_slots):
+                md = jnp.where(dslot == t, maxcode_ref[t, l], md)
+                ma = jnp.where(aslot == t, maxcode_ref[t, l], ma)
+                dd = jnp.where(dslot == t, delta_ref[t, l], dd)
+                da = jnp.where(aslot == t, delta_ref[t, l], da)
+            mc_dc[l], mc_ac[l], dl_dc[l], dl_ac[l] = md, ma, dd, da
+
+        active0 = (b < segnblk_ref[:]).astype(I32)  # (T,1) 0/1
+        coeff = jnp.zeros((T, 64), I32)
+        kpos = jnp.zeros((T, 1), I32)
+
+        # refresh windows once per slot: the worst legal block is < 60
+        # words, so a 128-word window covers the whole inner loop
+        nb0 = bitpos[:] >> 5
+        window[:] = refresh(nb0)
+        base[:] = nb0
+        win = window[:]
+        bs = base[:]
+
+        def cond(st):
+            act, *_ = st
+            return jnp.any(act > 0)
+
+        def body(st):
+            act_i, kp, cf, bp, dcp = st
+            act = act_i > 0
+
+            # 48-bit view: two words from the window
+            loc = (bp >> 5) - bs                       # (T,1)
+            idx2 = jnp.concatenate(
+                [loc, jnp.minimum(loc + 1, 127)], axis=1)
+            idx2 = jnp.concatenate(
+                [idx2, jnp.zeros((T, 126), I32)], axis=1)
+            got = _lane_gather(win, idx2)
+            w0 = got[:, 0:1]
+            w1 = got[:, 1:2]
+            sh = (bp & 31).astype(U32)
+            view = jnp.where(sh > 0,
+                             (w0 << sh) | (w1 >> (jnp.uint32(32) - sh)),
+                             w0)                       # (T,1) u32, MSB first
+            peek16 = (view >> 16).astype(I32)
+
+            is_dc = kp == 0
+            slot = jnp.where(is_dc, dslot, aslot)
+
+            # quick lookahead
+            q_idx = slot * (1 << QUICK_BITS) + (peek16 >> (16 - QUICK_BITS))
+            q = _table_lookup(quick_ref[:], q_idx,
+                              n_slots * (1 << QUICK_BITS))
+            q_len = q & 31
+            q_sym = q >> 5
+
+            # slow path: canonical lengths 11..16 (T.81 F.16)
+            s_len = jnp.full((T, 1), 17, I32)
+            s_code = jnp.zeros((T, 1), I32)
+            for l in SLOW_LENS:
+                mc = jnp.where(is_dc, mc_dc[l], mc_ac[l])
+                hit = (peek16 < mc) & (s_len == 17)
+                s_len = jnp.where(hit, l, s_len)
+                s_code = jnp.where(hit, peek16 >> (16 - l), s_code)
+            dlt = jnp.zeros((T, 1), I32)
+            for l in SLOW_LENS:
+                dlt = jnp.where(s_len == l,
+                                jnp.where(is_dc, dl_dc[l], dl_ac[l]), dlt)
+            v_idx = jnp.clip(s_code + dlt, 0, 255)
+            s_sym = _table_lookup(huffval_ref[:], slot * 256 + v_idx,
+                                  n_slots * 256)
+
+            use_quick = q_len > 0
+            sym = jnp.where(use_quick, q_sym, s_sym)
+            ln = jnp.where(use_quick, q_len, s_len)
+            bad = ln == 17                             # invalid code
+            sym = jnp.where(bad, 0, sym)
+            ln = jnp.where(bad, 1, ln)
+
+            cat = jnp.where(is_dc, sym, sym & 15)
+            run = jnp.where(is_dc, 0, sym >> 4)
+
+            # value bits right after the code, from the same view
+            vraw = ((view << ln.astype(U32)) >>
+                    (jnp.uint32(32) - jnp.clip(cat, 1, 16).astype(U32))
+                    ).astype(I32)
+            vraw = jnp.where(cat > 0, vraw, 0)
+            half = jnp.where(cat > 0, 1 << jnp.maximum(cat - 1, 0), 0)
+            val = jnp.where((cat > 0) & (vraw < half),
+                            vraw - (1 << cat) + 1, vraw)
+
+            # DC prediction
+            onehot_c = (jax.lax.broadcasted_iota(I32, (T, 4), 1) == comp)
+            dc_prev = jnp.sum(jnp.where(onehot_c, dcp, 0),
+                              axis=1, keepdims=True)
+            dc_new = dc_prev + val
+            wval = jnp.where(is_dc, dc_new, val)
+            dcp = jnp.where(onehot_c & act & is_dc, dc_new, dcp)
+
+            wpos = jnp.where(is_dc, 0, jnp.clip(kp + run, 0, 63))
+            is_zrl = (~is_dc) & (cat == 0) & (run == 15)
+            is_eob = (~is_dc) & (cat == 0) & (run != 15)
+            write = act & (is_dc | ((~is_dc) & (cat > 0) & (kp + run <= 63)))
+            onehot_k = (jax.lax.broadcasted_iota(I32, (T, 64), 1) == wpos)
+            cf = jnp.where(onehot_k & write, wval, cf)
+
+            newk = jnp.where(
+                is_dc, 1,
+                jnp.where(is_zrl, kp + 16,
+                          jnp.where(is_eob, 64, kp + run + 1)))
+            done = newk >= 64
+            bp = jnp.where(act, bp + ln + cat, bp)
+            kp = jnp.where(act, jnp.where(done, 0, newk), kp)
+            act_i = jnp.where(act & ~done, 1, 0)
+            return act_i, kp, cf, bp, dcp
+
+        act, kp, cf, bp_f, dcp_f = jax.lax.while_loop(
+            cond, body, (active0, kpos, coeff, bitpos[:], dcpred[:]))
+        bitpos[:] = bp_f
+        dcpred[:] = dcp_f
+        out_ref[0, :, :] = cf
+
+    def run(data_rows, seg_comp, seg_nblk, tabs: DecTables,
+            dc_slot: np.ndarray, ac_slot: np.ndarray):
+        S = data_rows.shape[0]
+        n_tiles = S // seg_tile
+        grid = (n_tiles, bps)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bps, S, 64), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((seg_tile, wcap), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seg_tile, 1), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seg_tile, 1), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_slots * (1 << QUICK_BITS),), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_slots, 18), lambda i, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_slots, 17), lambda i, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_slots * 256,), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4,), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4,), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, seg_tile, 64), lambda i, b: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((seg_tile, 128), U32),   # window
+                pltpu.VMEM((seg_tile, 1), I32),     # base
+                pltpu.VMEM((seg_tile, 1), I32),     # bitpos
+                pltpu.VMEM((seg_tile, 4), I32),     # dcpred (padded comps)
+            ],
+        )(data_rows, seg_comp, seg_nblk,
+          jnp.asarray(tabs.quick).reshape(-1), jnp.asarray(tabs.maxcode),
+          jnp.asarray(tabs.delta), jnp.asarray(tabs.huffval).reshape(-1),
+          jnp.asarray(dc_slot), jnp.asarray(ac_slot))
+        return out
+
+    return run
