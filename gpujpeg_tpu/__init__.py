@@ -13,6 +13,7 @@ from __future__ import annotations
 from .params import ImageParameters, Parameters, suggest_restart_interval
 from .models.decoder import Decoder
 from .models.encoder import Encoder
+from . import parallel  # noqa: F401  (ShardedEncoder / ShardedDecoder)
 from .stream.reader import get_image_info, read_image
 from .types import (
     ColorSpace,

@@ -260,9 +260,23 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 rc = 1
                 continue
-            data, _ = image_io.load_image(src)
             if encoder is None:
                 encoder = Encoder(backend=args.backend)
+            # Y4M video batch: with a %d output pattern, encode every frame
+            if in_fmt == FileFormat.Y4M and "%" in dst:
+                with open(src, "rb") as f:
+                    y4m_info, frames = image_io.y4m_read_frames(f.read())
+                for fi, frame in enumerate(frames):
+                    t0 = time.perf_counter()
+                    jpeg = encoder.encode(frame, p, img)
+                    ms = (time.perf_counter() - t0) * 1e3
+                    _print_stats(f"Encode frame {fi}", encoder.stats, ms,
+                                 args.verbose)
+                    with open(dst % fi, "wb") as f:
+                        f.write(jpeg)
+                print(f"{src}: encoded {len(frames)} frames -> {dst}")
+                continue
+            data, _ = image_io.load_image(src)
             for it in range(args.iterate):
                 t0 = time.perf_counter()
                 jpeg = encoder.encode(data, p, img)

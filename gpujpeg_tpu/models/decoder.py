@@ -45,7 +45,19 @@ class Decoder:
         self.stats = DecoderStats()
         self.output_format: PixelFormat | None = None
         self.output_color_space: ColorSpace | None = None
+        self.output_to_device = False
         self._jax_ctx = None
+
+    def decode_to_device(self, data: bytes):
+        """Decode leaving the raw image on device (a JAX array) — the
+        analog of the reference's custom-CUDA-buffer / OpenGL outputs
+        (gpujpeg_decoder.c:286-317). Falls back to a host array on the
+        host decode paths."""
+        self.output_to_device = True
+        try:
+            return self.decode(data)
+        finally:
+            self.output_to_device = False
 
     def set_output_format(self, color_space: ColorSpace,
                           pixel_format: PixelFormat) -> None:
@@ -106,6 +118,9 @@ class Decoder:
             from ..ops.jax_pipeline import decode_device
             raw = decode_device(self, plan, info, scan_data, segments_by_scan,
                                 dc_by_comp, ac_by_comp, out_image)
+        if getattr(self, "output_to_device", False) and \
+                not isinstance(raw, np.ndarray):
+            return raw, out_image
         return np.asarray(raw), out_image
 
     # ------------------------------------------------------------------

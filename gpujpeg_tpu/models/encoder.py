@@ -60,7 +60,22 @@ class Encoder:
         }
         return quant_zz, huff
 
+    def warmup(self, params: Parameters, image: ImageParameters) -> None:
+        """Pre-compile and pre-allocate for a geometry (the analog of the
+        reference's gpujpeg_encoder_allocate / first-iteration cost,
+        gpujpeg_encoder.c:221-254, FAQ.md:14-19)."""
+        from ..types import image_calculate_size
+        size = image_calculate_size(image.width, image.height,
+                                    image.pixel_format)
+        self.encode(np.zeros(size, np.uint8), params, image)
+
     def encode(self, raw, params: Parameters, image: ImageParameters) -> bytes:
+        """Encode one frame to a JPEG byte stream.
+
+        ``raw`` may be a NumPy array/bytes (host input) or a JAX device
+        array — the latter skips the host->device copy, the analog of the
+        reference's device-pointer/OpenGL-texture inputs
+        (gpujpeg_encoder.c:353-395)."""
         plan = make_plan(params, image)
         quant_zz, huff = self._tables(params)
 

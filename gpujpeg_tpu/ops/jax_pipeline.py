@@ -163,8 +163,13 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
     the per-segment byte sizes (for APP13 segment-info back-patching)."""
     import time
     ctx = _enc_context(plan, quant_zz, huff)
-    raw = np.asarray(raw, dtype=np.uint8).reshape(-1)
-    raw_j = jnp.asarray(raw)
+    if isinstance(raw, jax.Array):
+        # device-resident input: the analog of the reference's
+        # GPUJPEG_ENCODER_INPUT_GPU_IMAGE / OpenGL-texture paths
+        # (gpujpeg_encoder.c:353-395) — no host round trip
+        raw_j = raw.reshape(-1).astype(jnp.uint8)
+    else:
+        raw_j = jnp.asarray(np.asarray(raw, dtype=np.uint8).reshape(-1))
 
     t0 = time.perf_counter()
     for tier in (1, 2):
@@ -347,7 +352,8 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
              jnp.asarray(tabs.maxcode), jnp.asarray(tabs.delta),
              jnp.asarray(tabs.huffval), jnp.asarray(dc_slot),
              jnp.asarray(ac_slot), Ws)
-    raw = np.asarray(raw)
+    if not getattr(decoder, "output_to_device", False):
+        raw = np.asarray(raw)   # D2H (the reference's default output path)
     decoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
     return raw
 

@@ -1,0 +1,123 @@
+"""Corrupt-stream robustness, reformat tool, concurrency — analogs of the
+reference's error-recovery guards (gpujpeg_reader.c:962-1046, sentinel
+tables gpujpeg_table.h:64-83) and the mt_encode stress (test/misc/)."""
+import concurrent.futures
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gpujpeg_tpu.models.decoder import Decoder
+from gpujpeg_tpu.models.encoder import Encoder
+from gpujpeg_tpu.params import ImageParameters, Parameters
+from gpujpeg_tpu.stream.reader import JpegParseError
+from gpujpeg_tpu.tools.reformat import reformat
+from gpujpeg_tpu.types import ColorSpace, PixelFormat
+
+from conftest import make_test_rgb, psnr
+
+
+def _sample_jpeg(H=48, W=64, ri=4, q=85):
+    img = make_test_rgb(H, W)
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(
+        img.reshape(-1), Parameters(quality=q, restart_interval=ri), image)
+    return img, data
+
+
+def test_garbage_input_raises():
+    with pytest.raises(JpegParseError):
+        Decoder(backend="golden").decode(b"\x00" * 64)
+    with pytest.raises(JpegParseError):
+        Decoder(backend="golden").decode(b"")
+
+
+def test_truncated_stream_no_crash():
+    img, data = _sample_jpeg()
+    # cut inside the entropy data: decoder must not crash; missing
+    # segments decode to zeros (the reference resynchronizes similarly)
+    for frac in (0.5, 0.8, 0.95):
+        cut = data[:int(len(data) * frac)]
+        try:
+            raw, oi = Decoder(backend="golden").decode(cut)
+            assert raw.size == oi.width * oi.height * 3
+        except JpegParseError:
+            pass  # a clean parse error is also acceptable
+
+
+def test_corrupt_entropy_bytes_no_crash(rng):
+    img, data = _sample_jpeg()
+    buf = bytearray(data)
+    # flip bytes in the scan body only (after SOS)
+    sos = data.find(b"\xff\xda")
+    for _ in range(20):
+        i = rng.integers(sos + 20, len(buf) - 3)
+        buf[i] ^= 0x55
+    try:
+        raw, oi = Decoder(backend="golden").decode(bytes(buf))
+        assert raw.size == oi.width * oi.height * 3
+    except JpegParseError:
+        pass
+
+
+def test_reformat_adds_segment_info_losslessly():
+    img, data = _sample_jpeg(H=64, W=64, ri=2)
+    # strip our own APP13 by re-encoding without segment_info (default) —
+    # then reformat must add it back
+    out = reformat(data)
+    from gpujpeg_tpu.stream.reader import get_image_info, read_image
+    info = get_image_info(out)
+    assert info.segment_info_found
+    # PIL still decodes the reformatted stream identically
+    a = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    np.testing.assert_array_equal(a, b)
+    # and so do we
+    r1, _ = Decoder(backend="golden").decode(data)
+    r2, _ = Decoder(backend="golden").decode(out)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_reformat_foreign_pil_jpeg():
+    img = make_test_rgb(80, 96, seed=9)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=85, restart_marker_blocks=2)
+    out = reformat(buf.getvalue())
+    a = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    assert psnr(img, a) > 30
+
+
+def test_concurrent_encoders():
+    """Thread-safety of independent encoders (reference: mt_encode.c)."""
+    H, W = 32, 48
+    imgs = [make_test_rgb(H, W, seed=s) for s in range(8)]
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(quality=80, restart_interval=2)
+
+    def work(i):
+        enc = Encoder(backend="golden")
+        data = enc.encode(imgs[i].reshape(-1), params, image)
+        raw, _ = Decoder(backend="golden").decode(data)
+        return psnr(imgs[i], raw.reshape(H, W, 3))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(work, range(8)))
+    assert all(q > 30 for q in results), results
+
+
+def test_missing_segment_decodes_zeros():
+    """Dropping a whole restart segment must not shift the others
+    (per-segment independence, the core RST invariant)."""
+    img, data = _sample_jpeg(H=64, W=64, ri=2)
+    # find the first RST marker in the scan and excise one segment
+    sos = data.find(b"\xff\xda")
+    first_rst = data.find(b"\xff\xd0", sos)
+    second_rst = data.find(b"\xff\xd1", first_rst)
+    if second_rst < 0:
+        pytest.skip("stream too small")
+    cut = data[:first_rst + 2] + data[second_rst + 2:]
+    raw, oi = Decoder(backend="golden").decode(cut)
+    assert raw.size == oi.width * oi.height * 3
