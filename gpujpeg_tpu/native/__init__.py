@@ -83,6 +83,9 @@ def lib():
     L.gj_scan_split.argtypes = [
         PU8, I64, I64, PI64, PI64, I64,
         ctypes.POINTER(ctypes.c_int64)]
+    PU32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    L.gj_build_rows.restype = I64
+    L.gj_build_rows.argtypes = [PU8, I64, PI64, PI64, I64, PU32, I64]
     _LIB = L
     return _LIB
 

@@ -262,4 +262,37 @@ int64_t gj_scan_split(
     return -(m + 1);
 }
 
+// ---------------------------------------------------------------------------
+// Decode-side row builder: destuff each segment's bytes into a fixed-pitch
+// row matrix of big-endian u32 words (the layout the TPU decode kernel
+// consumes). Replaces a per-segment Python loop (~1.8 s at 8K -> ~5 ms).
+// rows must be zero-initialized, pitch_words*4 bytes per segment.
+int64_t gj_build_rows(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* lo, const int64_t* hi, int64_t n_segments,
+    uint32_t* rows, int64_t pitch_words)
+{
+    int64_t max_words = 0;
+    for (int64_t s = 0; s < n_segments; ++s) {
+        int64_t a = lo[s], b = hi[s];
+        if (a < 0 || b > data_len || a >= b) continue;
+        uint32_t* dst = rows + s * pitch_words;
+        int64_t n = 0;
+        const int64_t cap = pitch_words * 4;
+        uint32_t acc = 0;
+        for (int64_t i = a; i < b && n < cap; ++i) {
+            uint8_t byte = data[i];
+            acc = (acc << 8) | byte;
+            if ((n & 3) == 3) dst[n >> 2] = acc;
+            ++n;
+            if (byte == 0xFF && i + 1 < b && data[i + 1] == 0x00)
+                ++i;  // skip stuffed zero
+        }
+        if (n & 3) dst[n >> 2] = acc << (8 * (4 - (n & 3)));
+        int64_t w = (n + 3) >> 2;
+        if (w > max_words) max_words = w;
+    }
+    return max_words;
+}
+
 }  // extern "C"

@@ -282,12 +282,18 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     tabs = build_dec_tables_v2(uniq)
 
     rows, wcap = build_segment_rows(scan_data, segments_by_scan, plan)
-    # VMEM-budgeted tile: data tile (double-buffered) + one-slot out tile
-    # + window scratch + the symbol loop's live (T,128) intermediates
-    # (empirically ~9 KB/segment at wcap=128)
-    per_seg = wcap * 4 * 2 + 8 << 10
-    seg_tile = max(64, min(2048, (14 << 20) // per_seg))
-    seg_tile = 1 << (seg_tile.bit_length() - 1)
+    # v3 lane-major kernel handles wcap <= 384 (VMEM transposed data tile);
+    # larger per-segment streams use the v2 kernel
+    use_v3 = wcap <= 384
+    if use_v3:
+        per_seg = wcap * 4 * 2 + 64 * 4 * 2 + 50 * 8 * 4 // 128 * 4
+        seg_tile = max(128, min(4096, (8 << 20) // max(per_seg, 1)))
+        seg_tile = 1 << (seg_tile.bit_length() - 1)
+    else:
+        # v2: ~9 KB/segment of live (T,128) intermediates at wcap=128
+        per_seg = wcap * 4 * 2 + 8 << 10
+        seg_tile = max(64, min(2048, (14 << 20) // per_seg))
+        seg_tile = 1 << (seg_tile.bit_length() - 1)
     S_pad = -(-S // seg_tile) * seg_tile
     rows_pad = np.zeros((S_pad, wcap), np.uint32)
     rows_pad[:S] = rows
@@ -303,16 +309,24 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         seg_comp[:S, 0] = plan.seg_scan  # scan index == component index
         seg_nblk[:S, 0] = plan.seg_block_count
 
-    # scan-order block -> kernel output row (output layout: (bps, S_pad))
+    # scan-order block -> kernel output row: v3 yields seg-major rows
+    # (seg*bps + slot), v2 yields slot-major (slot*S_pad + seg)
     slot_in_seg = np.arange(plan.n_blocks, dtype=np.int32) - \
         plan.seg_block_start[plan.block_segment]
-    out_row = slot_in_seg.astype(np.int64) * S_pad + plan.block_segment
+    if use_v3:
+        out_row = plan.block_segment.astype(np.int64) * bps + slot_in_seg
+    else:
+        out_row = slot_in_seg.astype(np.int64) * S_pad + plan.block_segment
 
-    key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad)
+    key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad, use_v3)
     fn = _DEC_V2_CACHE.get(key)
     if fn is None:
-        run = make_decode_kernel(seg_tile, bps, wcap, n_slots,
-                                 bps * 68 + 16, tpl, 4)
+        if use_v3:
+            from .pallas_decode_v3 import make_decode_kernel_v3
+            run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl)
+        else:
+            run = make_decode_kernel(seg_tile, bps, wcap, n_slots,
+                                     bps * 68 + 16, tpl, 4)
         inv = np.empty(plan.n_blocks, dtype=np.int32)
         inv[plan.block_plane_idx] = np.arange(plan.n_blocks, dtype=np.int32)
         inv_j = jnp.asarray(inv)
@@ -346,9 +360,15 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                 info.components[c.index].quant_table_index])))
         for c in plan.components
     )
+    if use_v3:
+        data_in = np.ascontiguousarray(rows_pad.T).view(np.int32)  # (wcap, S_pad)
+        sc_in = seg_comp.reshape(S_pad // 128, 128)
+        sn_in = seg_nblk.reshape(S_pad // 128, 128)
+    else:
+        data_in, sc_in, sn_in = rows_pad, seg_comp, seg_nblk
     t0 = time.perf_counter()
-    raw = fn(jnp.asarray(rows_pad), jnp.asarray(seg_comp),
-             jnp.asarray(seg_nblk), jnp.asarray(tabs.quick),
+    raw = fn(jnp.asarray(data_in), jnp.asarray(sc_in),
+             jnp.asarray(sn_in), jnp.asarray(tabs.quick),
              jnp.asarray(tabs.maxcode), jnp.asarray(tabs.delta),
              jnp.asarray(tabs.huffval), jnp.asarray(dc_slot),
              jnp.asarray(ac_slot), Ws)

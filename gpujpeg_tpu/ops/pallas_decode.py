@@ -96,37 +96,67 @@ def build_dec_tables_v2(tables: list[HuffmanTable]) -> DecTables:
 # Host-side stream prep: destuffed per-segment word rows
 # ---------------------------------------------------------------------------
 
+def _segment_ranges(scan_data, segments_by_scan, plan):
+    """Global (lo, hi) byte ranges of every plan segment in the
+    concatenated scan data (vectorized; missing segments get -1)."""
+    S = plan.n_segments
+    scan_base = []
+    base = 0
+    for sd in scan_data:
+        scan_base.append(base)
+        base += int(np.asarray(sd).size)
+    concat = (np.concatenate([np.asarray(s, np.uint8).reshape(-1)
+                              for s in scan_data])
+              if base else np.zeros(1, np.uint8))
+    lo = np.full(S, -1, np.int64)
+    hi = np.full(S, -1, np.int64)
+    for scan_id, seg_list in enumerate(segments_by_scan):
+        if not seg_list:
+            continue
+        arr = np.asarray(seg_list, np.int64)            # (n, 2)
+        sel = np.flatnonzero(plan.seg_scan == scan_id)
+        n = min(sel.size, arr.shape[0])
+        idx = plan.seg_scan_index[sel[:n]]
+        valid = idx < arr.shape[0]
+        lo[sel[:n][valid]] = scan_base[scan_id] + arr[idx[valid], 0]
+        hi[sel[:n][valid]] = scan_base[scan_id] + arr[idx[valid], 1]
+    return concat, lo, hi
+
+
 def build_segment_rows(scan_data, segments_by_scan, plan) -> tuple[np.ndarray, int]:
     """Per plan-segment destuffed big-endian u32 word rows (S, Wcap).
 
-    Returns (rows, Wcap). Destuffing (dropping 0x00 after 0xFF) runs
-    host-side in NumPy — the analog of the reference's host scan split
-    (the C++ native module accelerates the split itself)."""
+    Uses the native C++ row builder when available (~5 ms at 8K vs ~1.8 s
+    for the per-segment NumPy loop — the decode-side analog of the
+    reference's host scan split hot loop, FAQ.md:53-68)."""
+    from ..native import lib as native_lib
+
     S = plan.n_segments
-    segs: list[np.ndarray] = []
-    max_bytes = 1
-    for s in range(S):
-        scan_id = int(plan.seg_scan[s])
-        seg_idx = int(plan.seg_scan_index[s])
-        seg_list = segments_by_scan[scan_id]
-        if seg_idx >= len(seg_list):
-            segs.append(np.zeros(0, np.uint8))
-            continue
-        lo, hi = seg_list[seg_idx]
-        d = np.asarray(scan_data[scan_id][lo:hi], np.uint8)
-        if d.size:
-            # drop 0x00 immediately after 0xFF
-            prev = np.concatenate([[0], d[:-1]])
-            d = d[~((d == 0) & (prev == 0xFF))]
-        segs.append(d)
-        max_bytes = max(max_bytes, d.size)
-    Wcap = -(-(max_bytes + 4) // 4)
+    concat, lo, hi = _segment_ranges(scan_data, segments_by_scan, plan)
+    max_raw = int(np.maximum(hi - lo, 1).max()) if S else 1
+    Wcap = -(-(max_raw + 4) // 4)
     Wcap = -(-Wcap // 128) * 128
-    rows = np.zeros((S, Wcap * 4), np.uint8)
-    for s, d in enumerate(segs):
-        rows[s, :d.size] = d
-    w = rows.reshape(S, Wcap, 4).astype(np.uint32)
-    words = (w[:, :, 0] << 24) | (w[:, :, 1] << 16) | (w[:, :, 2] << 8) | w[:, :, 3]
+
+    L = native_lib()
+    if L is not None:
+        rows = np.zeros((S, Wcap), np.uint32)
+        L.gj_build_rows(np.ascontiguousarray(concat), concat.size,
+                        np.ascontiguousarray(lo), np.ascontiguousarray(hi),
+                        S, rows, Wcap)
+        return rows, Wcap
+
+    # NumPy fallback
+    rows8 = np.zeros((S, Wcap * 4), np.uint8)
+    for s in range(S):
+        if lo[s] < 0 or hi[s] <= lo[s]:
+            continue
+        d = concat[lo[s]:hi[s]]
+        prev = np.concatenate([[0], d[:-1]])
+        d = d[~((d == 0) & (prev == 0xFF))]
+        rows8[s, :d.size] = d
+    w = rows8.reshape(S, Wcap, 4).astype(np.uint32)
+    words = (w[:, :, 0] << 24) | (w[:, :, 1] << 16) | \
+        (w[:, :, 2] << 8) | w[:, :, 3]
     return words.astype(np.uint32), Wcap
 
 

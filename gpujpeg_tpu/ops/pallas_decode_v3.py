@@ -1,0 +1,269 @@
+"""Segment-parallel Huffman decoder v3 (Pallas, lane-major layout).
+
+v2 (pallas_decode.py) keeps per-segment state in (T, 1) columns; Mosaic
+tiles those as (8, 128) vregs with 127/128 lanes dead, so every state op
+costs as much as a full (T, 128) op (measured on-chip). v3 puts
+**segments on lanes**: all state is (G, 128) with G = seg_tile/128, so
+state ops touch G vregs instead of 16*G:
+
+* **Stream fetch**: the per-segment current two words come from a
+  transposed (Wcap, seg_tile) data tile by masked reduction over word
+  rows — no gather, no relayout, unconditional every iteration.
+* **Table lookups**: broadcast 128-entry halves + per-lane dynamic
+  gather, all in the (G, 128) domain.
+* **Coefficients** accumulate in a (64*G, 128) lane-major buffer
+  (row k*G+g, lane l = coefficient k of segment g*128+l; k-major because
+  ``pltpu.repeat`` tiles copies) updated with a repeat one-hot; the
+  kernel output is reordered to scan order by one XLA transpose
+  (bandwidth-bound).
+
+Same block-synchronous structure and T.81 F.16 slow path as v2.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .pallas_decode import DecTables, QUICK_BITS, _lane_gather
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+def _bcast_lookup(flat_table, idx, n_entries: int):
+    """(G,128) lookup in a flat table via broadcast halves + lane gather."""
+    G = idx.shape[0]
+    n_half = n_entries // 128
+    lo = idx & 127
+    out = None
+    for h in range(n_half):
+        tbl = jnp.broadcast_to(
+            flat_table[h * 128:(h + 1) * 128].reshape(1, 128), (G, 128))
+        part = _lane_gather(tbl, lo)
+        out = part if out is None else jnp.where((idx >> 7) == h, part, out)
+    return out
+
+
+def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
+                          interleaved_tpl: np.ndarray):
+    """seg_tile must be a multiple of 128; wcap the per-segment word
+    capacity (data arrives transposed as (wcap, S))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = seg_tile // 128
+    uses_tpl = bool((interleaved_tpl >= 0).any())
+    tpl_np = interleaved_tpl.astype(np.int32)
+    SLOW_LENS = tuple(range(QUICK_BITS + 1, 17))
+
+    def kernel(dataT_ref, segcomp_ref, segnblk_ref,
+               quick_ref, maxcode_ref, delta_ref, huffval_ref,
+               dcslot_ref, acslot_ref,
+               out_ref, bitpos, dcpred):
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _():
+            bitpos[:] = jnp.zeros((G, 128), I32)
+            dcpred[:] = jnp.zeros((4 * G, 128), I32)
+
+        if uses_tpl:
+            comp = jnp.full((G, 128), tpl_np[0], I32)
+            for slot_i in range(1, len(tpl_np)):
+                comp = jnp.where(b == slot_i,
+                                 jnp.full((G, 128), tpl_np[slot_i], I32),
+                                 comp)
+        else:
+            comp = segcomp_ref[:]
+        dslot = jnp.zeros((G, 128), I32)
+        aslot = jnp.zeros((G, 128), I32)
+        for ci in range(4):
+            dslot = jnp.where(comp == ci, dcslot_ref[ci], dslot)
+            aslot = jnp.where(comp == ci, acslot_ref[ci], aslot)
+
+        # hoisted slow-path table scalars
+        mc_dc, mc_ac, dl_dc, dl_ac = {}, {}, {}, {}
+        for l in SLOW_LENS:
+            md = jnp.zeros((G, 128), I32)
+            ma = jnp.zeros((G, 128), I32)
+            dd = jnp.zeros((G, 128), I32)
+            da = jnp.zeros((G, 128), I32)
+            for t in range(n_slots):
+                md = jnp.where(dslot == t, maxcode_ref[t, l], md)
+                ma = jnp.where(aslot == t, maxcode_ref[t, l], ma)
+                dd = jnp.where(dslot == t, delta_ref[t, l], dd)
+                da = jnp.where(aslot == t, delta_ref[t, l], da)
+            mc_dc[l], mc_ac[l], dl_dc[l], dl_ac[l] = md, ma, dd, da
+
+        word_iota = jax.lax.broadcasted_iota(I32, (wcap, 128), 0)
+
+        def fetch2(wordpos_g, g):
+            """Words [wp, wp+1] for group g's 128 segments, by masked
+            reduction over the transposed data rows. Runs in int32
+            (Mosaic cannot reduce unsigned ints): exactly one row is
+            non-zero per lane, so the sum is an exact bit pattern."""
+            dat = dataT_ref[:, g * 128:(g + 1) * 128]  # (wcap, 128) int32
+            m0 = word_iota == wordpos_g
+            m1 = word_iota == wordpos_g + 1
+            w0 = jnp.sum(jnp.where(m0, dat, 0), axis=0, keepdims=True)
+            w1 = jnp.sum(jnp.where(m1, dat, 0), axis=0, keepdims=True)
+            return w0, w1
+
+        # k-major coefficient rows (row = k*G + g): pltpu.repeat TILES
+        # copies, so repeated (G,128) state aligns with g = row % G
+        onehot_cbase = jax.lax.broadcasted_iota(I32, (G * 64, 128), 0) // G
+
+        active0 = (b < segnblk_ref[:]).astype(I32)   # (G,128)
+        coeff = jnp.zeros((G * 64, 128), I32)
+        kpos = jnp.zeros((G, 128), I32)
+
+        def cond(st):
+            act, *_ = st
+            return jnp.any(act > 0)
+
+        def body(st):
+            act_i, kp, cf, bp, dcp = st
+            act = act_i > 0
+
+            wp = bp >> 5
+            w0s, w1s = [], []
+            for g in range(G):
+                w0g, w1g = fetch2(wp[g:g + 1, :], g)
+                w0s.append(w0g)
+                w1s.append(w1g)
+            w0 = jnp.concatenate(w0s, axis=0).astype(U32)   # (G,128)
+            w1 = jnp.concatenate(w1s, axis=0).astype(U32)
+            sh = (bp & 31).astype(U32)
+            view = jnp.where(sh > 0,
+                             (w0 << sh) | (w1 >> (jnp.uint32(32) - sh)), w0)
+            peek16 = (view >> 16).astype(I32)
+
+            is_dc = kp == 0
+            slot = jnp.where(is_dc, dslot, aslot)
+
+            q_idx = slot * (1 << QUICK_BITS) + (peek16 >> (16 - QUICK_BITS))
+            q = _bcast_lookup(quick_ref[:], q_idx, n_slots * (1 << QUICK_BITS))
+            q_len = q & 31
+            q_sym = q >> 5
+
+            s_len = jnp.full((G, 128), 17, I32)
+            s_code = jnp.zeros((G, 128), I32)
+            for l in SLOW_LENS:
+                mc = jnp.where(is_dc, mc_dc[l], mc_ac[l])
+                hit = (peek16 < mc) & (s_len == 17)
+                s_len = jnp.where(hit, l, s_len)
+                s_code = jnp.where(hit, peek16 >> (16 - l), s_code)
+            dlt = jnp.zeros((G, 128), I32)
+            for l in SLOW_LENS:
+                dlt = jnp.where(s_len == l,
+                                jnp.where(is_dc, dl_dc[l], dl_ac[l]), dlt)
+            v_idx = jnp.clip(s_code + dlt, 0, 255)
+            s_sym = _bcast_lookup(huffval_ref[:], slot * 256 + v_idx,
+                                  n_slots * 256)
+
+            use_quick = q_len > 0
+            sym = jnp.where(use_quick, q_sym, s_sym)
+            ln = jnp.where(use_quick, q_len, s_len)
+            bad = ln == 17
+            sym = jnp.where(bad, 0, sym)
+            ln = jnp.where(bad, 1, ln)
+
+            cat = jnp.where(is_dc, sym, sym & 15)
+            run = jnp.where(is_dc, 0, sym >> 4)
+
+            vraw = ((view << ln.astype(U32)) >>
+                    (jnp.uint32(32) - jnp.clip(cat, 1, 16).astype(U32))
+                    ).astype(I32)
+            vraw = jnp.where(cat > 0, vraw, 0)
+            half = jnp.where(cat > 0, 1 << jnp.maximum(cat - 1, 0), 0)
+            val = jnp.where((cat > 0) & (vraw < half),
+                            vraw - (1 << cat) + 1, vraw)
+
+            # DC prediction over 4 per-component planes
+            dc_prev = jnp.zeros((G, 128), I32)
+            for c in range(4):
+                dc_prev = jnp.where(comp == c, dcp[c * G:(c + 1) * G], dc_prev)
+            dc_new = dc_prev + val
+            wval = jnp.where(is_dc, dc_new, val)
+            upd = act & is_dc
+            parts = []
+            for c in range(4):
+                plane = dcp[c * G:(c + 1) * G]
+                parts.append(jnp.where(upd & (comp == c), dc_new, plane))
+            dcp = jnp.concatenate(parts, axis=0)
+
+            wpos = jnp.where(is_dc, 0, jnp.clip(kp + run, 0, 63))
+            is_zrl = (~is_dc) & (cat == 0) & (run == 15)
+            is_eob = (~is_dc) & (cat == 0) & (run != 15)
+            write = act & (is_dc | ((~is_dc) & (cat > 0) & (kp + run <= 63)))
+
+            # lane-major coefficient buffer update
+            wpos_r = pltpu.repeat(wpos, 64, axis=0)       # (G*64, 128)
+            wval_r = pltpu.repeat(wval, 64, axis=0)
+            write_r = pltpu.repeat(write.astype(I32), 64, axis=0) > 0
+            cf = jnp.where((onehot_cbase == wpos_r) & write_r, wval_r, cf)
+
+            newk = jnp.where(
+                is_dc, 1,
+                jnp.where(is_zrl, kp + 16,
+                          jnp.where(is_eob, 64, kp + run + 1)))
+            done = newk >= 64
+            bp = jnp.where(act, bp + ln + cat, bp)
+            kp = jnp.where(act, jnp.where(done, 0, newk), kp)
+            act_i = jnp.where(act & ~done, 1, 0)
+            return act_i, kp, cf, bp, dcp
+
+        act, kp, cf, bp_f, dcp_f = jax.lax.while_loop(
+            cond, body, (active0, kpos, coeff, bitpos[:], dcpred[:]))
+        bitpos[:] = bp_f
+        dcpred[:] = dcp_f
+        out_ref[0, :, :] = cf
+
+    def run(dataT, seg_comp, seg_nblk, tabs: DecTables,
+            dc_slot: np.ndarray, ac_slot: np.ndarray):
+        S = dataT.shape[1]
+        n_tiles = S // seg_tile
+        grid = (n_tiles, bps)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bps, n_tiles * G * 64, 128),
+                                           jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((wcap, seg_tile), lambda i, b: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 128), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 128), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_slots * (1 << QUICK_BITS),),
+                             lambda i, b: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_slots, 18), lambda i, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_slots, 17), lambda i, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_slots * 256,), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4,), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4,), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, G * 64, 128), lambda i, b: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((G, 128), I32),       # bitpos
+                pltpu.VMEM((4 * G, 128), I32),   # dcpred planes
+            ],
+        )(dataT, seg_comp, seg_nblk,
+          jnp.asarray(tabs.quick).reshape(-1), jnp.asarray(tabs.maxcode),
+          jnp.asarray(tabs.delta), jnp.asarray(tabs.huffval).reshape(-1),
+          jnp.asarray(dc_slot), jnp.asarray(ac_slot))
+        # reorder to scan rows: tile-local row k*G+g, so
+        # out[b, t*(64G) + k*G + g, l] -> row ((t*G+g)*128 + l)*bps + b, k
+        o = out.reshape(bps, n_tiles, 64, G, 128)
+        o = jnp.transpose(o, (1, 3, 4, 0, 2))        # (t, g, l, bps, 64)
+        return o.reshape(S * bps, 64)
+
+    return run
