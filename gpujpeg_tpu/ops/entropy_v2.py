@@ -466,6 +466,85 @@ def _merge_pair(lw, lb, rw, rb, R_out: int):
     return lw | rolled, lb + rb
 
 
+def merge_segments_pallas(words, bits, bps: int, cap_words: int,
+                          seg_tile: int = 64):
+    """Pallas tree merge: whole merge runs in VMEM per 128-segment tile,
+    with the barrel word-roll collapsed into one per-lane dynamic gather
+    (idx = lane - offset). Requires cap_words <= 126 (one vreg of lanes)
+    and power-of-two bps; the XLA merge handles the rest.
+
+    The pairwise reshape trick keeps everything contiguous: a (rows, R)
+    level array viewed as (rows/2, 2R) puts the left string in lanes
+    [0,R) and the right in [R,2R) — no strided row slicing."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, W = words.shape
+    S = n_rows // bps
+    S_pad = -(-S // seg_tile) * seg_tile
+    if S_pad != S:
+        words = jnp.pad(words, ((0, (S_pad - S) * bps), (0, 0)))
+        bits = jnp.pad(bits, ((0, (S_pad - S) * bps), (0, 0)))
+
+    def kernel(w_ref, b_ref, out_w_ref, out_b_ref):
+        # strings live in 128-lane rows at every level so the pairing
+        # reshape (rows,128)->(rows/2,256) stays lane-aligned for Mosaic;
+        # each string's bit length rides in spare lane 127 (cap <= 126)
+        rows0 = w_ref.shape[0]
+        lane0 = jax.lax.broadcasted_iota(I32, (rows0, 128), 1)
+        x = jnp.pad(w_ref[:], ((0, 0), (0, 128 - W)))   # (tile*bps, 128)
+        x = jnp.where(lane0 == 127, b_ref[:].astype(U32), x)
+        blocks = bps
+        while blocks > 1:
+            rows = x.shape[0]
+            x2 = x.reshape(rows // 2, 256)
+            lw = x2[:, :128]
+            rw = x2[:, 128:]
+            lb = lw[:, 127:128].astype(I32)
+            rb = rw[:, 127:128].astype(I32)
+            lane = jax.lax.broadcasted_iota(I32, (rows // 2, 128), 1)
+            lw = jnp.where(lane == 127, 0, lw)
+            rw = jnp.where(lane == 127, 0, rw)
+            # bit shift with carry from the previous word
+            sh = (lb & 31).astype(U32)
+            prev = jnp.concatenate(
+                [jnp.zeros((rows // 2, 1), rw.dtype), rw[:, :-1]], axis=1)
+            lo = jnp.where(sh > 0, rw >> sh, rw)
+            hi = jnp.where(sh > 0, prev << ((32 - sh) & 31).astype(U32), 0)
+            shifted = lo | hi
+            # word roll as one per-lane gather: dst lane l reads l - o
+            o = lb >> 5
+            src = lane - o
+            rolled = jnp.take_along_axis(shifted, jnp.clip(src, 0, 127),
+                                         axis=1)
+            rolled = jnp.where(src >= 0, rolled, 0)
+            x = lw | rolled
+            x = jnp.where(lane == 127, (lb + rb).astype(U32), x)
+            blocks //= 2
+        out_w_ref[:] = x[:, :cap_words]
+        out_b_ref[:] = x[:, 127:128].astype(I32)
+
+    out_w, out_b = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S_pad, cap_words), jnp.uint32),
+                   jax.ShapeDtypeStruct((S_pad, 1), jnp.int32)),
+        grid=(S_pad // seg_tile,),
+        in_specs=[
+            pl.BlockSpec((seg_tile * bps, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_tile * bps, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((seg_tile, cap_words), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(words, bits)
+    return out_w[:S], out_b[:S, 0]
+
+
 def merge_segments(words, bits, bps: int, cap_words: int):
     """(S*bps, W) block strings -> (S, cap_words) segment strings + bits."""
     n_rows, W = words.shape
@@ -618,8 +697,13 @@ def encode_rows(rows, geo: UniformGeometry, tabs: PackedTables,
     else:
         words, bits = block_chunks_xla(rows, diff_rows, cls, valid, tabs, W)
 
-    seg_words, seg_bits = merge_segments(words, bits, geo.bps,
-                                         geo.cap_seg_words)
+    if use_pallas and geo.cap_seg_words <= 126 and geo.bps > 1 and \
+            (geo.bps & (geo.bps - 1)) == 0:
+        seg_words, seg_bits = merge_segments_pallas(
+            words, bits, geo.bps, geo.cap_seg_words)
+    else:
+        seg_words, seg_bits = merge_segments(words, bits, geo.bps,
+                                             geo.cap_seg_words)
     out, out_len, n_ff = stuff_and_rst(
         seg_words, seg_bits, jnp.asarray(geo.seg_rst_marker),
         jnp.asarray(geo.seg_has_rst), geo.cap_out_bytes)
