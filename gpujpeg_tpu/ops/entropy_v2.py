@@ -677,7 +677,7 @@ def dc_diff_rows(dc_rows, geo: UniformGeometry):
 
 
 def encode_rows(rows, geo: UniformGeometry, tabs: PackedTables,
-                use_pallas: bool):
+                use_pallas: bool, rst_marker=None, has_rst=None):
     """Entropy-encode uniform-layout coefficient rows.
 
     rows: (n_rows, 64) int32 — segment-uniform layout (geo.coeff_idx
@@ -705,8 +705,10 @@ def encode_rows(rows, geo: UniformGeometry, tabs: PackedTables,
         seg_words, seg_bits = merge_segments(words, bits, geo.bps,
                                              geo.cap_seg_words)
     out, out_len, n_ff = stuff_and_rst(
-        seg_words, seg_bits, jnp.asarray(geo.seg_rst_marker),
-        jnp.asarray(geo.seg_has_rst), geo.cap_out_bytes)
+        seg_words, seg_bits,
+        jnp.asarray(geo.seg_rst_marker) if rst_marker is None else rst_marker,
+        jnp.asarray(geo.seg_has_rst) if has_rst is None else has_rst,
+        geo.cap_out_bytes)
     overflow = (jnp.max(bits) > W * 32) | (jnp.max(n_ff) > MAX_STUFF)
     seg_bits = jnp.where(overflow, seg_bits + (geo.cap_seg_words + 1) * 32,
                          seg_bits)

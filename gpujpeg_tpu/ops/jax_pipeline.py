@@ -133,6 +133,9 @@ class _EncContext:
         @jax.jit
         def fn(raw):
             planes = preprocess(raw, plan.image, plan, jnp)
+            # keep XLA from fusing the pixel chain into the 8x8 blockify
+            # transpose (measured 3x blowup at 8K when fused)
+            planes = jax.lax.optimization_barrier(tuple(planes))
             pblocks = jnp.concatenate(
                 [plane_to_blocks(p, jnp) for p in planes])
             pblocks = jnp.concatenate(

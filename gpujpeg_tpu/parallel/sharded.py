@@ -405,6 +405,10 @@ class ShardedEncoder:
         if hit is not None:
             return hit
 
+        from ..ops.entropy_v2 import (
+            build_packed_tables, build_uniform_geometry, encode_rows,
+            seg_budget_for_quality)
+
         layout = plan_bands(params, image, self.n_seg)
         plan = layout.plan
         quant_zz = {
@@ -416,52 +420,50 @@ class ShardedEncoder:
             for ct in (ComponentType.LUMINANCE, ComponentType.CHROMINANCE)
             for ht in (HuffmanType.DC, HuffmanType.AC)
         }
-        g = build_enc_geometry(plan)
-        t = build_enc_tables(huff)
+        tabs = build_packed_tables(huff)
         rst_np, has_np = _global_rst_arrays(layout)
+        geo_probe = build_uniform_geometry(plan)
+        budget = seg_budget_for_quality(params.quality, geo_probe.bps)
+        geo = build_uniform_geometry(
+            plan, seg_byte_budget=min(budget, geo_probe.cap_seg_words * 4))
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
 
-        gd_static = {
-            "block_cls": jnp.asarray(g.block_cls),
-            "dc_pred_idx": jnp.asarray(g.dc_pred_idx),
-            "block_segment": jnp.asarray(g.block_segment),
-            "seg_block_start": jnp.asarray(g.seg_block_start),
-            "seg_block_count": jnp.asarray(g.seg_block_count),
-            "cap_seg_bytes": g.cap_seg_bytes,
-            "cap_out_bytes": g.cap_out_bytes,
-        }
-        td = {
-            "dc_code": jnp.asarray(t.dc_code),
-            "dc_len": jnp.asarray(t.dc_len),
-            "ac_code": jnp.asarray(t.ac_code),
-            "ac_len": jnp.asarray(t.ac_len),
-        }
         from ..tables import dct_zigzag_operator
         D64, bias64 = dct_zigzag_operator()
         D = jnp.asarray(D64.astype(np.float32))
         bias = jnp.asarray(bias64.astype(np.float32))
-        qdiv_np = np.stack([
+        qdiv = jnp.asarray(np.maximum(np.stack([
             np.asarray(quant_zz[0], np.float32),
-            np.asarray(quant_zz[1], np.float32),
-        ])
-        qdiv = jnp.asarray(np.maximum(qdiv_np, 1.0))
-        block_plane_idx = jnp.asarray(plan.block_plane_idx)
-        block_cls = jnp.asarray(g.block_cls)
+            np.asarray(quant_zz[1], np.float32)]), 1.0))
+        NB = plan.n_blocks
+        spp = np.append(plan.block_plane_idx, NB)
+        idx_plane = spp[np.minimum(geo.coeff_idx, NB)]
+        idx_plane[geo.coeff_idx >= NB] = NB
+        idx_plane_j = jnp.asarray(idx_plane)
+        cls_rows = jnp.asarray(geo.block_cls)
         band_image = layout.band_image
 
+        # class-compatible geometry fields consumed by encode_batch
+        class _G:
+            cap_seg_bytes = geo.cap_seg_words * 4
+            cap_out_bytes = geo.cap_out_bytes
+        g = _G()
+
         def encode_band(raw_band, rst, has_rst):
-            gd = dict(gd_static)
-            gd["seg_rst_marker"] = rst
-            gd["seg_has_rst"] = has_rst
             planes = preprocess(raw_band, band_image, plan, jnp)
+            planes = jax.lax.optimization_barrier(tuple(planes))
             pblocks = jnp.concatenate(
                 [plane_to_blocks(p, jnp) for p in planes])
-            x = pblocks[block_plane_idx].astype(jnp.float32)
+            pblocks = jnp.concatenate(
+                [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
+            x = pblocks[idx_plane_j].astype(jnp.float32)
             y = jax.lax.dot_general(
                 x, D, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32) - bias
-            coeff = jnp.rint(y / qdiv[block_cls]).astype(jnp.int32)
-            return huffman_encode_kernel(coeff, gd, td)
+            rows = jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
+            return encode_rows(rows, geo, tabs, use_pallas,
+                               rst_marker=rst, has_rst=has_rst)
 
         def local_fn(raw, rst, has_rst):
             # raw: (B_local, 1, band_bytes); rst/has: (1, S_local)
