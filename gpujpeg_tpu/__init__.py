@@ -14,7 +14,7 @@ from .params import ImageParameters, Parameters, suggest_restart_interval
 from .models.decoder import Decoder
 from .models.encoder import Encoder
 from . import parallel  # noqa: F401  (ShardedEncoder / ShardedDecoder)
-from .stream.reader import get_image_info, read_image
+from .stream.reader import JpegParseError, get_image_info, read_image
 from .types import (
     ColorSpace,
     ComponentType,
@@ -32,7 +32,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "ColorSpace", "ComponentType", "Decoder", "Encoder", "GpujpegError",
-    "HuffmanType", "ImageParameters", "Parameters", "PixelFormat",
+    "HuffmanType", "ImageParameters", "JpegParseError", "Parameters",
+    "PixelFormat",
     "SamplingFactor", "SUBSAMPLING_420", "SUBSAMPLING_422", "SUBSAMPLING_444",
     "YCBCR_JPEG", "get_image_info", "read_image", "suggest_restart_interval",
 ]

@@ -676,6 +676,38 @@ def dc_diff_rows(dc_rows, geo: UniformGeometry):
     return dc_rows - prev
 
 
+def encode_rows_arrays(rows, cls, valid, dc_dist, rst_marker, has_rst,
+                       distances: tuple, bps: int, cap_seg_words: int,
+                       cap_out_bytes: int, W: int,
+                       tabs: PackedTables, use_pallas: bool):
+    """Traced-array core of :func:`encode_rows` (geometry as tensors so
+    large plans can ``lax.map`` over segment chunks)."""
+    prev = jnp.zeros_like(rows[:, 0])
+    for d in distances:
+        sh = jnp.concatenate(
+            [jnp.zeros((d,), rows.dtype), rows[:-d, 0]])
+        prev = jnp.where(dc_dist == d, sh, prev)
+    diff_rows = (rows[:, 0] - prev)[:, None]
+
+    if use_pallas:
+        words, bits = block_chunks_pallas(rows, diff_rows, cls, valid, tabs, W)
+    else:
+        words, bits = block_chunks_xla(rows, diff_rows, cls, valid, tabs, W)
+
+    if use_pallas and cap_seg_words <= 126 and bps > 1 and \
+            (bps & (bps - 1)) == 0:
+        seg_words, seg_bits = merge_segments_pallas(words, bits, bps,
+                                                    cap_seg_words)
+    else:
+        seg_words, seg_bits = merge_segments(words, bits, bps, cap_seg_words)
+    out, out_len, n_ff = stuff_and_rst(
+        seg_words, seg_bits, rst_marker, has_rst, cap_out_bytes)
+    overflow = (jnp.max(bits) > W * 32) | (jnp.max(n_ff) > MAX_STUFF)
+    seg_bits = jnp.where(overflow, seg_bits + (cap_seg_words + 1) * 32,
+                         seg_bits)
+    return out.reshape(-1), out_len, seg_bits, n_ff
+
+
 def encode_rows(rows, geo: UniformGeometry, tabs: PackedTables,
                 use_pallas: bool, rst_marker=None, has_rst=None):
     """Entropy-encode uniform-layout coefficient rows.
@@ -687,32 +719,13 @@ def encode_rows(rows, geo: UniformGeometry, tabs: PackedTables,
     — the contract of huffman_encode_kernel. Capacity overflow (block
     string > W words, or > MAX_STUFF stuffed bytes) is folded into
     seg_bits so the host's single seg_bits-vs-cap check catches it."""
-    cls = jnp.asarray(geo.block_cls)
-    valid = jnp.asarray(geo.block_valid)
-    diff_rows = dc_diff_rows(rows[:, 0], geo)[:, None]
-
-    W = geo.words_per_block
-    if use_pallas:
-        words, bits = block_chunks_pallas(rows, diff_rows, cls, valid, tabs, W)
-    else:
-        words, bits = block_chunks_xla(rows, diff_rows, cls, valid, tabs, W)
-
-    if use_pallas and geo.cap_seg_words <= 126 and geo.bps > 1 and \
-            (geo.bps & (geo.bps - 1)) == 0:
-        seg_words, seg_bits = merge_segments_pallas(
-            words, bits, geo.bps, geo.cap_seg_words)
-    else:
-        seg_words, seg_bits = merge_segments(words, bits, geo.bps,
-                                             geo.cap_seg_words)
-    out, out_len, n_ff = stuff_and_rst(
-        seg_words, seg_bits,
+    return encode_rows_arrays(
+        rows, jnp.asarray(geo.block_cls), jnp.asarray(geo.block_valid),
+        jnp.asarray(geo.dc_dist),
         jnp.asarray(geo.seg_rst_marker) if rst_marker is None else rst_marker,
         jnp.asarray(geo.seg_has_rst) if has_rst is None else has_rst,
-        geo.cap_out_bytes)
-    overflow = (jnp.max(bits) > W * 32) | (jnp.max(n_ff) > MAX_STUFF)
-    seg_bits = jnp.where(overflow, seg_bits + (geo.cap_seg_words + 1) * 32,
-                         seg_bits)
-    return out.reshape(-1), out_len, seg_bits, n_ff
+        geo.dc_distances, geo.bps, geo.cap_seg_words, geo.cap_out_bytes,
+        geo.words_per_block, tabs, use_pallas)
 
 
 def encode_entropy_v2(coeff_scan, geo: UniformGeometry, tabs: PackedTables,

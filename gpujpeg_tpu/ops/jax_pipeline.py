@@ -103,9 +103,14 @@ class _EncContext:
             self._tier2 = ctx
         return self._tier2
 
+    #: rows-per-chunk target for the lax.map-chunked encode of very large
+    #: plans (16K plans otherwise materialize ~18 GB of (n_rows, ·) f32/u32
+    #: intermediates at once and OOM a 16 GB chip)
+    CHUNK_ROWS = 1 << 20
+
     def _build_fn(self, geo):
         from ..tables import dct_zigzag_operator
-        from .entropy_v2 import encode_rows
+        from .entropy_v2 import encode_rows, encode_rows_arrays
 
         plan = self.plan
         quant_zz = self._quant_zz
@@ -129,6 +134,63 @@ class _EncContext:
         idx_plane[geo.coeff_idx >= NB] = plan.n_blocks        # dummy row
         idx_plane_j = jnp.asarray(idx_plane)
         cls_rows = jnp.asarray(geo.block_cls)
+
+        # Very large plans (16K): chunk the DCT+entropy stages over
+        # segment ranges with lax.map so live intermediates stay bounded.
+        # Safe at segment granularity because DC prediction resets at
+        # every segment start (plan.py: dc_pred = -1 at idx % ri == 0).
+        S = geo.n_segments
+        if geo.n_rows > 2 * self.CHUNK_ROWS and S > 1:
+            segs_per_chunk = max(1, self.CHUNK_ROWS // geo.bps)
+            n_chunks = -(-S // segs_per_chunk)
+            S_pad = n_chunks * segs_per_chunk
+            rpad = (S_pad - S) * geo.bps
+            CR = segs_per_chunk * geo.bps
+            idx_p = np.pad(idx_plane, (0, rpad),
+                           constant_values=plan.n_blocks)
+            chunks = (
+                jnp.asarray(idx_p.reshape(n_chunks, CR)),
+                jnp.asarray(np.pad(geo.block_cls, (0, rpad))
+                            .reshape(n_chunks, CR)),
+                jnp.asarray(np.pad(geo.block_valid, (0, rpad))
+                            .reshape(n_chunks, CR)),
+                jnp.asarray(np.pad(geo.dc_dist, (0, rpad))
+                            .reshape(n_chunks, CR)),
+                jnp.asarray(np.pad(geo.seg_rst_marker, (0, S_pad - S))
+                            .reshape(n_chunks, segs_per_chunk)),
+                jnp.asarray(np.pad(geo.seg_has_rst, (0, S_pad - S))
+                            .reshape(n_chunks, segs_per_chunk)),
+            )
+            distances = geo.dc_distances
+            bps, csw = geo.bps, geo.cap_seg_words
+            cob, W = geo.cap_out_bytes, geo.words_per_block
+
+            @jax.jit
+            def fn_chunked(raw):
+                planes = preprocess(raw, plan.image, plan, jnp)
+                planes = jax.lax.optimization_barrier(tuple(planes))
+                pblocks = jnp.concatenate(
+                    [plane_to_blocks(p, jnp) for p in planes])
+                pblocks = jnp.concatenate(
+                    [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
+
+                def body(c):
+                    idxc, clsc, valc, dcdc, rstc, hrstc = c
+                    x = pblocks[idxc].astype(jnp.float32)
+                    y = jax.lax.dot_general(
+                        x, D, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32) - bias
+                    rows = jnp.rint(y / qdiv[clsc]).astype(jnp.int32)
+                    return encode_rows_arrays(
+                        rows, clsc, valc, dcdc, rstc, hrstc, distances,
+                        bps, csw, cob, W, tabs, use_pallas)
+
+                out, out_len, seg_bits, n_ff = jax.lax.map(body, chunks)
+                return (out.reshape(-1), out_len.reshape(-1),
+                        seg_bits.reshape(-1), n_ff.reshape(-1))
+
+            return fn_chunked
 
         @jax.jit
         def fn(raw):

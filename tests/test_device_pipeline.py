@@ -123,6 +123,29 @@ def test_device_encoder_full_stream_pil():
     assert psnr(pil, img) > 32.0
 
 
+def test_device_encoder_chunked_matches_single_shot():
+    """The lax.map segment-chunked encode (used for very large plans)
+    must be byte-identical to the single-shot path."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    h, w = 64, 80
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=2)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    enc = Encoder(backend="jax")
+    want = enc.encode(img.reshape(-1), params, image)
+
+    old = jp._EncContext.CHUNK_ROWS
+    jp._EncContext.CHUNK_ROWS = 64   # force several chunks at this size
+    jp._ENC_CACHE.clear()
+    try:
+        got = enc.encode(img.reshape(-1), params, image)
+    finally:
+        jp._EncContext.CHUNK_ROWS = old
+        jp._ENC_CACHE.clear()
+    assert got == want
+
+
 def test_device_decoder_matches_golden():
     h, w = 64, 80
     img = make_test_rgb(h, w)
