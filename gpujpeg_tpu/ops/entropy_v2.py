@@ -111,6 +111,19 @@ def _pow2(n: int) -> int:
     return p
 
 
+def block_byte_budget(quality: int) -> int:
+    """Tier-1 per-block string capacity (bytes). Stage-1 window assembly
+    cost is linear in this (W = ceil(cap/4) words per block), so the
+    encoder first runs with a typical-content cap — worst legal blocks
+    (~209 bytes) overflow, are detected via seg_bits, and re-run on the
+    tier-2 worst-case geometry (cap_for_quality)."""
+    if quality >= 98:
+        return 224
+    if quality >= 80:
+        return 32   # W=8 (pow2 keeps the packed merge path eligible)
+    return 16       # W=4
+
+
 def seg_budget_for_quality(quality: int, bps: int) -> int:
     """Typical-content per-segment byte budget (tier-1 sizing). Real photo
     blocks at Q75 average ~4-8 bytes; the worst-case cap (cap_for_quality)
@@ -198,9 +211,12 @@ def _chunk_planes(c, diff, cls, valid, t):
       t: dict of packed table arrays (ac512, dc64, zrl2, eob2 jnp arrays)
         plus a `lookup(tab, idx, n)` function.
 
-    Returns (vals, lens, offs) lists of three (T, 64) planes
-    [A: up-to-2 ZRLs | B: 3rd ZRL | C: code+value bits] with plane A col 0
-    repurposed for the EOB chunk, plus block_bits (T, 1).
+    Returns per-lane COMBINED chunks (hi, lo, ln, off): each lane's
+    emissions (up to 3 ZRLs + code+value bits, <= 60 bits total)
+    concatenated into one bit string held right-aligned in the (hi, lo)
+    word pair; EOB rides in lane 63's otherwise-empty slot, whose stream
+    offset is exactly the post-coefficients position. Plus block_bits
+    (T, 1).
     """
     T = c.shape[0]
     k = jax.lax.broadcasted_iota(I32, (T, 64), 1)
@@ -218,7 +234,7 @@ def _chunk_planes(c, diff, cls, valid, t):
     run = jnp.where(nz, k - prev - 1, 0)
     r16 = jnp.where(nz, run >> 4, 0)
 
-    # C plane: DC or AC code + value bits
+    # C chunk: DC or AC code + value bits (<= 27 bits)
     sym = ((run & 15) << 4) | cat
     entry_ac = t["lookup512"](cls * 256 + sym)
     entry_dc = t["lookup64"](cls * 32 + jnp.minimum(cat, 15))
@@ -229,7 +245,7 @@ def _chunk_planes(c, diff, cls, valid, t):
     lenC = jnp.where(emit, clen + cat, 0) * valid
     valC = jnp.where(emit, (code << cat) | vbits, 0)
 
-    # ZRL planes
+    # ZRL chunks: A = up to 2 ZRLs (<= 22 bits), B = 3rd (<= 11 bits)
     zc = jnp.where(cls > 0, t["zrl_c"][0], t["zrl_l"][0])
     zl = jnp.where(cls > 0, t["zrl_c"][1], t["zrl_l"][1])
     n1 = jnp.minimum(r16, 2)
@@ -239,51 +255,64 @@ def _chunk_planes(c, diff, cls, valid, t):
     lenB = jnp.maximum(r16 - 2, 0) * zl * valid
     valB = jnp.where(lenB > 0, zc, 0)
 
-    # per-position lengths in emission order (A,B,C), cumsum over lanes
+    # per-lane offsets in emission order, cumsum over lanes (EOB excluded)
     len_pos = lenA + lenB + lenC
     csum = t["cumsum"](len_pos)
-    off_pos = csum - len_pos
+    off = csum - len_pos
     pre_eob_bits = csum[:, 63:64]
 
-    offA = off_pos
-    offB = off_pos + lenA
-    offC = offB + lenB
-
-    # EOB in plane A col 0 (order-free: only offsets matter)
+    # EOB in lane 63: c[63] == 0 implies lane 63 emits nothing, and its
+    # offset (= pre_eob_bits) is exactly where EOB belongs
     has_eob = (c[:, 63:64] == 0) & (valid > 0)
     ec = jnp.where(cls > 0, t["eob_c"][0], t["eob_l"][0])
     el = jnp.where(cls > 0, t["eob_c"][1], t["eob_l"][1])
     eob_len = jnp.where(has_eob, el, 0)
-    col0 = k == 0
-    lenA = jnp.where(col0, eob_len, lenA)
-    valA = jnp.where(col0, ec, valA)
-    offA = jnp.where(col0, pre_eob_bits, offA)
+    lane63 = k == 63
+    lenC = jnp.where(lane63 & has_eob, el, lenC)
+    valC = jnp.where(lane63 & has_eob, ec, valC)
+
+    # concatenate A ++ B ++ C into one right-aligned (hi, lo) bit pair
+    hi = jnp.zeros((T, 64), I32)
+    lo = jnp.zeros((T, 64), I32)
+    ln = jnp.zeros((T, 64), I32)
+    for val, n in ((valA, lenA), (valB, lenB), (valC, lenC)):
+        carry = jnp.where(n > 0, _srl(lo, 32 - n), 0)
+        hi = (hi << n) | carry
+        lo = (lo << n) | val
+        ln = ln + n
 
     block_bits = pre_eob_bits + eob_len
-    return (valA, valB, valC), (lenA, lenB, lenC), (offA, offB, offC), block_bits
+    return hi, lo, ln, off, block_bits
 
 
-def _windows(vals, lens, offs, W: int):
-    """Dense window assembly: (T, W) words from 3 chunk planes.
+def _srl(x, n):
+    """Logical (unsigned) right shift on int32 lanes."""
+    return jax.lax.shift_right_logical(x, n)
 
-    Runs in int32 (Mosaic cannot reduce unsigned ints): chunk values are
-    non-negative and <= 27 bits, so `>>` never sign-extends and `<<`
-    wraps mod 2^32 exactly like the uint math the merge stage expects;
-    the final convert to uint32 is a mod-2^32 reinterpretation."""
-    T = vals[0].shape[0]
+
+def _windows(hi, lo, ln, off, W: int):
+    """Dense window assembly: (T, W) words from per-lane (hi, lo) chunks.
+
+    Runs in int32 (Mosaic cannot reduce unsigned ints): `<<` wraps mod
+    2^32 and right shifts are explicit logical shifts, so the math is
+    exactly the uint32 math the merge stage expects; the final convert
+    to uint32 is a mod-2^32 reinterpretation."""
+    T = hi.shape[0]
+    nl = jnp.minimum(ln, 32)
+    nh = ln - nl
+    offl = off + nh
     out = []
     for w in range(W):
-        acc = jnp.zeros((T, 1), I32)
-        for val, ln, off in zip(vals, lens, offs):
-            rel = off - 32 * w
-            sh = 32 - rel - ln
+        total = jnp.zeros((T, 64), I32)
+        for val, n, o in ((hi, nh, off), (lo, nl, offl)):
+            rel = o - 32 * w
+            sh = 32 - rel - n
             pos_sh = jnp.clip(sh, 0, 31)
             neg_sh = jnp.clip(-sh, 0, 31)
-            contrib = jnp.where(sh >= 0, val << pos_sh, val >> neg_sh)
-            mask = (ln > 0) & (rel < 32) & (rel + ln > 0)
-            acc = acc + jnp.sum(jnp.where(mask, contrib, 0),
-                                axis=1, keepdims=True, dtype=I32)
-        out.append(acc)
+            contrib = jnp.where(sh >= 0, val << pos_sh, _srl(val, neg_sh))
+            mask = (n > 0) & (rel < 32) & (rel + n > 0)
+            total = total + jnp.where(mask, contrib, 0)
+        out.append(jnp.sum(total, axis=1, keepdims=True, dtype=I32))
     return jnp.concatenate(out, axis=1).astype(U32)
 
 
@@ -310,9 +339,9 @@ def _xla_helpers(tabs: PackedTables):
 def block_chunks_xla(coeff, diff, cls, valid, tabs: PackedTables, W: int):
     """(N, 64) coeffs -> (N, W) uint32 local words + (N, 1) bit lengths."""
     t = _xla_helpers(tabs)
-    vals, lens, offs, bits = _chunk_planes(
+    hi, lo, ln, off, bits = _chunk_planes(
         coeff, diff, cls[:, None], valid[:, None], t)
-    return _windows(vals, lens, offs, W), bits
+    return _windows(hi, lo, ln, off, W), bits
 
 
 # ---- Pallas TPU implementation ----
@@ -404,9 +433,9 @@ def block_chunks_pallas(coeff, diff, cls, valid, tabs: PackedTables, W: int,
     def kernel(coeff_ref, diff_ref, cls_ref, valid_ref, ac_ref, dc_ref,
                words_ref, bits_ref):
         t = _pallas_helpers(ac_ref[:], dc_ref[:], tabs)
-        vals, lens, offs, bits = _chunk_planes(
+        hi, lo, ln, off, bits = _chunk_planes(
             coeff_ref[:], diff_ref[:], cls_ref[:], valid_ref[:], t)
-        words_ref[:] = _windows(vals, lens, offs, W)
+        words_ref[:] = _windows(hi, lo, ln, off, W)
         bits_ref[:] = bits
 
     grid = (N // tile,)
@@ -543,6 +572,153 @@ def merge_segments_pallas(words, bits, bps: int, cap_words: int,
         ),
     )(words, bits)
     return out_w[:S], out_b[:S, 0]
+
+
+def _merge_level_packed(x, blen, R: int, lane):
+    """One packed merge level: pair-concatenate adjacent R-lane strings
+    inside their 2R-lane window, in place. x (T, L) uint32 words, blen
+    (T, L) int32 bit lengths replicated across each string's lanes."""
+    L = x.shape[1]
+    loc = lane & (2 * R - 1)
+    base = lane - loc
+    lb = jnp.take_along_axis(blen, base, axis=1)
+    rb = jnp.take_along_axis(blen, base + R, axis=1)
+    sh = (lb & 31).astype(U32)
+    o = lb >> 5
+    is_right = loc >= R
+    v = jnp.where(is_right, x, 0)
+    prev = jnp.concatenate([jnp.zeros((x.shape[0], 1), x.dtype),
+                            v[:, :-1]], axis=1)
+    lo = jnp.where(sh > 0, v >> sh, v)
+    hi = jnp.where(sh > 0, prev << ((32 - sh) & 31).astype(U32), 0)
+    shifted = lo | hi
+    # word roll: dst lane d reads the shifted right string at d - o + R
+    src = lane + R - o
+    rolled = jnp.take_along_axis(shifted, jnp.clip(src, 0, L - 1), axis=1)
+    # bit-shifting a full R-word right string spills its last sh bits
+    # into a virtual word R (local index 2R) past the window
+    tail = jnp.take_along_axis(v, base + (2 * R - 1), axis=1)
+    spill = jnp.where(sh > 0, tail << ((32 - sh) & 31).astype(U32), 0)
+    rolled = jnp.where((loc >= o) & (loc - o < R), rolled,
+                       jnp.where(loc - o == R, spill, 0))
+    return jnp.where(is_right, 0, x) | rolled, lb + rb
+
+
+def _merge_level_cross(x, blen, R: int):
+    """Row-pair merge level for strings wider than a vreg: x (rows, 2R)
+    with the left string in lanes [0, R) and the right in [R, 2R),
+    R >= 128. Mosaic's per-lane dynamic gather spans at most 128 lanes,
+    so the word roll runs per 128-lane destination chunk, selecting from
+    the (at most two) source slices it straddles."""
+    rows = x.shape[0]
+    lb = blen[:, 0:1]
+    rb = blen[:, R:R + 1]
+    sh = (lb & 31).astype(U32)
+    o = lb >> 5
+    v = x[:, R:]
+    prev = jnp.concatenate([jnp.zeros((rows, 1), x.dtype), v[:, :-1]], axis=1)
+    lo = jnp.where(sh > 0, v >> sh, v)
+    hi = jnp.where(sh > 0, prev << ((32 - sh) & 31).astype(U32), 0)
+    spill = jnp.where(sh > 0, v[:, R - 1:R] << ((32 - sh) & 31).astype(U32),
+                      0)
+    shifted = jnp.concatenate([lo | hi, spill], axis=1)     # (rows, R + 1)
+    chunks = []
+    for c in range(0, 2 * R, 128):
+        dst = jax.lax.broadcasted_iota(I32, (rows, 128), 1) + c
+        src = dst - o                                       # in [0, R] valid
+        rolled = jnp.zeros((rows, 128), x.dtype)
+        for s0 in range(0, R + 1, 128):
+            sl = shifted[:, s0:s0 + 128]
+            if sl.shape[1] < 128:
+                sl = jnp.pad(sl, ((0, 0), (0, 128 - sl.shape[1])))
+            idx = src - s0
+            part = jnp.take_along_axis(sl, jnp.clip(idx, 0, 127), axis=1)
+            rolled = jnp.where((idx >= 0) & (idx < 128), part, rolled)
+        rolled = jnp.where((src >= 0) & (src <= R), rolled, 0)
+        left = jnp.where(dst < R, x[:, c:c + 128], 0)
+        chunks.append(left | rolled)
+    x2 = jnp.concatenate(chunks, axis=1)
+    return x2, jnp.broadcast_to(lb + rb, (rows, 2 * R))
+
+
+def merge_segments_packed(words, bits, bps: int, W: int, cap_words: int,
+                          seg_tile: int = 256):
+    """Fully lane-packed Pallas tree merge (TPU).
+
+    Level-0 block strings (W words each) are packed 128/W per 128-lane
+    row — a free row-major reshape of the (N, W) window array — so every
+    merge level runs at full vreg occupancy (the unpacked kernel spends
+    its early levels on rows that are >90% padding; at 8K Q75 this is
+    the difference between ~18 ms and ~1 ms). Strings pair-merge in
+    place inside their 2R-lane window; segments wider than 128 lanes
+    (bps*W > 128) finish with row-pair levels via the 2x-lane reshape.
+    Requires pow2 bps and W; any cap_words. Capacity overflow (segment
+    bits beyond bps*W*32) self-masks in the roll and surfaces through
+    the returned bit lengths, matching the other merge paths."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, _ = words.shape
+    S = n_rows // bps
+    P = bps * W                          # lanes per segment string
+    bpr = 128 // W                       # blocks per 128-lane row
+    spt = max(1, seg_tile * 128 // P)    # segments per grid tile
+    S_pad = -(-S // spt) * spt
+    if S_pad != S:
+        pad = (S_pad - S) * bps
+        words = jnp.pad(words, ((0, pad), (0, 0)))
+        bits = jnp.pad(bits, ((0, pad), (0, 0)))
+    rows0 = S_pad * P // 128
+    w2 = words.reshape(rows0, 128)
+    b2 = bits.reshape(rows0, bpr)
+
+    log2W = W.bit_length() - 1
+    n_cross = (P // 128).bit_length() - 1 if P > 128 else 0
+    R_f = max(P, 128)
+    tile_f = seg_tile >> n_cross
+
+    def kernel(w_ref, b_ref, out_w_ref, out_b_ref):
+        x = w_ref[:]
+        T = x.shape[0]
+        lane = jax.lax.broadcasted_iota(I32, (T, 128), 1)
+        bpad = jnp.pad(b_ref[:], ((0, 0), (0, 128 - bpr)))
+        blen = jnp.take_along_axis(bpad, lane >> log2W, axis=1)
+        R = W
+        while R < min(P, 128):
+            x, blen = _merge_level_packed(x, blen, R, lane)
+            R *= 2
+        while R < P:
+            rows = x.shape[0]
+            x = x.reshape(rows // 2, 2 * R)
+            blen = blen.reshape(rows // 2, 2 * R)
+            x, blen = _merge_level_cross(x, blen, R)
+            R *= 2
+        out_w_ref[:] = x
+        out_b_ref[:] = blen
+
+    out_w, out_b = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((rows0 >> n_cross, R_f), jnp.uint32),
+                   jax.ShapeDtypeStruct((rows0 >> n_cross, R_f), jnp.int32)),
+        grid=(rows0 // seg_tile,),
+        in_specs=[
+            pl.BlockSpec((seg_tile, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_tile, bpr), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_f, R_f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_f, R_f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(w2, b2)
+    segs = out_w.reshape(S_pad, P)[:S]
+    segb = out_b.reshape(S_pad, P)[:S, 0]
+    if cap_words <= P:
+        return segs[:, :cap_words], segb
+    return jnp.pad(segs, ((0, 0), (0, cap_words - P))), segb
 
 
 def merge_segments(words, bits, bps: int, cap_words: int):
@@ -694,8 +870,11 @@ def encode_rows_arrays(rows, cls, valid, dc_dist, rst_marker, has_rst,
     else:
         words, bits = block_chunks_xla(rows, diff_rows, cls, valid, tabs, W)
 
-    if use_pallas and cap_seg_words <= 126 and bps > 1 and \
-            (bps & (bps - 1)) == 0:
+    pow2 = lambda v: v > 0 and (v & (v - 1)) == 0  # noqa: E731
+    if use_pallas and bps > 1 and pow2(bps) and pow2(W) and bps * W <= 512:
+        seg_words, seg_bits = merge_segments_packed(words, bits, bps, W,
+                                                    cap_seg_words)
+    elif use_pallas and cap_seg_words <= 126 and bps > 1 and pow2(bps):
         seg_words, seg_bits = merge_segments_pallas(words, bits, bps,
                                                     cap_seg_words)
     else:

@@ -67,7 +67,8 @@ class _EncContext:
 
     def __init__(self, plan: CoderPlan, quant_zz: dict, huff: dict):
         from .entropy_v2 import (
-            build_packed_tables, build_uniform_geometry, seg_budget_for_quality)
+            block_byte_budget, build_packed_tables, build_uniform_geometry,
+            seg_budget_for_quality)
 
         self.plan = plan
         self._quant_zz = quant_zz
@@ -78,7 +79,8 @@ class _EncContext:
         geo_probe = build_uniform_geometry(plan)
         budget = seg_budget_for_quality(plan.params.quality, geo_probe.bps)
         self.geo = build_uniform_geometry(
-            plan, seg_byte_budget=min(budget, geo_probe.cap_seg_words * 4))
+            plan, cap_bytes_per_block=block_byte_budget(plan.params.quality),
+            seg_byte_budget=min(budget, geo_probe.cap_seg_words * 4))
         self.cap_seg_bytes = self.geo.cap_seg_words * 4
         self.cap_out_bytes = self.geo.cap_out_bytes
         self.n_pad_segments = self.geo.n_segments
@@ -134,6 +136,11 @@ class _EncContext:
         idx_plane[geo.coeff_idx >= NB] = plan.n_blocks        # dummy row
         idx_plane_j = jnp.asarray(idx_plane)
         cls_rows = jnp.asarray(geo.block_cls)
+        # Non-interleaved plans with segment counts that divide evenly have
+        # plane order == uniform-row order; skipping the (n_rows, 64) row
+        # gather (XLA can't see it's the identity) saves ~15 ms at 8K.
+        identity_gather = bool(
+            np.array_equal(idx_plane, np.arange(geo.n_rows, dtype=np.int64)))
 
         # Very large plans (16K): chunk the DCT+entropy stages over
         # segment ranges with lax.map so live intermediates stay bounded.
@@ -171,12 +178,8 @@ class _EncContext:
                 planes = jax.lax.optimization_barrier(tuple(planes))
                 pblocks = jnp.concatenate(
                     [plane_to_blocks(p, jnp) for p in planes])
-                pblocks = jnp.concatenate(
-                    [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
 
-                def body(c):
-                    idxc, clsc, valc, dcdc, rstc, hrstc = c
-                    x = pblocks[idxc].astype(jnp.float32)
+                def tail(x, clsc, valc, dcdc, rstc, hrstc):
                     y = jax.lax.dot_general(
                         x, D, (((1,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
@@ -186,7 +189,26 @@ class _EncContext:
                         rows, clsc, valc, dcdc, rstc, hrstc, distances,
                         bps, csw, cob, W, tabs, use_pallas)
 
-                out, out_len, seg_bits, n_ff = jax.lax.map(body, chunks)
+                if identity_gather:
+                    pb = jnp.concatenate(
+                        [pblocks, jnp.zeros((rpad, 64), pblocks.dtype)])
+                    xs = (pb.reshape(n_chunks, CR, 64),) + chunks[1:]
+
+                    def body(c):
+                        pbc, clsc, valc, dcdc, rstc, hrstc = c
+                        return tail(pbc.astype(jnp.float32), clsc, valc,
+                                    dcdc, rstc, hrstc)
+                else:
+                    pb = jnp.concatenate(
+                        [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
+                    xs = chunks
+
+                    def body(c):
+                        idxc, clsc, valc, dcdc, rstc, hrstc = c
+                        return tail(pb[idxc].astype(jnp.float32), clsc,
+                                    valc, dcdc, rstc, hrstc)
+
+                out, out_len, seg_bits, n_ff = jax.lax.map(body, xs)
                 return (out.reshape(-1), out_len.reshape(-1),
                         seg_bits.reshape(-1), n_ff.reshape(-1))
 
@@ -200,9 +222,12 @@ class _EncContext:
             planes = jax.lax.optimization_barrier(tuple(planes))
             pblocks = jnp.concatenate(
                 [plane_to_blocks(p, jnp) for p in planes])
-            pblocks = jnp.concatenate(
-                [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
-            x = pblocks[idx_plane_j].astype(jnp.float32)     # (n_rows, 64)
+            if identity_gather:
+                x = pblocks.astype(jnp.float32)              # (n_rows, 64)
+            else:
+                pblocks = jnp.concatenate(
+                    [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
+                x = pblocks[idx_plane_j].astype(jnp.float32)  # (n_rows, 64)
             y = jax.lax.dot_general(
                 x, D, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
