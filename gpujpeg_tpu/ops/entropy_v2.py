@@ -413,9 +413,132 @@ def _pallas_helpers(ac512_ref, dc128_ref, tabs: PackedTables):
     }
 
 
+def _chunk_planes_packed(c, diff2, cls2, valid2, t, W: int):
+    """Two-blocks-per-row variant of :func:`_chunk_planes` + windows.
+
+    All (tile, 64) arrays of the unpacked formulation waste half of every
+    vreg (Mosaic pads the 64-lane minor dim to 128); here two consecutive
+    blocks share each 128-lane row, halving the vector-op count. Scans
+    (cumsum/cummax) mask at the 64-lane block boundary.
+
+    c: (T2, 128) int32 — blocks 2i (lanes 0-63) and 2i+1 (lanes 64-127).
+    diff2/cls2/valid2: (T2, 2) int32 per-block scalars.
+    Returns (words (T2, 2W) uint32, bits (T2, 2) int32).
+    """
+    T2 = c.shape[0]
+    lane = jax.lax.broadcasted_iota(I32, (T2, 128), 1)
+    k = lane & 63
+    left = lane < 64
+
+    def expand(a2):
+        return jnp.where(left, a2[:, 0:1], a2[:, 1:2])
+
+    def cummax64(x):
+        s = 1
+        while s < 64:
+            sh = jnp.concatenate(
+                [jnp.full((T2, s), jnp.iinfo(jnp.int32).min, x.dtype),
+                 x[:, :-s]], axis=1)
+            x = jnp.maximum(x, jnp.where(k >= s, sh, x))
+            s <<= 1
+        return x
+
+    def cumsum64(x):
+        s = 1
+        while s < 64:
+            sh = jnp.concatenate(
+                [jnp.zeros((T2, s), x.dtype), x[:, :-s]], axis=1)
+            x = x + jnp.where(k >= s, sh, 0)
+            s <<= 1
+        return x
+
+    diff = expand(diff2)
+    cls = expand(cls2)
+    valid = expand(valid2)
+
+    is_dc = k == 0
+    v = jnp.where(is_dc, diff, c)
+    nz = (v != 0) & (~is_dc)
+
+    av = jnp.abs(v)
+    cat = 32 - t["clz"](av)
+    vbits = jnp.where(v >= 0, v, v + (1 << cat) - 1) & ((1 << cat) - 1)
+
+    prev_incl = cummax64(jnp.where(nz, k, 0))
+    prev = t["shift_lanes_right"](prev_incl, 1)
+    run = jnp.where(nz, k - prev - 1, 0)
+    r16 = jnp.where(nz, run >> 4, 0)
+
+    sym = ((run & 15) << 4) | cat
+    entry_ac = t["lookup512"](cls * 256 + sym)
+    entry_dc = t["lookup64"](cls * 32 + jnp.minimum(cat, 15))
+    entry = jnp.where(is_dc, entry_dc, entry_ac)
+    code = entry >> 5
+    clen = entry & 31
+    emit = is_dc | nz
+    lenC = jnp.where(emit, clen + cat, 0) * valid
+    valC = jnp.where(emit, (code << cat) | vbits, 0)
+
+    zc = jnp.where(cls > 0, t["zrl_c"][0], t["zrl_l"][0])
+    zl = jnp.where(cls > 0, t["zrl_c"][1], t["zrl_l"][1])
+    n1 = jnp.minimum(r16, 2)
+    lenA = n1 * zl * valid
+    valA = jnp.where(n1 == 2, (zc << zl) | zc,
+                     jnp.where(n1 == 1, zc, 0))
+    lenB = jnp.maximum(r16 - 2, 0) * zl * valid
+    valB = jnp.where(lenB > 0, zc, 0)
+
+    len_pos = lenA + lenB + lenC
+    csum = cumsum64(len_pos)
+    off = csum - len_pos
+
+    # EOB rides in each block's lane 63 when its last AC is zero
+    is63 = k == 63
+    czero63 = (c == 0) & is63 & (valid > 0)
+    ec = jnp.where(cls > 0, t["eob_c"][0], t["eob_l"][0])
+    el = jnp.where(cls > 0, t["eob_c"][1], t["eob_l"][1])
+    lenC = jnp.where(czero63, el, lenC)
+    valC = jnp.where(czero63, ec, valC)
+    eob_len = jnp.where(czero63, el, 0)
+
+    hi = jnp.zeros((T2, 128), I32)
+    lo = jnp.zeros((T2, 128), I32)
+    ln = jnp.zeros((T2, 128), I32)
+    for val, n in ((valA, lenA), (valB, lenB), (valC, lenC)):
+        carry = jnp.where(n > 0, _srl(lo, 32 - n), 0)
+        hi = (hi << n) | carry
+        lo = (lo << n) | val
+        ln = ln + n
+
+    # window assembly; per-block sums land in lanes 63 / 127 of cumsum64
+    nl = jnp.minimum(ln, 32)
+    nh = ln - nl
+    offl = off + nh
+    cols_l, cols_r = [], []
+    for w in range(W):
+        total = jnp.zeros((T2, 128), I32)
+        for val, n, o in ((hi, nh, off), (lo, nl, offl)):
+            rel = o - 32 * w
+            sh = 32 - rel - n
+            pos_sh = jnp.clip(sh, 0, 31)
+            neg_sh = jnp.clip(-sh, 0, 31)
+            contrib = jnp.where(sh >= 0, val << pos_sh, _srl(val, neg_sh))
+            mask = (n > 0) & (rel < 32) & (rel + n > 0)
+            total = total + jnp.where(mask, contrib, 0)
+        tsum = cumsum64(total)
+        cols_l.append(tsum[:, 63:64])
+        cols_r.append(tsum[:, 127:128])
+    words = jnp.concatenate(cols_l + cols_r, axis=1).astype(U32)
+
+    bsum = csum + eob_len
+    bits = jnp.concatenate([bsum[:, 63:64], bsum[:, 127:128]], axis=1)
+    return words, bits
+
+
 def block_chunks_pallas(coeff, diff, cls, valid, tabs: PackedTables, W: int,
                         tile: int = 512):
-    """Pallas version of :func:`block_chunks_xla` (TPU only)."""
+    """Pallas version of :func:`block_chunks_xla` (TPU only), two blocks
+    per 128-lane row."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -430,33 +553,40 @@ def block_chunks_pallas(coeff, diff, cls, valid, tabs: PackedTables, W: int,
     ac512 = jnp.asarray(tabs.ac512)
     dc128 = jnp.asarray(np.concatenate([tabs.dc64, np.zeros(64, np.int32)]))
 
+    T2 = tile // 2
+    c2 = coeff.reshape(N // 2, 128)
+    d2 = diff.reshape(N // 2, 2)
+    cls2 = cls.reshape(N // 2, 2)
+    val2 = valid.reshape(N // 2, 2)
+
     def kernel(coeff_ref, diff_ref, cls_ref, valid_ref, ac_ref, dc_ref,
                words_ref, bits_ref):
         t = _pallas_helpers(ac_ref[:], dc_ref[:], tabs)
-        hi, lo, ln, off, bits = _chunk_planes(
-            coeff_ref[:], diff_ref[:], cls_ref[:], valid_ref[:], t)
-        words_ref[:] = _windows(hi, lo, ln, off, W)
-        bits_ref[:] = bits
+        words_ref[:], bits_ref[:] = _chunk_planes_packed(
+            coeff_ref[:], diff_ref[:], cls_ref[:], valid_ref[:], t, W)
 
     grid = (N // tile,)
     words, bits = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((N, W), jnp.uint32),
-                   jax.ShapeDtypeStruct((N, 1), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((N // 2, 2 * W), jnp.uint32),
+                   jax.ShapeDtypeStruct((N // 2, 2), jnp.int32)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((512,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((128,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 2 * W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
-    )(coeff, diff, cls[:, None], valid[:, None], ac512, dc128)
+    )(c2, d2, cls2, val2, ac512, dc128)
+    words = words.reshape(N, W)
+    bits = bits.reshape(N, 1)
     if pad:
         words = words[:-pad]
         bits = bits[:-pad]

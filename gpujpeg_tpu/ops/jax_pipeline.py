@@ -123,11 +123,34 @@ class _EncContext:
         D = jnp.asarray(D64.astype(np.float32))
         bias = jnp.asarray(bias64.astype(np.float32))
         n_qt = max(c.quant_table_index for c in plan.components) + 1
-        qdiv = np.zeros((max(n_qt, 2), 64), np.float32)
-        for qi in range(max(n_qt, 2)):
+        n_q = max(n_qt, 2)
+        qdiv_h = np.ones((n_q, 64), np.float32)
+        for qi in range(n_q):
             if qi in quant_zz:
-                qdiv[qi] = np.asarray(quant_zz[qi], np.float32)
-        qdiv = jnp.asarray(np.maximum(qdiv, 1.0))
+                qdiv_h[qi] = np.maximum(np.asarray(quant_zz[qi], np.float32),
+                                        1.0)
+        qdiv = jnp.asarray(qdiv_h)
+
+        # two-blocks-per-row DCT: (N/2, 128) @ blockdiag(D, D) runs the
+        # MXU at full lane width (measured ~25% faster than the padded
+        # (N, 64) @ (64, 64) form, bit-identical)
+        D2_h = np.zeros((128, 128), np.float32)
+        D2_h[:64, :64] = D64
+        D2_h[64:, 64:] = D64
+        D2 = jnp.asarray(D2_h)
+        bias2 = jnp.asarray(np.concatenate([bias64, bias64])
+                            .astype(np.float32))
+        q2tab = jnp.asarray(np.stack(
+            [np.concatenate([qdiv_h[i], qdiv_h[j]])
+             for i in range(n_q) for j in range(n_q)]))
+
+        def dct_quant_packed(pb2, qidx):
+            """pb2 (M, 128) u8 two blocks per row -> (M, 128) i32."""
+            y = jax.lax.dot_general(
+                pb2.astype(jnp.float32), D2, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32) - bias2
+            return jnp.rint(y / q2tab[qidx]).astype(jnp.int32)
 
         # uniform rows gather straight from plane-order blocks
         NB = plan.n_blocks
@@ -141,6 +164,10 @@ class _EncContext:
         # gather (XLA can't see it's the identity) saves ~15 ms at 8K.
         identity_gather = bool(
             np.array_equal(idx_plane, np.arange(geo.n_rows, dtype=np.int64)))
+        packed_dct = identity_gather and geo.n_rows % 2 == 0
+        if packed_dct:
+            cls_h = np.asarray(geo.block_cls).reshape(-1, 2)
+            qidx_all = jnp.asarray(cls_h[:, 0] * n_q + cls_h[:, 1])
 
         # Very large plans (16K): chunk the DCT+entropy stages over
         # segment ranges with lax.map so live intermediates stay bounded.
@@ -189,7 +216,21 @@ class _EncContext:
                         rows, clsc, valc, dcdc, rstc, hrstc, distances,
                         bps, csw, cob, W, tabs, use_pallas)
 
-                if identity_gather:
+                if packed_dct and CR % 2 == 0:
+                    pb = jnp.concatenate(
+                        [pblocks, jnp.zeros((rpad, 64), pblocks.dtype)])
+                    qidx_p = jnp.concatenate(
+                        [qidx_all, jnp.zeros(rpad // 2, qidx_all.dtype)])
+                    xs = (pb.reshape(n_chunks, CR // 2, 128),
+                          qidx_p.reshape(n_chunks, CR // 2)) + chunks[1:]
+
+                    def body(c):
+                        pbc, qic, clsc, valc, dcdc, rstc, hrstc = c
+                        rows = dct_quant_packed(pbc, qic).reshape(-1, 64)
+                        return encode_rows_arrays(
+                            rows, clsc, valc, dcdc, rstc, hrstc, distances,
+                            bps, csw, cob, W, tabs, use_pallas)
+                elif identity_gather:
                     pb = jnp.concatenate(
                         [pblocks, jnp.zeros((rpad, 64), pblocks.dtype)])
                     xs = (pb.reshape(n_chunks, CR, 64),) + chunks[1:]
@@ -222,17 +263,21 @@ class _EncContext:
             planes = jax.lax.optimization_barrier(tuple(planes))
             pblocks = jnp.concatenate(
                 [plane_to_blocks(p, jnp) for p in planes])
-            if identity_gather:
-                x = pblocks.astype(jnp.float32)              # (n_rows, 64)
+            if packed_dct:
+                rows = dct_quant_packed(
+                    pblocks.reshape(-1, 128), qidx_all).reshape(-1, 64)
             else:
-                pblocks = jnp.concatenate(
-                    [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
-                x = pblocks[idx_plane_j].astype(jnp.float32)  # (n_rows, 64)
-            y = jax.lax.dot_general(
-                x, D, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32) - bias
-            rows = jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
+                if identity_gather:
+                    x = pblocks.astype(jnp.float32)          # (n_rows, 64)
+                else:
+                    pblocks = jnp.concatenate(
+                        [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
+                    x = pblocks[idx_plane_j].astype(jnp.float32)
+                y = jax.lax.dot_general(
+                    x, D, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) - bias
+                rows = jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
             return encode_rows(rows, geo, tabs, use_pallas)
 
         return fn
