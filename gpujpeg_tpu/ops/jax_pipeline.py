@@ -423,7 +423,9 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     use_v3 = wcap <= 384
     if use_v3:
         per_seg = wcap * 4 * 2 + 64 * 4 * 2 + 50 * 8 * 4 // 128 * 4
-        seg_tile = max(128, min(4096, (8 << 20) // max(per_seg, 1)))
+        # 2048 measured fastest at 8K (larger tiles gain nothing once
+        # lane utilization saturates; smaller ones pay launch overhead)
+        seg_tile = max(128, min(2048, (8 << 20) // max(per_seg, 1)))
         seg_tile = 1 << (seg_tile.bit_length() - 1)
     else:
         # v2: ~9 KB/segment of live (T,128) intermediates at wcap=128

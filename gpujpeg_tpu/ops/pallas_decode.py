@@ -46,7 +46,11 @@ U32 = jnp.uint32
 # Table preparation (host)
 # ---------------------------------------------------------------------------
 
-QUICK_BITS = 10
+#: lookahead bits of the quick table. 8 (not the reference's 10,
+#: gpujpeg_huffman_gpu_decoder.cu:43) because the per-iteration lookup
+#: cost on TPU scales with table size (broadcast halves per 128 lanes)
+#: while the slow path is computed unconditionally anyway.
+QUICK_BITS = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -45,6 +45,38 @@ def _bcast_lookup(flat_table, idx, n_entries: int):
     return out
 
 
+def _bcast_lookup16(packed_table, idx, n_entries: int):
+    """Lookup in a 16-bit-packed flat table (two entries per i32 word):
+    halves to scan drop 2x vs :func:`_bcast_lookup`, the dominant
+    per-iteration cost of the decode loop."""
+    G = idx.shape[0]
+    n_half = n_entries // 256
+    p = idx >> 1
+    lo = p & 127
+    out = None
+    for h in range(n_half):
+        tbl = jnp.broadcast_to(
+            packed_table[h * 128:(h + 1) * 128].reshape(1, 128), (G, 128))
+        part = _lane_gather(tbl, lo)
+        out = part if out is None else jnp.where((p >> 7) == h, part, out)
+    return jnp.where((idx & 1) > 0, (out >> 16) & 0xFFFF, out & 0xFFFF)
+
+
+def _pad1k(n: int) -> int:
+    return -(-n // 1024) * 1024
+
+
+def _pack16(table):
+    """Pack a flat i32 table of <=16-bit entries two per word, padded to
+    the 1024-element XLA layout tile for 1D VMEM operands. Traceable."""
+    flat = jnp.asarray(table).reshape(-1).astype(jnp.int32)
+    packed = flat[0::2] | (flat[1::2] << 16)
+    pad = (-packed.shape[0]) % 1024
+    if pad:
+        packed = jnp.concatenate([packed, jnp.zeros((pad,), jnp.int32)])
+    return packed
+
+
 def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                           interleaved_tpl: np.ndarray):
     """seg_tile must be a multiple of 128; wcap the per-segment word
@@ -98,17 +130,18 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
 
         word_iota = jax.lax.broadcasted_iota(I32, (wcap, 128), 0)
 
-        def fetch2(wordpos_g, g):
-            """Words [wp, wp+1] for group g's 128 segments, by masked
-            reduction over the transposed data rows. Runs in int32
-            (Mosaic cannot reduce unsigned ints): exactly one row is
-            non-zero per lane, so the sum is an exact bit pattern."""
-            dat = dataT_ref[:, g * 128:(g + 1) * 128]  # (wcap, 128) int32
-            m0 = word_iota == wordpos_g
-            m1 = word_iota == wordpos_g + 1
-            w0 = jnp.sum(jnp.where(m0, dat, 0), axis=0, keepdims=True)
-            w1 = jnp.sum(jnp.where(m1, dat, 0), axis=0, keepdims=True)
-            return w0, w1
+        def fetch1(wordpos):
+            """Word [wp] per segment lane, by masked reduction over the
+            transposed data rows. Runs in int32 (Mosaic cannot reduce
+            unsigned ints): exactly one row is non-zero per lane, so the
+            sum is an exact bit pattern. wordpos: (G, 128)."""
+            outs = []
+            for g in range(G):
+                dat = dataT_ref[:, g * 128:(g + 1) * 128]   # (wcap, 128)
+                m = word_iota == wordpos[g:g + 1, :]
+                outs.append(jnp.sum(jnp.where(m, dat, 0), axis=0,
+                                    keepdims=True))
+            return jnp.concatenate(outs, axis=0).astype(U32)    # (G, 128)
 
         # k-major coefficient rows (row = k*G + g): pltpu.repeat TILES
         # copies, so repeated (G,128) state aligns with g = row % G
@@ -117,23 +150,21 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
         active0 = (b < segnblk_ref[:]).astype(I32)   # (G,128)
         coeff = jnp.zeros((G * 64, 128), I32)
         kpos = jnp.zeros((G, 128), I32)
+        # shift-register stream window: (w0, w1) ride in loop state and
+        # advance by at most one word per symbol (<= 31 bits consumed),
+        # so each iteration runs ONE masked-reduction fetch, not two
+        wp0 = bitpos[:] >> 5
+        w0_init = fetch1(wp0)
+        w1_init = fetch1(wp0 + 1)
 
         def cond(st):
             act, *_ = st
             return jnp.any(act > 0)
 
         def body(st):
-            act_i, kp, cf, bp, dcp = st
+            act_i, kp, cf, bp, dcp, w0, w1 = st
             act = act_i > 0
 
-            wp = bp >> 5
-            w0s, w1s = [], []
-            for g in range(G):
-                w0g, w1g = fetch2(wp[g:g + 1, :], g)
-                w0s.append(w0g)
-                w1s.append(w1g)
-            w0 = jnp.concatenate(w0s, axis=0).astype(U32)   # (G,128)
-            w1 = jnp.concatenate(w1s, axis=0).astype(U32)
             sh = (bp & 31).astype(U32)
             view = jnp.where(sh > 0,
                              (w0 << sh) | (w1 >> (jnp.uint32(32) - sh)), w0)
@@ -143,7 +174,8 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             slot = jnp.where(is_dc, dslot, aslot)
 
             q_idx = slot * (1 << QUICK_BITS) + (peek16 >> (16 - QUICK_BITS))
-            q = _bcast_lookup(quick_ref[:], q_idx, n_slots * (1 << QUICK_BITS))
+            q = _bcast_lookup16(quick_ref[:], q_idx,
+                                n_slots * (1 << QUICK_BITS))
             q_len = q & 31
             q_sym = q >> 5
 
@@ -159,8 +191,8 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                 dlt = jnp.where(s_len == l,
                                 jnp.where(is_dc, dl_dc[l], dl_ac[l]), dlt)
             v_idx = jnp.clip(s_code + dlt, 0, 255)
-            s_sym = _bcast_lookup(huffval_ref[:], slot * 256 + v_idx,
-                                  n_slots * 256)
+            s_sym = _bcast_lookup16(huffval_ref[:], slot * 256 + v_idx,
+                                    n_slots * 256)
 
             use_quick = q_len > 0
             sym = jnp.where(use_quick, q_sym, s_sym)
@@ -209,13 +241,18 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                 jnp.where(is_zrl, kp + 16,
                           jnp.where(is_eob, 64, kp + run + 1)))
             done = newk >= 64
-            bp = jnp.where(act, bp + ln + cat, bp)
+            bp_new = jnp.where(act, bp + ln + cat, bp)
+            adv = (bp_new >> 5) > (bp >> 5)
+            w_next = fetch1((bp_new >> 5) + 1)
+            w0 = jnp.where(adv, w1, w0)
+            w1 = jnp.where(adv, w_next, w1)
             kp = jnp.where(act, jnp.where(done, 0, newk), kp)
             act_i = jnp.where(act & ~done, 1, 0)
-            return act_i, kp, cf, bp, dcp
+            return act_i, kp, cf, bp_new, dcp, w0, w1
 
-        act, kp, cf, bp_f, dcp_f = jax.lax.while_loop(
-            cond, body, (active0, kpos, coeff, bitpos[:], dcpred[:]))
+        act, kp, cf, bp_f, dcp_f, _, _ = jax.lax.while_loop(
+            cond, body, (active0, kpos, coeff, bitpos[:], dcpred[:],
+                         w0_init, w1_init))
         bitpos[:] = bp_f
         dcpred[:] = dcp_f
         out_ref[0, :, :] = cf
@@ -237,13 +274,13 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((G, 128), lambda i, b: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_slots * (1 << QUICK_BITS),),
+                pl.BlockSpec((_pad1k(n_slots * (1 << QUICK_BITS) // 2),),
                              lambda i, b: (0,), memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_slots, 18), lambda i, b: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_slots, 17), lambda i, b: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_slots * 256,), lambda i, b: (0,),
+                pl.BlockSpec((_pad1k(n_slots * 128),), lambda i, b: (0,),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4,), lambda i, b: (0,),
                              memory_space=pltpu.VMEM),
@@ -257,8 +294,8 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                 pltpu.VMEM((4 * G, 128), I32),   # dcpred planes
             ],
         )(dataT, seg_comp, seg_nblk,
-          jnp.asarray(tabs.quick).reshape(-1), jnp.asarray(tabs.maxcode),
-          jnp.asarray(tabs.delta), jnp.asarray(tabs.huffval).reshape(-1),
+          _pack16(tabs.quick), jnp.asarray(tabs.maxcode),
+          jnp.asarray(tabs.delta), _pack16(tabs.huffval),
           jnp.asarray(dc_slot), jnp.asarray(ac_slot))
         # reorder to scan rows: tile-local row k*G+g, so
         # out[b, t*(64G) + k*G + g, l] -> row ((t*G+g)*128 + l)*bps + b, k
