@@ -102,6 +102,7 @@ class UniformGeometry:
     words_per_block: int        # W
     cap_seg_words: int          # merged string capacity (words)
     cap_out_bytes: int          # stuffed output region capacity per segment
+    max_stuff: int = 255        # stuffing displacement cap (butterfly depth)
 
 
 def _pow2(n: int) -> int:
@@ -194,6 +195,7 @@ def build_uniform_geometry(plan: CoderPlan,
         seg_has_rst=(has_rst if has_rst is not None else g.seg_has_rst),
         words_per_block=W, cap_seg_words=cap_seg_words,
         cap_out_bytes=cap_out,
+        max_stuff=MAX_STUFF_T1 if seg_byte_budget is not None else MAX_STUFF,
     )
 
 
@@ -877,9 +879,14 @@ def merge_segments(words, bits, bps: int, cap_words: int):
 # ---------------------------------------------------------------------------
 
 MAX_STUFF = 255  # max 0xFF bytes per segment handled on device (fits uint8)
+#: tier-1 stuffing cap: typical segments stuff ~2 bytes, so 31 (5
+#: butterfly stages instead of 8) covers real content; overflow falls
+#: back to the tier-2 worst-case geometry like the other caps
+MAX_STUFF_T1 = 31
 
 
-def stuff_and_rst(seg_words, seg_bits, rst_marker, has_rst, cap_out: int):
+def stuff_and_rst(seg_words, seg_bits, rst_marker, has_rst, cap_out: int,
+                  max_stuff: int = MAX_STUFF):
     """(S, CW) uint32 big-endian words -> (S, cap_out) uint8 stuffed bytes
     with byte-align padding and RST markers; returns (out, out_len, n_ff).
 
@@ -919,10 +926,10 @@ def stuff_and_rst(seg_words, seg_bits, rst_marker, has_rst, cap_out: int):
     # Slots nothing routes to are exactly the inserted 0x00 stuff bytes.
     arr = jnp.pad(by, ((0, 0), (0, cap_out - capB)))
     disp = jnp.where(jnp.pad(valid, ((0, 0), (0, cap_out - capB))),
-                     jnp.pad(jnp.minimum(pref_ex, MAX_STUFF).astype(U8),
+                     jnp.pad(jnp.minimum(pref_ex, max_stuff).astype(U8),
                              ((0, 0), (0, cap_out - capB))),
                      jnp.uint8(0))
-    b = min(MAX_STUFF, 255).bit_length() - 1
+    b = min(max_stuff, 255).bit_length() - 1
     while (1 << b) >= cap_out:
         b -= 1
     zero8 = jnp.uint8(0)
@@ -941,7 +948,7 @@ def stuff_and_rst(seg_words, seg_bits, rst_marker, has_rst, cap_out: int):
         b -= 1
     out = arr
 
-    stuffed_len = seg_len + jnp.minimum(n_ff, MAX_STUFF)
+    stuffed_len = seg_len + jnp.minimum(n_ff, max_stuff)
     oidx = jax.lax.broadcasted_iota(I32, (S, cap_out), 1)
     rpos = stuffed_len[:, None]
     hr = (has_rst > 0)[:, None]
@@ -985,7 +992,8 @@ def dc_diff_rows(dc_rows, geo: UniformGeometry):
 def encode_rows_arrays(rows, cls, valid, dc_dist, rst_marker, has_rst,
                        distances: tuple, bps: int, cap_seg_words: int,
                        cap_out_bytes: int, W: int,
-                       tabs: PackedTables, use_pallas: bool):
+                       tabs: PackedTables, use_pallas: bool,
+                       max_stuff: int = MAX_STUFF):
     """Traced-array core of :func:`encode_rows` (geometry as tensors so
     large plans can ``lax.map`` over segment chunks)."""
     prev = jnp.zeros_like(rows[:, 0])
@@ -1010,8 +1018,8 @@ def encode_rows_arrays(rows, cls, valid, dc_dist, rst_marker, has_rst,
     else:
         seg_words, seg_bits = merge_segments(words, bits, bps, cap_seg_words)
     out, out_len, n_ff = stuff_and_rst(
-        seg_words, seg_bits, rst_marker, has_rst, cap_out_bytes)
-    overflow = (jnp.max(bits) > W * 32) | (jnp.max(n_ff) > MAX_STUFF)
+        seg_words, seg_bits, rst_marker, has_rst, cap_out_bytes, max_stuff)
+    overflow = (jnp.max(bits) > W * 32) | (jnp.max(n_ff) > max_stuff)
     seg_bits = jnp.where(overflow, seg_bits + (cap_seg_words + 1) * 32,
                          seg_bits)
     return out.reshape(-1), out_len, seg_bits, n_ff
@@ -1034,7 +1042,7 @@ def encode_rows(rows, geo: UniformGeometry, tabs: PackedTables,
         jnp.asarray(geo.seg_rst_marker) if rst_marker is None else rst_marker,
         jnp.asarray(geo.seg_has_rst) if has_rst is None else has_rst,
         geo.dc_distances, geo.bps, geo.cap_seg_words, geo.cap_out_bytes,
-        geo.words_per_block, tabs, use_pallas)
+        geo.words_per_block, tabs, use_pallas, geo.max_stuff)
 
 
 def encode_entropy_v2(coeff_scan, geo: UniformGeometry, tabs: PackedTables,

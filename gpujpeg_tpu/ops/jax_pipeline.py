@@ -198,6 +198,7 @@ class _EncContext:
             distances = geo.dc_distances
             bps, csw = geo.bps, geo.cap_seg_words
             cob, W = geo.cap_out_bytes, geo.words_per_block
+            mstuff = geo.max_stuff
 
             @jax.jit
             def fn_chunked(raw):
@@ -214,7 +215,7 @@ class _EncContext:
                     rows = jnp.rint(y / qdiv[clsc]).astype(jnp.int32)
                     return encode_rows_arrays(
                         rows, clsc, valc, dcdc, rstc, hrstc, distances,
-                        bps, csw, cob, W, tabs, use_pallas)
+                        bps, csw, cob, W, tabs, use_pallas, mstuff)
 
                 if packed_dct and CR % 2 == 0:
                     pb = jnp.concatenate(
@@ -229,7 +230,7 @@ class _EncContext:
                         rows = dct_quant_packed(pbc, qic).reshape(-1, 64)
                         return encode_rows_arrays(
                             rows, clsc, valc, dcdc, rstc, hrstc, distances,
-                            bps, csw, cob, W, tabs, use_pallas)
+                            bps, csw, cob, W, tabs, use_pallas, mstuff)
                 elif identity_gather:
                     pb = jnp.concatenate(
                         [pblocks, jnp.zeros((rpad, 64), pblocks.dtype)])
