@@ -48,6 +48,22 @@ class Decoder:
         self.output_to_device = False
         self._jax_ctx = None
 
+    def init(self, params, image) -> None:
+        """Pre-initialize for a known stream geometry so the first real
+        decode skips compile/alloc (reference: gpujpeg_decoder_init,
+        gpujpeg_decoder.c:158-202). Encodes and decodes a synthetic
+        frame of that geometry; the device executables are cached by
+        (params, image, output format, stream-capacity bucket), and the
+        synthetic frame lands in the same bucket as typical content."""
+        import numpy as np
+        from .encoder import Encoder
+        from ..types import image_calculate_size
+        size = image_calculate_size(image.width, image.height,
+                                    image.pixel_format)
+        data = Encoder(backend=self.backend).encode(
+            np.zeros(size, np.uint8), params, image)
+        self.decode(data)
+
     def decode_to_device(self, data: bytes):
         """Decode leaving the raw image on device (a JAX array) — the
         analog of the reference's custom-CUDA-buffer / OpenGL outputs

@@ -69,6 +69,32 @@ class Encoder:
                                     image.pixel_format)
         self.encode(np.zeros(size, np.uint8), params, image)
 
+    #: rough device bytes per pixel of the encode pipeline at its peak
+    #: (u8 planes + f32 DCT rows + i32 coefficients + entropy buffers),
+    #: measured at 8K Q75; used by the budgeting helpers below
+    _DEVICE_BYTES_PER_PIXEL = 24
+
+    def allocate(self, params: Parameters, image: ImageParameters) -> None:
+        """Pre-allocate/compile for a geometry before the first encode
+        (reference: gpujpeg_encoder_allocate, gpujpeg_encoder.c:221-254).
+        Alias of :meth:`warmup`."""
+        self.warmup(params, image)
+
+    @classmethod
+    def max_pixels(cls, memory_bytes: int) -> int:
+        """Largest image (in pixels) the device encode pipeline fits in
+        ``memory_bytes`` of device memory — a coarse estimate (reference:
+        gpujpeg_encoder_max_pixels, gpujpeg_encoder.c:132-168). Images
+        past ~2M blocks also chunk automatically, so this is a floor."""
+        return max(0, memory_bytes // cls._DEVICE_BYTES_PER_PIXEL)
+
+    @classmethod
+    def max_memory(cls, pixels: int) -> int:
+        """Estimated peak device memory (bytes) to encode ``pixels``
+        (reference: gpujpeg_encoder_max_memory,
+        gpujpeg_encoder.c:171-218)."""
+        return pixels * cls._DEVICE_BYTES_PER_PIXEL
+
     def encode(self, raw, params: Parameters, image: ImageParameters) -> bytes:
         """Encode one frame to a JPEG byte stream.
 

@@ -108,3 +108,22 @@ def test_decode_output_format_conversion():
     rgba = raw.reshape(H, W, 4)
     assert (rgba[:, :, 3] == 255).all()
     assert psnr(img, rgba[:, :, :3]) > 30
+
+
+def test_decoder_init_and_memory_helpers():
+    """Decoder.init pre-initializes (reference: gpujpeg_decoder_init);
+    Encoder.max_pixels/max_memory budget estimates round-trip."""
+    from gpujpeg_tpu import Decoder, Encoder
+    params = Parameters(quality=80, restart_interval=4)
+    image = ImageParameters(width=48, height=32, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    dec = Decoder(backend="jax")
+    dec.init(params, image)
+    img = make_test_rgb(32, 48)
+    data = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    raw, out = dec.decode(data)
+    assert raw.size == 32 * 48 * 3
+
+    assert Encoder.max_memory(Encoder.max_pixels(1 << 30)) <= (1 << 30)
+    Encoder().allocate(params, image)
