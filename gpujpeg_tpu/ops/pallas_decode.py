@@ -139,7 +139,13 @@ def build_segment_rows(scan_data, segments_by_scan, plan) -> tuple[np.ndarray, i
     concat, lo, hi = _segment_ranges(scan_data, segments_by_scan, plan)
     max_raw = int(np.maximum(hi - lo, 1).max()) if S else 1
     Wcap = -(-(max_raw + 4) // 4)
-    Wcap = -(-Wcap // 128) * 128
+    # v3 regime (<= 384 words): multiple of 8 (Mosaic sublane tile), NOT
+    # 128 — its per-iteration stream fetch reduces over all Wcap word
+    # rows, and a 13-word HD segment must not pay for a 128-row scan.
+    # The v2 kernel's lane-chunked window refill needs 128-multiples.
+    Wcap = -(-Wcap // 8) * 8
+    if Wcap > 384:
+        Wcap = -(-Wcap // 128) * 128
 
     L = native_lib()
     if L is not None:
