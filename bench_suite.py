@@ -102,11 +102,16 @@ def bench_res(name, iters):
     dargs = jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x)) if hasattr(x, "shape") else x,
         cap["a"])
-    jax.block_until_ready(dargs)
-    jax.block_until_ready(dfn(*dargs))
+    def dsync(r):
+        # block_until_ready does not reliably block on the tunneled
+        # backend; force a 1-element D2H instead
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+    dsync(dargs)
+    dsync(dfn(*dargs))
     t0 = time.perf_counter()
     rs = [dfn(*dargs) for _ in range(iters)]
-    jax.block_until_ready(rs[-1])
+    dsync(rs[-1])
     dec_ms = (time.perf_counter() - t0) * 1e3 / iters
 
     mpix = W * H / 1e6
