@@ -254,32 +254,45 @@ class _EncContext:
                 return (out.reshape(-1), out_len.reshape(-1),
                         seg_bits.reshape(-1), n_ff.reshape(-1))
 
+            self._stage_fns = None      # no staged timing for huge plans
             return fn_chunked
 
-        @jax.jit
-        def fn(raw):
+        def stage_pre(raw):
             planes = preprocess(raw, plan.image, plan, jnp)
             # keep XLA from fusing the pixel chain into the 8x8 blockify
             # transpose (measured 3x blowup at 8K when fused)
             planes = jax.lax.optimization_barrier(tuple(planes))
-            pblocks = jnp.concatenate(
-                [plane_to_blocks(p, jnp) for p in planes])
+            return jnp.concatenate([plane_to_blocks(p, jnp) for p in planes])
+
+        def stage_dct(pblocks):
             if packed_dct:
-                rows = dct_quant_packed(
+                return dct_quant_packed(
                     pblocks.reshape(-1, 128), qidx_all).reshape(-1, 64)
+            if identity_gather:
+                x = pblocks.astype(jnp.float32)              # (n_rows, 64)
             else:
-                if identity_gather:
-                    x = pblocks.astype(jnp.float32)          # (n_rows, 64)
-                else:
-                    pblocks = jnp.concatenate(
-                        [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
-                    x = pblocks[idx_plane_j].astype(jnp.float32)
-                y = jax.lax.dot_general(
-                    x, D, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) - bias
-                rows = jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
+                pblocks = jnp.concatenate(
+                    [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
+                x = pblocks[idx_plane_j].astype(jnp.float32)
+            y = jax.lax.dot_general(
+                x, D, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32) - bias
+            return jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
+
+        def stage_entropy(rows):
             return encode_rows(rows, geo, tabs, use_pallas)
+
+        # per-stage jits for perf_stats mode (the reference records its
+        # CUDA-event phase timers only when param.perf_stats is set,
+        # gpujpeg_common_internal.h:71-120); the staged run is the real
+        # pipeline split at stage boundaries
+        self._stage_fns = (jax.jit(stage_pre), jax.jit(stage_dct),
+                           jax.jit(stage_entropy))
+
+        @jax.jit
+        def fn(raw):
+            return stage_entropy(stage_dct(stage_pre(raw)))
 
         return fn
 
@@ -291,6 +304,33 @@ def _enc_context(plan: CoderPlan, quant_zz, huff) -> _EncContext:
         ctx = _EncContext(plan, quant_zz, huff)
         _ENC_CACHE[key] = ctx
     return ctx
+
+
+def _run_staged(encoder, ctx, raw_j):
+    """perf_stats execution: the pipeline split at stage boundaries with
+    a sync after each, filling the reference's per-phase durations
+    (struct gpujpeg_duration_stats, gpujpeg_common.h:315-325)."""
+    import time
+
+    def sync(a):
+        leaf = jax.tree_util.tree_leaves(a)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+
+    s_pre, s_dct, s_ent = ctx._stage_fns
+    t0 = time.perf_counter()
+    pblocks = s_pre(raw_j)
+    sync(pblocks)
+    t1 = time.perf_counter()
+    rows = s_dct(pblocks)
+    sync(rows)
+    t2 = time.perf_counter()
+    out = s_ent(rows)
+    sync(out)
+    t3 = time.perf_counter()
+    encoder.stats.duration_preprocessor = (t1 - t0) * 1e3
+    encoder.stats.duration_dct_quantization = (t2 - t1) * 1e3
+    encoder.stats.duration_huffman_coder = (t3 - t2) * 1e3
+    return out
 
 
 def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
@@ -307,9 +347,14 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
     else:
         raw_j = jnp.asarray(np.asarray(raw, dtype=np.uint8).reshape(-1))
 
+    perf_stats = bool(getattr(plan.params, "perf_stats", False))
     t0 = time.perf_counter()
     for tier in (1, 2):
-        out_flat, out_len, seg_bits, n_ff = ctx.fn(raw_j)
+        if perf_stats and getattr(ctx, "_stage_fns", None):
+            out_flat, out_len, seg_bits, n_ff = _run_staged(
+                encoder, ctx, raw_j)
+        else:
+            out_flat, out_len, seg_bits, n_ff = ctx.fn(raw_j)
         out_len_h = np.asarray(out_len)
         seg_bits_h = np.asarray(seg_bits)[:plan.n_segments]
         n_ff_h = np.asarray(n_ff)[:plan.n_segments]
