@@ -213,12 +213,12 @@ def _chunk_planes(c, diff, cls, valid, t):
       t: dict of packed table arrays (ac512, dc64, zrl2, eob2 jnp arrays)
         plus a `lookup(tab, idx, n)` function.
 
-    Returns per-lane COMBINED chunks (hi, lo, ln, off): each lane's
-    emissions (up to 3 ZRLs + code+value bits, <= 60 bits total)
-    concatenated into one bit string held right-aligned in the (hi, lo)
-    word pair; EOB rides in lane 63's otherwise-empty slot, whose stream
-    offset is exactly the post-coefficients position. Plus block_bits
-    (T, 1).
+    Returns per-lane SINGLE chunks (val, ln, off): every lane emits at
+    most one <= 27-bit string. ZRL codes for runs >= 16 are relocated
+    onto the zero lanes they stand for (lane prev+16m emits the m-th
+    ZRL — those lanes are otherwise empty, and the offset cumsum orders
+    them before their run's terminating code automatically); EOB rides
+    in lane 63's otherwise-empty slot. Plus block_bits (T, 1).
     """
     T = c.shape[0]
     k = jax.lax.broadcasted_iota(I32, (T, 64), 1)
@@ -234,9 +234,8 @@ def _chunk_planes(c, diff, cls, valid, t):
     prev_incl = t["cummax"](jnp.where(nz, k, 0))
     prev = t["shift_lanes_right"](prev_incl, 1)
     run = jnp.where(nz, k - prev - 1, 0)
-    r16 = jnp.where(nz, run >> 4, 0)
 
-    # C chunk: DC or AC code + value bits (<= 27 bits)
+    # code + value bits (<= 27 bits) for DC / nonzero AC lanes
     sym = ((run & 15) << 4) | cat
     entry_ac = t["lookup512"](cls * 256 + sym)
     entry_dc = t["lookup64"](cls * 32 + jnp.minimum(cat, 15))
@@ -244,23 +243,20 @@ def _chunk_planes(c, diff, cls, valid, t):
     code = entry >> 5
     clen = entry & 31
     emit = is_dc | nz
-    lenC = jnp.where(emit, clen + cat, 0) * valid
-    valC = jnp.where(emit, (code << cat) | vbits, 0)
+    ln = jnp.where(emit, clen + cat, 0)
+    val = jnp.where(emit, (code << cat) | vbits, 0)
 
-    # ZRL chunks: A = up to 2 ZRLs (<= 22 bits), B = 3rd (<= 11 bits)
+    # ZRL on the 16th/32nd/48th zero lane of a run that a nonzero ends
     zc = jnp.where(cls > 0, t["zrl_c"][0], t["zrl_l"][0])
     zl = jnp.where(cls > 0, t["zrl_c"][1], t["zrl_l"][1])
-    n1 = jnp.minimum(r16, 2)
-    lenA = n1 * zl * valid
-    valA = jnp.where(n1 == 2, (zc << zl) | zc,
-                     jnp.where(n1 == 1, zc, 0))
-    lenB = jnp.maximum(r16 - 2, 0) * zl * valid
-    valB = jnp.where(lenB > 0, zc, 0)
+    d = k - prev
+    has_next = t["shift_lanes_left"](t["revmax"](nz.astype(I32)), 1)
+    is_zrl = (~is_dc) & (~nz) & (has_next > 0) & (d >= 16) & ((d & 15) == 0)
+    ln = jnp.where(is_zrl, zl, ln) * valid
+    val = jnp.where(is_zrl, zc, val)
 
-    # per-lane offsets in emission order, cumsum over lanes (EOB excluded)
-    len_pos = lenA + lenB + lenC
-    csum = t["cumsum"](len_pos)
-    off = csum - len_pos
+    csum = t["cumsum"](ln)
+    off = csum - ln
     pre_eob_bits = csum[:, 63:64]
 
     # EOB in lane 63: c[63] == 0 implies lane 63 emits nothing, and its
@@ -268,23 +264,12 @@ def _chunk_planes(c, diff, cls, valid, t):
     has_eob = (c[:, 63:64] == 0) & (valid > 0)
     ec = jnp.where(cls > 0, t["eob_c"][0], t["eob_l"][0])
     el = jnp.where(cls > 0, t["eob_c"][1], t["eob_l"][1])
-    eob_len = jnp.where(has_eob, el, 0)
     lane63 = k == 63
-    lenC = jnp.where(lane63 & has_eob, el, lenC)
-    valC = jnp.where(lane63 & has_eob, ec, valC)
+    ln = jnp.where(lane63 & has_eob, el, ln)
+    val = jnp.where(lane63 & has_eob, ec, val)
 
-    # concatenate A ++ B ++ C into one right-aligned (hi, lo) bit pair
-    hi = jnp.zeros((T, 64), I32)
-    lo = jnp.zeros((T, 64), I32)
-    ln = jnp.zeros((T, 64), I32)
-    for val, n in ((valA, lenA), (valB, lenB), (valC, lenC)):
-        carry = jnp.where(n > 0, _srl(lo, 32 - n), 0)
-        hi = (hi << n) | carry
-        lo = (lo << n) | val
-        ln = ln + n
-
-    block_bits = pre_eob_bits + eob_len
-    return hi, lo, ln, off, block_bits
+    block_bits = pre_eob_bits + jnp.where(has_eob, el, 0)
+    return val, ln, off, block_bits
 
 
 def _srl(x, n):
@@ -292,28 +277,23 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
-def _windows(hi, lo, ln, off, W: int):
-    """Dense window assembly: (T, W) words from per-lane (hi, lo) chunks.
+def _windows(val, ln, off, W: int):
+    """Dense window assembly: (T, W) words from per-lane single chunks
+    (<= 27 bits each, so a chunk spans at most two adjacent words).
 
     Runs in int32 (Mosaic cannot reduce unsigned ints): `<<` wraps mod
     2^32 and right shifts are explicit logical shifts, so the math is
     exactly the uint32 math the merge stage expects; the final convert
     to uint32 is a mod-2^32 reinterpretation."""
-    T = hi.shape[0]
-    nl = jnp.minimum(ln, 32)
-    nh = ln - nl
-    offl = off + nh
     out = []
     for w in range(W):
-        total = jnp.zeros((T, 64), I32)
-        for val, n, o in ((hi, nh, off), (lo, nl, offl)):
-            rel = o - 32 * w
-            sh = 32 - rel - n
-            pos_sh = jnp.clip(sh, 0, 31)
-            neg_sh = jnp.clip(-sh, 0, 31)
-            contrib = jnp.where(sh >= 0, val << pos_sh, _srl(val, neg_sh))
-            mask = (n > 0) & (rel < 32) & (rel + n > 0)
-            total = total + jnp.where(mask, contrib, 0)
+        rel = off - 32 * w
+        sh = 32 - rel - ln
+        pos_sh = jnp.clip(sh, 0, 31)
+        neg_sh = jnp.clip(-sh, 0, 31)
+        contrib = jnp.where(sh >= 0, val << pos_sh, _srl(val, neg_sh))
+        mask = (ln > 0) & (rel < 32) & (rel + ln > 0)
+        total = jnp.where(mask, contrib, 0)
         out.append(jnp.sum(total, axis=1, keepdims=True, dtype=I32))
     return jnp.concatenate(out, axis=1).astype(U32)
 
@@ -326,9 +306,12 @@ def _xla_helpers(tabs: PackedTables):
     return {
         "clz": jax.lax.clz,
         "cummax": lambda x: jax.lax.cummax(x, axis=1),
+        "revmax": lambda x: jax.lax.cummax(x, axis=1, reverse=True),
         "cumsum": lambda x: jnp.cumsum(x, axis=1),
         "shift_lanes_right": lambda x, s: jnp.concatenate(
             [jnp.zeros((x.shape[0], s), x.dtype), x[:, :-s]], axis=1),
+        "shift_lanes_left": lambda x, s: jnp.concatenate(
+            [x[:, s:], jnp.zeros((x.shape[0], s), x.dtype)], axis=1),
         "lookup512": lambda i: ac512[i],
         "lookup64": lambda i: dc64[i],
         "zrl_l": tuple(int(v) for v in tabs.zrl[0]),
@@ -341,9 +324,9 @@ def _xla_helpers(tabs: PackedTables):
 def block_chunks_xla(coeff, diff, cls, valid, tabs: PackedTables, W: int):
     """(N, 64) coeffs -> (N, W) uint32 local words + (N, 1) bit lengths."""
     t = _xla_helpers(tabs)
-    hi, lo, ln, off, bits = _chunk_planes(
+    val, ln, off, bits = _chunk_planes(
         coeff, diff, cls[:, None], valid[:, None], t)
-    return _windows(hi, lo, ln, off, W), bits
+    return _windows(val, ln, off, W), bits
 
 
 # ---- Pallas TPU implementation ----
@@ -469,7 +452,6 @@ def _chunk_planes_packed(c, diff2, cls2, valid2, t, W: int):
     prev_incl = cummax64(jnp.where(nz, k, 0))
     prev = t["shift_lanes_right"](prev_incl, 1)
     run = jnp.where(nz, k - prev - 1, 0)
-    r16 = jnp.where(nz, run >> 4, 0)
 
     sym = ((run & 15) << 4) | cat
     entry_ac = t["lookup512"](cls * 256 + sym)
@@ -478,56 +460,51 @@ def _chunk_planes_packed(c, diff2, cls2, valid2, t, W: int):
     code = entry >> 5
     clen = entry & 31
     emit = is_dc | nz
-    lenC = jnp.where(emit, clen + cat, 0) * valid
-    valC = jnp.where(emit, (code << cat) | vbits, 0)
+    ln = jnp.where(emit, clen + cat, 0)
+    val = jnp.where(emit, (code << cat) | vbits, 0)
 
+    # ZRL on the 16th/32nd/48th zero lane of a run that a nonzero ends
+    # (those lanes are otherwise empty; the offset cumsum orders them
+    # before their run's terminating code automatically)
     zc = jnp.where(cls > 0, t["zrl_c"][0], t["zrl_l"][0])
     zl = jnp.where(cls > 0, t["zrl_c"][1], t["zrl_l"][1])
-    n1 = jnp.minimum(r16, 2)
-    lenA = n1 * zl * valid
-    valA = jnp.where(n1 == 2, (zc << zl) | zc,
-                     jnp.where(n1 == 1, zc, 0))
-    lenB = jnp.maximum(r16 - 2, 0) * zl * valid
-    valB = jnp.where(lenB > 0, zc, 0)
+    d = k - prev
+    nzi = nz.astype(I32)
+    s = 1
+    while s < 64:                       # block-local suffix max of nz
+        sh = jnp.concatenate(
+            [nzi[:, s:], jnp.zeros((T2, s), I32)], axis=1)
+        nzi = jnp.maximum(nzi, jnp.where(k <= 63 - s, sh, nzi))
+        s <<= 1
+    has_next = jnp.concatenate(
+        [nzi[:, 1:], jnp.zeros((T2, 1), I32)], axis=1)
+    has_next = jnp.where(k == 63, 0, has_next)
+    is_zrl = (~is_dc) & (~nz) & (has_next > 0) & (d >= 16) & ((d & 15) == 0)
+    ln = jnp.where(is_zrl, zl, ln) * valid
+    val = jnp.where(is_zrl, zc, val)
 
-    len_pos = lenA + lenB + lenC
-    csum = cumsum64(len_pos)
-    off = csum - len_pos
+    csum = cumsum64(ln)
+    off = csum - ln
 
     # EOB rides in each block's lane 63 when its last AC is zero
     is63 = k == 63
     czero63 = (c == 0) & is63 & (valid > 0)
     ec = jnp.where(cls > 0, t["eob_c"][0], t["eob_l"][0])
     el = jnp.where(cls > 0, t["eob_c"][1], t["eob_l"][1])
-    lenC = jnp.where(czero63, el, lenC)
-    valC = jnp.where(czero63, ec, valC)
+    ln = jnp.where(czero63, el, ln)
+    val = jnp.where(czero63, ec, val)
     eob_len = jnp.where(czero63, el, 0)
 
-    hi = jnp.zeros((T2, 128), I32)
-    lo = jnp.zeros((T2, 128), I32)
-    ln = jnp.zeros((T2, 128), I32)
-    for val, n in ((valA, lenA), (valB, lenB), (valC, lenC)):
-        carry = jnp.where(n > 0, _srl(lo, 32 - n), 0)
-        hi = (hi << n) | carry
-        lo = (lo << n) | val
-        ln = ln + n
-
     # window assembly; per-block sums land in lanes 63 / 127 of cumsum64
-    nl = jnp.minimum(ln, 32)
-    nh = ln - nl
-    offl = off + nh
     cols_l, cols_r = [], []
     for w in range(W):
-        total = jnp.zeros((T2, 128), I32)
-        for val, n, o in ((hi, nh, off), (lo, nl, offl)):
-            rel = o - 32 * w
-            sh = 32 - rel - n
-            pos_sh = jnp.clip(sh, 0, 31)
-            neg_sh = jnp.clip(-sh, 0, 31)
-            contrib = jnp.where(sh >= 0, val << pos_sh, _srl(val, neg_sh))
-            mask = (n > 0) & (rel < 32) & (rel + n > 0)
-            total = total + jnp.where(mask, contrib, 0)
-        tsum = cumsum64(total)
+        rel = off - 32 * w
+        sh = 32 - rel - ln
+        pos_sh = jnp.clip(sh, 0, 31)
+        neg_sh = jnp.clip(-sh, 0, 31)
+        contrib = jnp.where(sh >= 0, val << pos_sh, _srl(val, neg_sh))
+        mask = (ln > 0) & (rel < 32) & (rel + ln > 0)
+        tsum = cumsum64(jnp.where(mask, contrib, 0))
         cols_l.append(tsum[:, 63:64])
         cols_r.append(tsum[:, 127:128])
     words = jnp.concatenate(cols_l + cols_r, axis=1).astype(U32)
@@ -538,7 +515,7 @@ def _chunk_planes_packed(c, diff2, cls2, valid2, t, W: int):
 
 
 def block_chunks_pallas(coeff, diff, cls, valid, tabs: PackedTables, W: int,
-                        tile: int = 512):
+                        tile: int = 2048):
     """Pallas version of :func:`block_chunks_xla` (TPU only), two blocks
     per 128-lane row."""
     from jax.experimental import pallas as pl
@@ -592,6 +569,89 @@ def block_chunks_pallas(coeff, diff, cls, valid, tabs: PackedTables, W: int,
     if pad:
         words = words[:-pad]
         bits = bits[:-pad]
+    return words, bits
+
+
+def block_chunks_dct_pallas(pb2, diff2, cls2, valid2, qidx, D2_h, bias2_h,
+                            q2tab_h, tabs: PackedTables, W: int,
+                            tile: int = 2048):
+    """DCT+quant fused into the stage-1 entropy kernel: the (n_rows, 64)
+    i32 coefficient tensor (800 MB of HBM round-trip at 8K on this
+    chip's ~150 GB/s effective bandwidth) never exists — the MXU matmul
+    runs on the tile in VMEM and feeds symbol synthesis directly.
+
+    pb2 (N/2, 128) u8 pixels two blocks per row (level shift folded in
+    bias); diff2 (N/2, 2) i32 DC differences (computed by a separate
+    DC-only pass, bit-identical to column 0/64 of this matmul);
+    cls2/valid2 (N/2, 2); qidx (N/2, 1) row index into q2tab_h.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = pb2.shape[0]                  # N/2 rows
+    T2 = tile // 2
+    pad = (-M) % T2
+    if pad:
+        pb2 = jnp.pad(pb2, ((0, pad), (0, 0)))
+        diff2 = jnp.pad(diff2, ((0, pad), (0, 0)))
+        cls2 = jnp.pad(cls2, ((0, pad), (0, 0)))
+        valid2 = jnp.pad(valid2, ((0, pad), (0, 0)))
+        qidx = jnp.pad(qidx, ((0, pad), (0, 0)))
+        M += pad
+    ac512 = jnp.asarray(tabs.ac512)
+    dc128 = jnp.asarray(np.concatenate([tabs.dc64, np.zeros(64, np.int32)]))
+    D2 = jnp.asarray(D2_h)
+    n_q2 = q2tab_h.shape[0]
+    bq = jnp.asarray(np.concatenate([bias2_h[None, :], q2tab_h], axis=0)
+                     .astype(np.float32))                    # (1+n_q2, 128)
+
+    def kernel(pb_ref, diff_ref, cls_ref, valid_ref, qi_ref, d2_ref, bq_ref,
+               ac_ref, dc_ref, words_ref, bits_ref):
+        xf = pb_ref[:].astype(jnp.int32).astype(jnp.float32)
+        y = jax.lax.dot_general(
+            xf, d2_ref[:], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32) - bq_ref[0:1, :]
+        qi = qi_ref[:]
+        qv = jnp.broadcast_to(bq_ref[1:2, :], y.shape)
+        for i in range(1, n_q2):
+            qv = jnp.where(qi == i,
+                           jnp.broadcast_to(bq_ref[1 + i:2 + i, :], y.shape),
+                           qv)
+        rows = jnp.rint(y / qv).astype(I32)
+        t = _pallas_helpers(ac_ref[:], dc_ref[:], tabs)
+        words_ref[:], bits_ref[:] = _chunk_planes_packed(
+            rows, diff_ref[:], cls_ref[:], valid_ref[:], t, W)
+
+    words, bits = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((M, 2 * W), jnp.uint32),
+                   jax.ShapeDtypeStruct((M, 2), jnp.int32)),
+        grid=(M // T2,),
+        in_specs=[
+            pl.BlockSpec((T2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1 + n_q2, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((512,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((T2, 2 * W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(pb2, diff2, cls2, valid2, qidx, D2, bq, ac512, dc128)
+    words = words.reshape(2 * M, W)
+    bits = bits.reshape(2 * M, 1)
+    if pad:
+        words = words[:-2 * pad]
+        bits = bits[:-2 * pad]
     return words, bits
 
 
@@ -1007,7 +1067,16 @@ def encode_rows_arrays(rows, cls, valid, dc_dist, rst_marker, has_rst,
         words, bits = block_chunks_pallas(rows, diff_rows, cls, valid, tabs, W)
     else:
         words, bits = block_chunks_xla(rows, diff_rows, cls, valid, tabs, W)
+    return merge_and_stuff(words, bits, rst_marker, has_rst, bps,
+                           cap_seg_words, cap_out_bytes, W, use_pallas,
+                           max_stuff)
 
+
+def merge_and_stuff(words, bits, rst_marker, has_rst, bps: int,
+                    cap_seg_words: int, cap_out_bytes: int, W: int,
+                    use_pallas: bool, max_stuff: int = MAX_STUFF):
+    """Stages 2+3: tree-merge block strings into segment strings, byte
+    stuff, append RST; folds capacity overflow into seg_bits."""
     pow2 = lambda v: v > 0 and (v & (v - 1)) == 0  # noqa: E731
     if use_pallas and bps > 1 and pow2(bps) and pow2(W) and bps * W <= 512:
         seg_words, seg_bits = merge_segments_packed(words, bits, bps, W,
