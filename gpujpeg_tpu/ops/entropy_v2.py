@@ -574,7 +574,7 @@ def block_chunks_pallas(coeff, diff, cls, valid, tabs: PackedTables, W: int,
 
 def block_chunks_dct_pallas(pb2, diff2, cls2, valid2, qidx, D2_h, bias2_h,
                             q2tab_h, tabs: PackedTables, W: int,
-                            tile: int = 2048):
+                            tile: int = 512):
     """DCT+quant fused into the stage-1 entropy kernel: the (n_rows, 64)
     i32 coefficient tensor (800 MB of HBM round-trip at 8K on this
     chip's ~150 GB/s effective bandwidth) never exists — the MXU matmul
@@ -945,6 +945,136 @@ MAX_STUFF = 255  # max 0xFF bytes per segment handled on device (fits uint8)
 MAX_STUFF_T1 = 31
 
 
+def stuff_and_rst_pallas(seg_words, seg_bits, rst_marker, has_rst,
+                         cap_out: int, max_stuff: int = MAX_STUFF,
+                         tile: int = 256):
+    """Pallas byte-plane version of :func:`stuff_and_rst` (TPU).
+
+    The XLA formulation materializes (S, cap_out) byte arrays (promoted
+    to i32 lanes) across every butterfly stage — ~10 ms of HBM traffic
+    at 8K on this chip. Here the whole segment stays in VMEM as four
+    byte-plane arrays of (S, cap_out/4) i32 (plane p = bytes = p mod 4),
+    so byte shifts by 2^b decompose into a static plane permutation plus
+    a word-lane shift. Output is (S, cap_out/4) uint32 words packing the
+    byte stream little-endian (bitcast to bytes outside).
+
+    Returns (out_words (S, cap_out//4) u32, n_ff (S,) i32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, CW = seg_words.shape
+    WO = cap_out // 4
+    S_pad = -(-S // tile) * tile
+    if S_pad != S:
+        seg_words = jnp.pad(seg_words, ((0, S_pad - S), (0, 0)))
+        seg_bits = jnp.pad(seg_bits, (0, S_pad - S))
+        rst_marker = jnp.pad(rst_marker, (0, S_pad - S))
+        has_rst = jnp.pad(has_rst, (0, S_pad - S))
+    b0 = max(0, min(max_stuff, 255).bit_length() - 1)
+
+    def kernel(w_ref, b_ref, r_ref, h_ref, out_ref, nff_ref):
+        T = w_ref.shape[0]
+        w = jnp.pad(w_ref[:], ((0, 0), (0, WO - CW))).astype(I32)
+        lane = jax.lax.broadcasted_iota(I32, (T, WO), 1)
+        bits = b_ref[:]
+        pad_bits = (-bits) & 7
+        seg_len = (bits + pad_bits) >> 3
+        last = bits >> 3
+        fill = (1 << pad_bits) - 1
+
+        planes = []
+        for p in range(4):
+            x = _srl(w, 8 * (3 - p)) & 255
+            g = lane * 4 + p
+            x = jnp.where(g == last, x | fill, x)
+            x = jnp.where(g < seg_len, x, 0)
+            planes.append(x)
+
+        is_ff = [(planes[p] == 0xFF).astype(I32) for p in range(4)]
+        cnt = is_ff[0] + is_ff[1] + is_ff[2] + is_ff[3]
+        # exclusive word-prefix of FF counts over lanes
+        cum = cnt
+        s = 1
+        while s < WO:
+            sh = jnp.concatenate(
+                [jnp.zeros((T, s), I32), cum[:, :-s]], axis=1)
+            cum = cum + sh
+            s <<= 1
+        cum_ex = cum - cnt
+        nff = cum[:, WO - 1:WO]
+
+        disp = []
+        acc = cum_ex
+        for p in range(4):
+            g = lane * 4 + p
+            disp.append(jnp.where(g < seg_len,
+                                  jnp.minimum(acc, max_stuff), 0))
+            acc = acc + is_ff[p]
+
+        # MSB-first butterfly; byte shift 2^b = plane permutation + lane
+        # shift (collision-free: see stuff_and_rst)
+        for b in range(b0, -1, -1):
+            step = 1 << b
+            np_, nd_ = [], []
+            for p in range(4):
+                ps = (p - step) % 4
+                sh = (step + ps - p) // 4
+                if sh:
+                    src_a = jnp.concatenate(
+                        [jnp.zeros((T, sh), I32), planes[ps][:, :-sh]],
+                        axis=1)
+                    src_d = jnp.concatenate(
+                        [jnp.zeros((T, sh), I32), disp[ps][:, :-sh]],
+                        axis=1)
+                else:
+                    src_a, src_d = planes[ps], disp[ps]
+                smv = (_srl(src_d, b) & 1) > 0
+                mmv = (_srl(disp[p], b) & 1) > 0
+                np_.append(jnp.where(smv, src_a,
+                                     jnp.where(mmv, 0, planes[p])))
+                nd_.append(jnp.where(smv, src_d - step,
+                                     jnp.where(mmv, 0, disp[p])))
+            planes, disp = np_, nd_
+
+        stuffed = seg_len + jnp.minimum(nff, max_stuff)
+        hr = h_ref[:] > 0
+        rmark = r_ref[:]
+        for p in range(4):
+            g = lane * 4 + p
+            planes[p] = jnp.where(hr & (g == stuffed), 0xFF, planes[p])
+            planes[p] = jnp.where(hr & (g == stuffed + 1), rmark, planes[p])
+
+        out_ref[:] = (planes[0] | (planes[1] << 8) | (planes[2] << 16) |
+                      (planes[3] << 24)).astype(U32)
+        nff_ref[:] = nff
+
+    out_w, nff = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S_pad, WO), jnp.uint32),
+                   jax.ShapeDtypeStruct((S_pad, 1), jnp.int32)),
+        grid=(S_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, CW), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, WO), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(seg_words, seg_bits[:, None], rst_marker[:, None].astype(jnp.int32),
+      has_rst[:, None].astype(jnp.int32))
+    return out_w[:S], nff[:S, 0]
+
+
 def stuff_and_rst(seg_words, seg_bits, rst_marker, has_rst, cap_out: int,
                   max_stuff: int = MAX_STUFF):
     """(S, CW) uint32 big-endian words -> (S, cap_out) uint8 stuffed bytes
@@ -1086,8 +1216,18 @@ def merge_and_stuff(words, bits, rst_marker, has_rst, bps: int,
                                                     cap_seg_words)
     else:
         seg_words, seg_bits = merge_segments(words, bits, bps, cap_seg_words)
-    out, out_len, n_ff = stuff_and_rst(
-        seg_words, seg_bits, rst_marker, has_rst, cap_out_bytes, max_stuff)
+    if use_pallas and cap_out_bytes % 4 == 0:
+        # out stays uint32 (little-endian byte packing); the host views
+        # it as bytes — an on-device bitcast costs a ~3 ms relayout
+        out, n_ff = stuff_and_rst_pallas(
+            seg_words, seg_bits, rst_marker, has_rst, cap_out_bytes,
+            max_stuff)
+        seg_len = (seg_bits + ((-seg_bits) & 7)) >> 3
+        out_len = seg_len + jnp.minimum(n_ff, max_stuff) + 2 * has_rst
+    else:
+        out, out_len, n_ff = stuff_and_rst(
+            seg_words, seg_bits, rst_marker, has_rst, cap_out_bytes,
+            max_stuff)
     overflow = (jnp.max(bits) > W * 32) | (jnp.max(n_ff) > max_stuff)
     seg_bits = jnp.where(overflow, seg_bits + (cap_seg_words + 1) * 32,
                          seg_bits)

@@ -383,6 +383,11 @@ def _compact_fn(total_pad: int):
         i = jnp.arange(total_pad, dtype=I32)
         seg = jnp.searchsorted(out_starts, i, side="right") - 1
         src = seg * cap_out + (i - out_starts[seg])
+        if out_flat.dtype == jnp.uint32:
+            # little-endian byte stream packed four per word
+            w = out_flat[jnp.clip(src >> 2, 0, out_flat.shape[0] - 1)]
+            return ((w >> ((src & 3).astype(jnp.uint32) * 8)) &
+                    0xFF).astype(jnp.uint8)
         return out_flat[jnp.clip(src, 0, out_flat.shape[0] - 1)]
 
     return compact

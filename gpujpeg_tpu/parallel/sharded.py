@@ -505,6 +505,8 @@ class ShardedEncoder:
         out, out_len, seg_bits, n_ff = fn(
             jnp.asarray(bands), jnp.asarray(rst_np), jnp.asarray(has_np))
         out_h = np.asarray(jax.device_get(out))
+        if out_h.dtype == np.uint32:     # pallas stuffing packs 4 bytes/word
+            out_h = np.ascontiguousarray(out_h).view(np.uint8)
         len_h = np.asarray(jax.device_get(out_len))
         bits_h = np.asarray(jax.device_get(seg_bits))
         if (bits_h > g.cap_seg_bytes * 8).any():
