@@ -314,14 +314,11 @@ def _split_scan(data: bytes, start: int) -> tuple[np.ndarray, list[tuple[int, in
     nonempty = seg_ends > seg_starts
     seg_starts, seg_ends = seg_starts[nonempty], seg_ends[nonempty]
 
-    # concatenated entropy data without RST markers; offsets remapped
-    lengths = seg_ends - seg_starts
-    out_ends = np.cumsum(lengths)
-    out_starts = out_ends - lengths
-    parts = [buf[s:e] for s, e in zip(seg_starts, seg_ends)]
-    out = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
-    segments = list(zip(out_starts.tolist(), out_ends.tolist()))
-    return out, segments, start + end
+    # zero-copy: segment ranges index straight into the scan body view
+    # (the RST bytes simply lie between ranges — every consumer slices
+    # [lo:hi], so no concatenation pass over 50k segments is needed)
+    segments = list(zip(seg_starts.tolist(), seg_ends.tolist()))
+    return buf[:end], segments, start + end
 
 
 def read_image(data: bytes) -> JpegInfo:
@@ -422,12 +419,9 @@ def _split_scan_seginfo(info: JpegInfo, scan: ScanInfo, data: bytes,
     # last is followed by a 2-byte RST marker that we must strip.
     seg_starts = offsets[:-1]
     seg_ends = np.concatenate([offsets[1:-1] - 2, offsets[-1:]])
-    lengths = seg_ends - seg_starts
-    out_ends = np.cumsum(lengths)
-    out_starts = out_ends - lengths
-    parts = [buf[s:e] for s, e in zip(seg_starts, seg_ends)]
-    scan.data = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
-    scan.segments = list(zip(out_starts.tolist(), out_ends.tolist()))
+    # zero-copy ranges into the scan body view (see _split_scan)
+    scan.data = buf
+    scan.segments = list(zip(seg_starts.tolist(), seg_ends.tolist()))
     return start + end
 
 
