@@ -771,10 +771,18 @@ def _merge_level_packed(x, blen, R: int, lane):
     inside their 2R-lane window, in place. x (T, L) uint32 words, blen
     (T, L) int32 bit lengths replicated across each string's lanes."""
     L = x.shape[1]
+    T = x.shape[0]
     loc = lane & (2 * R - 1)
     base = lane - loc
-    lb = jnp.take_along_axis(blen, base, axis=1)
-    rb = jnp.take_along_axis(blen, base + R, axis=1)
+    # blen is replicated per string, so the window's left/right lengths
+    # are static R-lane shifts of it (cheaper than dynamic gathers)
+    is_r = loc >= R
+    bl_r = jnp.concatenate([jnp.zeros((T, R), blen.dtype),
+                            blen[:, :-R]], axis=1)
+    bl_l = jnp.concatenate([blen[:, R:],
+                            jnp.zeros((T, R), blen.dtype)], axis=1)
+    lb = jnp.where(is_r, bl_r, blen)
+    rb = jnp.where(is_r, blen, bl_l)
     sh = (lb & 31).astype(U32)
     o = lb >> 5
     is_right = loc >= R
