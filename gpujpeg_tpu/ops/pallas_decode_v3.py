@@ -150,29 +150,24 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
         active0 = (b < segnblk_ref[:]).astype(I32)   # (G,128)
         coeff = jnp.zeros((G * 64, 128), I32)
         kpos = jnp.zeros((G, 128), I32)
-        # shift-register stream window: (w0, w1) ride in loop state and
-        # advance by at most one word per symbol (<= 31 bits consumed),
-        # so each iteration runs ONE masked-reduction fetch, not two
+        # shift-register stream window: (w0, w1, w2) ride in loop state;
+        # each iteration decodes TWO symbols (<= 62 bits), so the window
+        # advances by at most two words and runs two masked-reduction
+        # fetches — the same fetch count per symbol as one-at-a-time,
+        # but half the loop/control/coefficient-write overhead
         wp0 = bitpos[:] >> 5
         w0_init = fetch1(wp0)
         w1_init = fetch1(wp0 + 1)
+        w2_init = fetch1(wp0 + 2)
 
-        def cond(st):
-            act, *_ = st
-            return jnp.any(act > 0)
+        def mkview(a, bvec, s):
+            su = jnp.clip(s, 0, 31).astype(U32)
+            return jnp.where(s > 0,
+                             (a << su) | (bvec >> (jnp.uint32(32) - su)), a)
 
-        def body(st):
-            act_i, kp, cf, bp, dcp, w0, w1 = st
-            act = act_i > 0
-
-            sh = (bp & 31).astype(U32)
-            view = jnp.where(sh > 0,
-                             (w0 << sh) | (w1 >> (jnp.uint32(32) - sh)), w0)
-            peek16 = (view >> 16).astype(I32)
-
-            is_dc = kp == 0
-            slot = jnp.where(is_dc, dslot, aslot)
-
+        def lookup_sym(view, is_dc, slot):
+            """One Huffman symbol from a 32-bit view: (sym, ln)."""
+            peek16 = (view >> jnp.uint32(16)).astype(I32)
             q_idx = slot * (1 << QUICK_BITS) + (peek16 >> (16 - QUICK_BITS))
             q = _bcast_lookup16(quick_ref[:], q_idx,
                                 n_slots * (1 << QUICK_BITS))
@@ -182,14 +177,16 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             s_len = jnp.full((G, 128), 17, I32)
             s_code = jnp.zeros((G, 128), I32)
             for l in SLOW_LENS:
-                mc = jnp.where(is_dc, mc_dc[l], mc_ac[l])
+                mc = jnp.where(is_dc, mc_dc[l], mc_ac[l]) if is_dc \
+                    is not None else mc_ac[l]
                 hit = (peek16 < mc) & (s_len == 17)
                 s_len = jnp.where(hit, l, s_len)
                 s_code = jnp.where(hit, peek16 >> (16 - l), s_code)
             dlt = jnp.zeros((G, 128), I32)
             for l in SLOW_LENS:
-                dlt = jnp.where(s_len == l,
-                                jnp.where(is_dc, dl_dc[l], dl_ac[l]), dlt)
+                d = jnp.where(is_dc, dl_dc[l], dl_ac[l]) if is_dc \
+                    is not None else dl_ac[l]
+                dlt = jnp.where(s_len == l, d, dlt)
             v_idx = jnp.clip(s_code + dlt, 0, 255)
             s_sym = _bcast_lookup16(huffval_ref[:], slot * 256 + v_idx,
                                     n_slots * 256)
@@ -200,24 +197,42 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             bad = ln == 17
             sym = jnp.where(bad, 0, sym)
             ln = jnp.where(bad, 1, ln)
+            return sym, ln
 
-            cat = jnp.where(is_dc, sym, sym & 15)
-            run = jnp.where(is_dc, 0, sym >> 4)
-
+        def extract_val(view, ln, cat):
             vraw = ((view << ln.astype(U32)) >>
                     (jnp.uint32(32) - jnp.clip(cat, 1, 16).astype(U32))
                     ).astype(I32)
             vraw = jnp.where(cat > 0, vraw, 0)
             half = jnp.where(cat > 0, 1 << jnp.maximum(cat - 1, 0), 0)
-            val = jnp.where((cat > 0) & (vraw < half),
-                            vraw - (1 << cat) + 1, vraw)
+            return jnp.where((cat > 0) & (vraw < half),
+                             vraw - (1 << cat) + 1, vraw)
+
+        def cond(st):
+            act, *_ = st
+            return jnp.any(act > 0)
+
+        def body(st):
+            act_i, kp, cf, bp, dcp, w0, w1, w2 = st
+            act = act_i > 0
+            soff = bp & 31
+
+            # ---- symbol A (may be the block's DC) ----
+            viewA = mkview(w0, w1, soff)
+            is_dc = kp == 0
+            slotA = jnp.where(is_dc, dslot, aslot)
+            symA, lnA = lookup_sym(viewA, is_dc, slotA)
+            catA = jnp.where(is_dc, symA, symA & 15)
+            runA = jnp.where(is_dc, 0, symA >> 4)
+            valA = extract_val(viewA, lnA, catA)
 
             # DC prediction over 4 per-component planes
             dc_prev = jnp.zeros((G, 128), I32)
             for c in range(4):
-                dc_prev = jnp.where(comp == c, dcp[c * G:(c + 1) * G], dc_prev)
-            dc_new = dc_prev + val
-            wval = jnp.where(is_dc, dc_new, val)
+                dc_prev = jnp.where(comp == c, dcp[c * G:(c + 1) * G],
+                                    dc_prev)
+            dc_new = dc_prev + valA
+            wvalA = jnp.where(is_dc, dc_new, valA)
             upd = act & is_dc
             parts = []
             for c in range(4):
@@ -225,34 +240,63 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                 parts.append(jnp.where(upd & (comp == c), dc_new, plane))
             dcp = jnp.concatenate(parts, axis=0)
 
-            wpos = jnp.where(is_dc, 0, jnp.clip(kp + run, 0, 63))
-            is_zrl = (~is_dc) & (cat == 0) & (run == 15)
-            is_eob = (~is_dc) & (cat == 0) & (run != 15)
-            write = act & (is_dc | ((~is_dc) & (cat > 0) & (kp + run <= 63)))
-
-            # lane-major coefficient buffer update
-            wpos_r = pltpu.repeat(wpos, 64, axis=0)       # (G*64, 128)
-            wval_r = pltpu.repeat(wval, 64, axis=0)
-            write_r = pltpu.repeat(write.astype(I32), 64, axis=0) > 0
-            cf = jnp.where((onehot_cbase == wpos_r) & write_r, wval_r, cf)
-
-            newk = jnp.where(
+            wposA = jnp.where(is_dc, 0, jnp.clip(kp + runA, 0, 63))
+            is_zrlA = (~is_dc) & (catA == 0) & (runA == 15)
+            is_eobA = (~is_dc) & (catA == 0) & (runA != 15)
+            writeA = act & (is_dc |
+                            ((~is_dc) & (catA > 0) & (kp + runA <= 63)))
+            kA = jnp.where(
                 is_dc, 1,
-                jnp.where(is_zrl, kp + 16,
-                          jnp.where(is_eob, 64, kp + run + 1)))
-            done = newk >= 64
-            bp_new = jnp.where(act, bp + ln + cat, bp)
-            adv = (bp_new >> 5) > (bp >> 5)
-            w_next = fetch1((bp_new >> 5) + 1)
-            w0 = jnp.where(adv, w1, w0)
-            w1 = jnp.where(adv, w_next, w1)
-            kp = jnp.where(act, jnp.where(done, 0, newk), kp)
-            act_i = jnp.where(act & ~done, 1, 0)
-            return act_i, kp, cf, bp_new, dcp, w0, w1
+                jnp.where(is_zrlA, kp + 16,
+                          jnp.where(is_eobA, 64, kp + runA + 1)))
+            doneA = kA >= 64
+            cA = jnp.where(act, lnA + catA, 0)
 
-        act, kp, cf, bp_f, dcp_f, _, _ = jax.lax.while_loop(
+            # ---- symbol B (never DC: kp == 0 only at block start) ----
+            actB = act & ~doneA
+            sB = soff + cA
+            viewB = jnp.where(sB < 32, mkview(w0, w1, sB),
+                              mkview(w1, w2, sB - 32))
+            symB, lnB = lookup_sym(viewB, None, aslot)
+            catB = symB & 15
+            runB = symB >> 4
+            valB = extract_val(viewB, lnB, catB)
+            kpB = kA
+            wposB = jnp.clip(kpB + runB, 0, 63)
+            is_zrlB = (catB == 0) & (runB == 15)
+            is_eobB = (catB == 0) & (runB != 15)
+            writeB = actB & (catB > 0) & (kpB + runB <= 63)
+            kB = jnp.where(is_zrlB, kpB + 16,
+                           jnp.where(is_eobB, 64, kpB + runB + 1))
+            doneB = kB >= 64
+            cB = jnp.where(actB, lnB + catB, 0)
+
+            # merged coefficient writes (one pass, B over A)
+            wposA_r = pltpu.repeat(wposA, 64, axis=0)     # (G*64, 128)
+            wvalA_r = pltpu.repeat(wvalA, 64, axis=0)
+            wrA_r = pltpu.repeat(writeA.astype(I32), 64, axis=0) > 0
+            wposB_r = pltpu.repeat(wposB, 64, axis=0)
+            wvalB_r = pltpu.repeat(valB, 64, axis=0)
+            wrB_r = pltpu.repeat(writeB.astype(I32), 64, axis=0) > 0
+            cf = jnp.where(
+                (onehot_cbase == wposB_r) & wrB_r, wvalB_r,
+                jnp.where((onehot_cbase == wposA_r) & wrA_r, wvalA_r, cf))
+
+            bp_new = bp + cA + cB
+            delta = (bp_new >> 5) - (bp >> 5)             # 0, 1 or 2
+            f1 = fetch1((bp_new >> 5) + 1)
+            f2 = fetch1((bp_new >> 5) + 2)
+            w0 = jnp.where(delta == 0, w0, jnp.where(delta == 1, w1, w2))
+            w1 = jnp.where(delta == 0, w1, jnp.where(delta == 1, w2, f1))
+            w2 = f2
+            kp = jnp.where(actB, jnp.where(doneB, 0, kB),
+                           jnp.where(act, jnp.where(doneA, 0, kA), kp))
+            act_i = jnp.where(act & ~doneA & ~(actB & doneB), 1, 0)
+            return act_i, kp, cf, bp_new, dcp, w0, w1, w2
+
+        act, kp, cf, bp_f, dcp_f, _, _, _ = jax.lax.while_loop(
             cond, body, (active0, kpos, coeff, bitpos[:], dcpred[:],
-                         w0_init, w1_init))
+                         w0_init, w1_init, w2_init))
         bitpos[:] = bp_f
         dcpred[:] = dcp_f
         out_ref[0, :, :] = cf
