@@ -574,7 +574,7 @@ def block_chunks_pallas(coeff, diff, cls, valid, tabs: PackedTables, W: int,
 
 def block_chunks_dct_pallas(pb2, diff2, cls2, valid2, qidx, D2_h, bias2_h,
                             q2tab_h, tabs: PackedTables, W: int,
-                            tile: int = 512):
+                            tile: int = 768):
     """DCT+quant fused into the stage-1 entropy kernel: the (n_rows, 64)
     i32 coefficient tensor (800 MB of HBM round-trip at 8K on this
     chip's ~150 GB/s effective bandwidth) never exists — the MXU matmul
