@@ -10,6 +10,10 @@ rows / restart segments with collective bitstream assembly.
 """
 from __future__ import annotations
 
+from .runtime import enable_compilation_cache as _enable_compilation_cache
+
+_enable_compilation_cache()
+
 from .params import ImageParameters, Parameters, suggest_restart_interval
 from .models.decoder import Decoder
 from .models.encoder import Encoder

@@ -12,10 +12,10 @@ import hashlib
 import logging
 import os
 import subprocess
-import sysconfig
-import tempfile
 
 import numpy as np
+
+from ..runtime import user_cache_dir, verify_private_dir
 
 log = logging.getLogger(__name__)
 
@@ -32,10 +32,17 @@ PI64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 def _build() -> str | None:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    # per-user 0700 cache dir, ownership-verified before loading a .so
+    # from it (a world-shared /tmp path would let another local user
+    # plant a matching-named library)
     cache_dir = os.environ.get(
         "GPUJPEG_TPU_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), "gpujpeg_tpu_native"))
-    os.makedirs(cache_dir, exist_ok=True)
+        os.path.join(user_cache_dir(), "native"))
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    if not verify_private_dir(cache_dir):
+        log.warning("native cache dir %s is not private; "
+                    "falling back to NumPy golden path", cache_dir)
+        return None
     so_path = os.path.join(cache_dir, f"host_codec_{digest}.so")
     if os.path.exists(so_path):
         return so_path
