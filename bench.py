@@ -67,7 +67,8 @@ def main():
     img = make_image(H, W)
     image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
                             pixel_format=PixelFormat.PF_444_U8_P012)
-    ri = suggest_restart_interval(image, subsampled=False, interleaved=False)
+    ri = suggest_restart_interval(image, subsampled=False, interleaved=False,
+                                  pow2=True)
     params = Parameters(quality=75, restart_interval=ri, interleaved=False)
     log(f"restart interval: {ri}")
 

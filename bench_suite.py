@@ -65,7 +65,7 @@ def bench_res(name, iters):
     img = make_image(H, W)
     image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
                             pixel_format=PixelFormat.PF_444_U8_P012)
-    ri = suggest_restart_interval(image, subsampled=False, interleaved=False)
+    ri = suggest_restart_interval(image, subsampled=False, interleaved=False, pow2=True)
     params = Parameters(quality=75, restart_interval=ri, interleaved=False)
 
     enc = Encoder(backend="jax")
@@ -133,7 +133,7 @@ def bench_video(iters=100):
     H, W = RES["HD"]
     image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
                             pixel_format=PixelFormat.PF_444_U8_P012)
-    ri = suggest_restart_interval(image, subsampled=False, interleaved=False)
+    ri = suggest_restart_interval(image, subsampled=False, interleaved=False, pow2=True)
     params = Parameters(quality=75, restart_interval=ri, interleaved=False)
     enc = Encoder(backend="jax")
     frames = [make_image(H, W, seed=s) for s in range(4)]
@@ -170,7 +170,7 @@ def main():
         image = ImageParameters(width=W, height=H,
                                 color_space=ColorSpace.RGB,
                                 pixel_format=PixelFormat.PF_444_U8_P012)
-        ri = suggest_restart_interval(image, subsampled=False,
+        ri = suggest_restart_interval(image, subsampled=False, pow2=True,
                                       interleaved=False)
         for q in range(10, 101, 10):
             params = Parameters(quality=q, restart_interval=ri,

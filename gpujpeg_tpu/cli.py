@@ -159,7 +159,8 @@ def _adjust_params(args, params: Parameters, image: ImageParameters,
         params = params.with_chroma_subsampling(sub)
         if args.restart is None:
             ri = suggest_restart_interval(
-                image, subsampled=(sub != 444), interleaved=params.interleaved)
+                image, subsampled=(sub != 444),
+                interleaved=params.interleaved, pow2=True)
             params = dataclasses.replace(params, restart_interval=ri)
     if args.native:
         params = dataclasses.replace(params, color_space_internal=cs)

@@ -106,7 +106,12 @@ class Encoder:
         quant_zz, huff = self._tables(params)
 
         result = None
-        if self.backend != "golden":
+        # restart_interval == 0 means one segment per whole scan: the
+        # segment-parallel device formulation degenerates (bps pads to the
+        # whole component's block count), so route to the host Huffman
+        # coder exactly like the reference (gpujpeg_encoder.c:437-446).
+        device_eligible = params.restart_interval > 0
+        if self.backend != "golden" and device_eligible:
             result = self._encode_segments_jax(raw, plan, quant_zz, huff)
         if result is None:  # golden backend or device capacity fallback
             seg_bytes = self._encode_segments_golden(raw, plan, quant_zz, huff)

@@ -127,91 +127,6 @@ def build_enc_geometry(plan: CoderPlan, cap_bytes_per_block: int | None = None) 
     )
 
 
-@dataclasses.dataclass(frozen=True)
-class ChunkedEncGeometry:
-    """Per-plan geometry split into segment-aligned chunks of bounded block
-    count, so the encoder runs as a ``lax.map`` over chunks and peak HBM is
-    one chunk's working set (the TPU analog of the reference's bounded
-    per-kernel working set; large grids stream through the SMs the same
-    way, gpujpeg_huffman_gpu_encoder.cu:1058-1067).
-
-    All arrays are stacked ``(n_chunks, ...)``; chunks hold ``chunk_segs``
-    segments each (trailing chunk padded with empty segments) and
-    ``chunk_blocks`` block slots (padded with invalid blocks whose gather
-    index points at a zero dummy row).
-    """
-
-    n_chunks: int
-    chunk_segs: int
-    chunk_blocks: int
-    # (n_chunks, chunk_blocks)
-    gather_idx: np.ndarray     # into plane-order block array (NB_plane = dummy)
-    block_cls: np.ndarray
-    dc_pred_idx: np.ndarray    # chunk-local, -1 = none
-    block_segment: np.ndarray  # chunk-local, chunk_segs = dummy
-    block_valid: np.ndarray
-    # (n_chunks, chunk_segs)
-    seg_block_start: np.ndarray  # chunk-local
-    seg_block_count: np.ndarray  # 0 = padded segment
-    seg_rst_marker: np.ndarray
-    seg_has_rst: np.ndarray
-    cap_seg_bytes: int
-    cap_out_bytes: int
-
-
-def build_chunked_enc_geometry(plan: CoderPlan,
-                               target_blocks: int = 1 << 18,
-                               cap_bytes_per_block: int | None = None
-                               ) -> ChunkedEncGeometry:
-    g = build_enc_geometry(plan, cap_bytes_per_block)
-    S, NB = plan.n_segments, plan.n_blocks
-    n_chunks = max(1, -(-NB // target_blocks))
-    n_chunks = min(n_chunks, S)
-    chunk_segs = -(-S // n_chunks)
-    n_chunks = -(-S // chunk_segs)
-
-    seg_start = plan.seg_block_start
-    seg_count = plan.seg_block_count
-    # block range of each chunk
-    chunk_first = np.arange(n_chunks) * chunk_segs
-    chunk_last = np.minimum(chunk_first + chunk_segs, S) - 1
-    blk_lo = seg_start[chunk_first]
-    blk_hi = seg_start[chunk_last] + seg_count[chunk_last]
-    chunk_blocks = int((blk_hi - blk_lo).max())
-
-    gi = np.full((n_chunks, chunk_blocks), NB, np.int32)  # NB -> dummy row
-    cls = np.zeros((n_chunks, chunk_blocks), np.int32)
-    dcp = np.full((n_chunks, chunk_blocks), -1, np.int32)
-    bseg = np.full((n_chunks, chunk_blocks), chunk_segs, np.int32)
-    bval = np.zeros((n_chunks, chunk_blocks), np.int32)
-    sstart = np.zeros((n_chunks, chunk_segs), np.int32)
-    scount = np.zeros((n_chunks, chunk_segs), np.int32)
-    rst = np.zeros((n_chunks, chunk_segs), np.int32)
-    hasr = np.zeros((n_chunks, chunk_segs), np.int32)
-    for i in range(n_chunks):
-        lo, hi = int(blk_lo[i]), int(blk_hi[i])
-        nbc = hi - lo
-        gi[i, :nbc] = plan.block_plane_idx[lo:hi]
-        cls[i, :nbc] = g.block_cls[lo:hi]
-        pred = plan.dc_pred_idx[lo:hi]
-        dcp[i, :nbc] = np.where(pred < 0, -1, pred - lo)
-        bseg[i, :nbc] = plan.block_segment[lo:hi] - i * chunk_segs
-        bval[i, :nbc] = 1
-        s0, s1 = int(chunk_first[i]), int(chunk_last[i]) + 1
-        ns = s1 - s0
-        sstart[i, :ns] = seg_start[s0:s1] - lo
-        scount[i, :ns] = seg_count[s0:s1]
-        rst[i, :ns] = g.seg_rst_marker[s0:s1]
-        hasr[i, :ns] = g.seg_has_rst[s0:s1]
-    return ChunkedEncGeometry(
-        n_chunks=n_chunks, chunk_segs=chunk_segs, chunk_blocks=chunk_blocks,
-        gather_idx=gi, block_cls=cls, dc_pred_idx=dcp, block_segment=bseg,
-        block_valid=bval, seg_block_start=sstart, seg_block_count=scount,
-        seg_rst_marker=rst, seg_has_rst=hasr,
-        cap_seg_bytes=g.cap_seg_bytes, cap_out_bytes=g.cap_out_bytes,
-    )
-
-
 def _scatter_bits(words: jax.Array, vals: jax.Array, lens: jax.Array,
                   offs: jax.Array) -> jax.Array:
     """OR (via add: bits are disjoint) MSB-first bitfields into a big-endian

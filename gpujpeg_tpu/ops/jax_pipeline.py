@@ -36,7 +36,6 @@ from .huffman_decode import (
     huffman_decode_kernel,
 )
 from .huffman_encode import (
-    build_chunked_enc_geometry,
     build_enc_geometry,
     build_enc_tables,
     compact_segments,

@@ -65,15 +65,17 @@ class ImageParameters:
 
 
 def suggest_restart_interval(img: ImageParameters, subsampled: bool,
-                             interleaved: bool, pow2: bool = True) -> int:
+                             interleaved: bool, pow2: bool = False) -> int:
     """Heuristic restart interval by image size
     (reference: gpujpeg_encoder_suggest_restart_interval,
-    gpujpeg_encoder.c:256-283).
+    gpujpeg_encoder.c:256-283). With ``pow2=False`` (default) the values
+    are reference-identical.
 
     On TPU, power-of-two intervals are strongly preferred: the entropy
     stage pads every segment to a power-of-two block count for its
     logarithmic merge tree, so ri=36 would waste 78% of the kernel rows
-    where ri=32 wastes none. ``pow2=True`` (default) rounds accordingly.
+    where ri=32 wastes none. The TPU encoder paths (CLI, sharded encoder,
+    benches) pass ``pow2=True`` explicitly to round accordingly.
     """
     mpix = img.width * img.height / 1_000_000.0
     if mpix < 1:

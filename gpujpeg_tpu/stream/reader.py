@@ -44,9 +44,11 @@ class ScanComponent:
 class ScanInfo:
     index: int
     components: list[ScanComponent]
-    #: concatenated entropy-coded bytes of the scan (RST markers removed)
+    #: raw scan-body view (entropy bytes WITH RST markers still present
+    #: between segment ranges)
     data: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0, np.uint8))
-    #: per-segment (start, end) offsets into ``data``
+    #: per-segment [lo, hi) ranges into ``data``; bytes between ranges
+    #: are RST markers that consumers must not treat as entropy data
     segments: list[tuple[int, int]] = dataclasses.field(default_factory=list)
 
 
@@ -286,12 +288,20 @@ _RST_SET = frozenset(range(0xD0, 0xD8))
 def _split_scan(data: bytes, start: int) -> tuple[np.ndarray, list[tuple[int, int]], int]:
     """Split a scan body into restart segments.
 
-    Returns (entropy bytes with RST markers removed, per-segment offsets
-    into that array, file position just after the scan body). Vectorized
-    equivalent of the reference's memchr loop with RST resynchronization
-    (reference: gpujpeg_reader.c:930-1046).
+    Returns (raw scan-body view, per-segment [lo, hi) byte ranges into
+    that view, file position just after the scan body). Segments are
+    zero-copy ranges: the bytes *between* ranges are the RST markers,
+    which consumers must not treat as entropy data. Vectorized
+    equivalent of the reference's memchr loop, including RST-sequence
+    validation with forward resynchronization on mismatch
+    (reference: gpujpeg_reader.c:930-1046, resync :962-996).
     """
     buf = np.frombuffer(data, dtype=np.uint8, offset=start)
+
+    native = _split_scan_native(data, start, buf)
+    if native is not None:
+        return native
+
     ff = np.flatnonzero(buf[:-1] == 0xFF)
     nxt = buf[ff + 1]
     is_stuff = nxt == 0x00
@@ -302,12 +312,18 @@ def _split_scan(data: bytes, start: int) -> tuple[np.ndarray, list[tuple[int, in
         raise JpegParseError("scan not terminated by a marker")
     end = int(ff[term_idx[0]])  # offset of the terminating 0xFF
 
-    rst_pos = ff[(ff < end) & is_rst]
+    in_scan = (ff < end) & is_rst
+    rst_pos = ff[in_scan]
+    rst_mark = (nxt[in_scan].astype(np.int64) - 0xD0)
 
-    # segment boundaries (positions of 0xFF of each RST)
-    bounds = np.concatenate([[0], rst_pos + 2, [end]])
-    seg_starts = bounds[:-1].copy()
-    seg_ends = np.concatenate([rst_pos, [end]])
+    if np.array_equal(rst_mark, np.arange(rst_mark.size) % 8):
+        # common case: RST(n mod 8) sequence intact — pure array math
+        bounds = np.concatenate([[0], rst_pos + 2, [end]])
+        seg_starts = bounds[:-1].copy()
+        seg_ends = np.concatenate([rst_pos, [end]])
+    else:
+        seg_starts, seg_ends = _resync_rst_sequence(
+            rst_pos, rst_mark, end)
 
     # drop empty segments (FFmpeg bug #8412 workaround,
     # reference: gpujpeg_reader.c:1022-1025)
@@ -319,6 +335,85 @@ def _split_scan(data: bytes, start: int) -> tuple[np.ndarray, list[tuple[int, in
     # [lo:hi], so no concatenation pass over 50k segments is needed)
     segments = list(zip(seg_starts.tolist(), seg_ends.tolist()))
     return buf[:end], segments, start + end
+
+
+def _split_scan_native(data: bytes, start: int, buf: np.ndarray):
+    """Fast path: C++ memchr scan splitter (native/host_codec.cpp
+    gj_scan_split). Returns None when the native library is unavailable
+    or the RST sequence needs the recovery walk (empty segments also
+    route to the NumPy path so sequence validation stays exact)."""
+    from ..native import lib
+    import ctypes
+    L = lib()
+    if L is None:
+        return None
+    arr = buf if buf.flags.c_contiguous else np.ascontiguousarray(buf)
+    max_segs = arr.size // 2 + 2
+    seg_starts = np.empty(max_segs, np.int64)
+    seg_ends = np.empty(max_segs, np.int64)
+    scan_end = ctypes.c_int64(0)
+    n = L.gj_scan_split(arr, arr.size, 0, seg_starts, seg_ends, max_segs,
+                        ctypes.byref(scan_end))
+    if n < 0:
+        raise JpegParseError("scan not terminated by a marker")
+    end = int(scan_end.value)
+    seg_starts, seg_ends = seg_starts[:n], seg_ends[:n]
+    # validate RST(n mod 8) ordering; the markers sit right after each
+    # non-final segment's end. Any mismatch (or dropped empty segment,
+    # which offsets the sequence) falls back to the recovery walk.
+    if n > 1:
+        marks = buf[seg_ends[:-1] + 1].astype(np.int64) - 0xD0
+        if not np.array_equal(marks, np.arange(n - 1) % 8):
+            return None
+    segments = list(zip(seg_starts.tolist(), seg_ends.tolist()))
+    return buf[:end], segments, start + end
+
+
+def _resync_rst_sequence(rst_pos: np.ndarray, rst_mark: np.ndarray,
+                         end: int) -> tuple[np.ndarray, np.ndarray]:
+    """Recovery walk over an out-of-order RST marker list, matching the
+    reference's semantics (gpujpeg_reader.c:962-996): on an unexpected
+    RST, the current segment still ends at that marker, the data up to
+    (and including) the next occurrence of the *expected* marker is
+    discarded, and the next segment starts after it. If the expected
+    marker never appears, the mismatched RST is ignored (not a segment
+    boundary)."""
+    seg_starts: list[int] = []
+    seg_ends: list[int] = []
+    expected = 0
+    seg_start = 0
+    i = 0
+    n = rst_mark.size
+    while i < n:
+        p = int(rst_pos[i])
+        m = int(rst_mark[i])
+        if m == expected:
+            seg_starts.append(seg_start)
+            seg_ends.append(p)
+            seg_start = p + 2
+            expected = (expected + 1) & 7
+            i += 1
+            continue
+        log.error("expected RST%d but RST%d was presented", expected, m)
+        # scan forward for the expected marker
+        j = i + 1
+        while j < n and int(rst_mark[j]) != expected:
+            j += 1
+        if j == n:
+            log.error("no RST%d found until end of current scan", expected)
+            i += 1  # ignore this RST; segment continues
+            continue
+        q = int(rst_pos[j])
+        log.warning("skipping %d bytes of data until RST%d was found",
+                    q - p, expected)
+        seg_starts.append(seg_start)
+        seg_ends.append(p)       # segment ends at the mismatched marker
+        seg_start = q + 2        # skipped span is discarded
+        expected = (expected + 1) & 7
+        i = j + 1
+    seg_starts.append(seg_start)
+    seg_ends.append(end)
+    return np.asarray(seg_starts, np.int64), np.asarray(seg_ends, np.int64)
 
 
 def read_image(data: bytes) -> JpegInfo:

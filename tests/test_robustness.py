@@ -121,3 +121,61 @@ def test_missing_segment_decodes_zeros():
     cut = data[:first_rst + 2] + data[second_rst + 2:]
     raw, oi = Decoder(backend="golden").decode(cut)
     assert raw.size == oi.width * oi.height * 3
+
+
+def test_rst_resync_out_of_order():
+    """An out-of-order RST sequence must trigger forward resync, not
+    silent segment misassignment (reference: gpujpeg_reader.c:962-996).
+    Duplicating one segment+RST pair makes the duplicate's marker
+    unexpected; the resync should skip the duplicated span and keep all
+    later segments aligned."""
+    img, data = _sample_jpeg(H=64, W=64, ri=2, q=85)
+    sos = data.find(b"\xff\xda")
+    r0 = data.find(b"\xff\xd0", sos)
+    r1 = data.find(b"\xff\xd1", r0)
+    assert r0 > 0 and r1 > 0
+    # duplicate segment 1 (between RST0 and RST1) *including* its RST1:
+    # stream now reads ... RST0 seg1 RST1 seg1 RST1 seg2 ... — the second
+    # RST1 is unexpected (expected RST2), resync scans forward to RST2.
+    dup = data[r0 + 2:r1 + 2]
+    corrupted = data[:r1 + 2] + dup + data[r1 + 2:]
+    raw, oi = Decoder(backend="golden").decode(corrupted)
+    clean, _ = Decoder(backend="golden").decode(data)
+    # resync semantics: the bogus span is dropped, all later segments
+    # decode from their true data -> image identical except possibly the
+    # segments adjacent to the corruption
+    diff_rows = np.any(
+        raw.reshape(64, 64, 3) != clean.reshape(64, 64, 3), axis=(1, 2))
+    assert diff_rows.sum() <= 16, f"{diff_rows.sum()} rows differ"
+
+
+def test_rst_resync_expected_never_found():
+    """If the expected RST never appears, the mismatched RST is ignored
+    (not a boundary) and decode must not crash."""
+    img, data = _sample_jpeg(H=32, W=32, ri=2, q=85)
+    sos = data.find(b"\xff\xda")
+    r0 = data.find(b"\xff\xd0", sos)
+    assert r0 > 0
+    # corrupt RST0 -> RST5: expected RST0 never appears
+    buf = bytearray(data)
+    buf[r0 + 1] = 0xD5
+    raw, oi = Decoder(backend="golden").decode(bytes(buf))
+    assert raw.size == oi.width * oi.height * 3
+
+
+def test_restart_interval_zero_device_backend():
+    """restart_interval == 0 must route to the host Huffman coder even on
+    the device backend (reference: gpujpeg_encoder.c:437-446)."""
+    from PIL import Image as _Image
+    H, W = 48, 64
+    img = make_test_rgb(H, W)
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="jax").encode(
+        img.reshape(-1), Parameters(quality=85, restart_interval=0), image)
+    # DRI is still emitted (value 0, like the reference's writer), but the
+    # scan body must contain no RST markers
+    scan = data.split(b"\xff\xda", 1)[1]
+    assert not any(scan.find(bytes((0xFF, 0xD0 + i))) >= 0 for i in range(8))
+    pil = np.asarray(_Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(img, pil) > 30
