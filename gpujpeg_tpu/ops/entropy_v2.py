@@ -46,6 +46,7 @@ from ..tables import HuffmanTable
 from ..types import ComponentType, HuffmanType
 from .huffman_encode import cap_for_quality
 
+from ..runtime import pallas_call as _pcall
 I32 = jnp.int32
 U32 = jnp.uint32
 
@@ -403,8 +404,25 @@ def _chunk_planes_packed(c, diff2, cls2, valid2, t, W: int):
 
     All (tile, 64) arrays of the unpacked formulation waste half of every
     vreg (Mosaic pads the 64-lane minor dim to 128); here two consecutive
-    blocks share each 128-lane row, halving the vector-op count. Scans
-    (cumsum/cummax) mask at the 64-lane block boundary.
+    blocks share each 128-lane row, halving the vector-op count.
+
+    v3 op-count reductions over the original formulation (the kernel is
+    measured compute-bound at ~1 cycle/vreg-op, so vector-op count is the
+    whole cost):
+
+    * one fused prefix scan: code lengths, nonzero counts and ZRL
+      candidate counts ride in disjoint bit fields of a single masked
+      cumsum (replaces a cumsum + a suffix-max scan). ZRL lengths are
+      per-class constants, so offsets = len-prefix + zl * candidate-
+      prefix; candidates in a block's zero tail (which must emit EOB
+      instead) are counted from lane 63's run distance and subtracted.
+    * the DC-run cummax runs on global lane indices with DC lanes as
+      chain resetters — shift-in zeros need no per-step boundary mask.
+    * window assembly: each lane's chunk spans at most two 32-bit words,
+      so its two aligned parts are computed once; per output word a
+      select picks the contributing part and a 6-step shift-OR tree
+      reduces each 64-lane half (bits are disjoint, OR == add). Replaces
+      W full masked-cumsum reductions.
 
     c: (T2, 128) int32 — blocks 2i (lanes 0-63) and 2i+1 (lanes 64-127).
     diff2/cls2/valid2: (T2, 2) int32 per-block scalars.
@@ -418,24 +436,9 @@ def _chunk_planes_packed(c, diff2, cls2, valid2, t, W: int):
     def expand(a2):
         return jnp.where(left, a2[:, 0:1], a2[:, 1:2])
 
-    def cummax64(x):
-        s = 1
-        while s < 64:
-            sh = jnp.concatenate(
-                [jnp.full((T2, s), jnp.iinfo(jnp.int32).min, x.dtype),
-                 x[:, :-s]], axis=1)
-            x = jnp.maximum(x, jnp.where(k >= s, sh, x))
-            s <<= 1
-        return x
-
-    def cumsum64(x):
-        s = 1
-        while s < 64:
-            sh = jnp.concatenate(
-                [jnp.zeros((T2, s), x.dtype), x[:, :-s]], axis=1)
-            x = x + jnp.where(k >= s, sh, 0)
-            s <<= 1
-        return x
+    def shift_r(x, s, fill=0):
+        return jnp.concatenate(
+            [jnp.full((T2, s), fill, x.dtype), x[:, :-s]], axis=1)
 
     diff = expand(diff2)
     cls = expand(cls2)
@@ -449,9 +452,16 @@ def _chunk_planes_packed(c, diff2, cls2, valid2, t, W: int):
     cat = 32 - t["clz"](av)
     vbits = jnp.where(v >= 0, v, v + (1 << cat) - 1) & ((1 << cat) - 1)
 
-    prev_incl = cummax64(jnp.where(nz, k, 0))
-    prev = t["shift_lanes_right"](prev_incl, 1)
-    run = jnp.where(nz, k - prev - 1, 0)
+    # previous emit position via global-lane cummax; DC lanes reset the
+    # chain, so shift-in zeros cannot leak across the block boundary
+    tv = jnp.where(nz | is_dc, lane, 0)
+    s = 1
+    while s < 64:
+        tv = jnp.maximum(tv, shift_r(tv, s))
+        s <<= 1
+    prev = shift_r(tv, 1)
+    d = lane - prev                     # block-local distance (same block)
+    run = jnp.where(nz, d - 1, 0)
 
     sym = ((run & 15) << 4) | cat
     entry_ac = t["lookup512"](cls * 256 + sym)
@@ -460,56 +470,77 @@ def _chunk_planes_packed(c, diff2, cls2, valid2, t, W: int):
     code = entry >> 5
     clen = entry & 31
     emit = is_dc | nz
-    ln = jnp.where(emit, clen + cat, 0)
+    ln0 = jnp.where(emit, clen + cat, 0) * valid
     val = jnp.where(emit, (code << cat) | vbits, 0)
 
-    # ZRL on the 16th/32nd/48th zero lane of a run that a nonzero ends
-    # (those lanes are otherwise empty; the offset cumsum orders them
-    # before their run's terminating code automatically)
+    # ZRL candidates: the 16th/32nd/48th zero lane of a run (real only
+    # when a nonzero follows in-block; tail candidates are fake)
     zc = jnp.where(cls > 0, t["zrl_c"][0], t["zrl_l"][0])
     zl = jnp.where(cls > 0, t["zrl_c"][1], t["zrl_l"][1])
-    d = k - prev
-    nzi = nz.astype(I32)
+    cand = ((~is_dc) & (~nz) & (d >= 16) & ((d & 15) == 0) &
+            (valid > 0))
+
+    # fused masked scan: ln0 (<= 3008 total, 12 bits) | nz << 12 | cand << 19
+    combo = ln0 + (nz.astype(I32) << 12) + (cand.astype(I32) << 19)
     s = 1
-    while s < 64:                       # block-local suffix max of nz
-        sh = jnp.concatenate(
-            [nzi[:, s:], jnp.zeros((T2, s), I32)], axis=1)
-        nzi = jnp.maximum(nzi, jnp.where(k <= 63 - s, sh, nzi))
+    while s < 64:
+        combo = combo + jnp.where(k >= s, shift_r(combo, s), 0)
         s <<= 1
-    has_next = jnp.concatenate(
-        [nzi[:, 1:], jnp.zeros((T2, 1), I32)], axis=1)
-    has_next = jnp.where(k == 63, 0, has_next)
-    is_zrl = (~is_dc) & (~nz) & (has_next > 0) & (d >= 16) & ((d & 15) == 0)
-    ln = jnp.where(is_zrl, zl, ln) * valid
-    val = jnp.where(is_zrl, zc, val)
+    csum_ln = combo & 0xFFF             # inclusive prefix of ln0
+    cnz = (combo >> 12) & 0x7F          # inclusive prefix of nz
+    ccand = combo >> 19                 # inclusive prefix of cand
 
-    csum = cumsum64(ln)
-    off = csum - ln
+    # per-block totals broadcast from lanes 63 / 127 (static gather)
+    bidx = jnp.where(left, 63, 127)
+    tot = jnp.take_along_axis(combo, bidx, axis=1)
+    tot_nz = (tot >> 12) & 0x7F
 
-    # EOB rides in each block's lane 63 when its last AC is zero
+    real = cand & (cnz < tot_nz)        # zero tail -> EOB, not ZRL
+    ln = jnp.where(real, zl, ln0)
+    val = jnp.where(real, zc, val)
+    off = (csum_ln - ln0) + zl * (ccand - cand.astype(I32))
+
+    # EOB rides in each block's lane 63 when its last AC is zero; fake
+    # (tail) candidates are the multiples of 16 inside lane 63's run
     is63 = k == 63
     czero63 = (c == 0) & is63 & (valid > 0)
     ec = jnp.where(cls > 0, t["eob_c"][0], t["eob_l"][0])
     el = jnp.where(cls > 0, t["eob_c"][1], t["eob_l"][1])
+    fake = jnp.where(czero63, d >> 4, 0)
+    real_tot = (tot >> 19) - jnp.take_along_axis(fake, bidx, axis=1)
+    base_bits = (tot & 0xFFF) + zl * real_tot
     ln = jnp.where(czero63, el, ln)
     val = jnp.where(czero63, ec, val)
+    off = jnp.where(czero63, base_bits, off)
     eob_len = jnp.where(czero63, el, 0)
 
-    # window assembly; per-block sums land in lanes 63 / 127 of cumsum64
+    # window assembly: chunk at [off, off+ln) splits into word j = off>>5
+    # and word j+1; per word a select + shift-OR tree over each 64-lane
+    # half (read at lanes 0 / 64 — cross-boundary leakage lands only on
+    # lanes that are never read)
+    r = off & 31
+    j = _srl(off, 5)
+    s0 = 32 - r - ln
+    part0 = jnp.where(s0 >= 0, val << jnp.clip(s0, 0, 31),
+                      _srl(val, jnp.clip(-s0, 0, 31)))
+    part0 = jnp.where(ln > 0, part0, 0)
+    part1 = jnp.where((s0 < 0) & (ln > 0),
+                      val << jnp.clip(32 + s0, 0, 31), 0)
     cols_l, cols_r = [], []
     for w in range(W):
-        rel = off - 32 * w
-        sh = 32 - rel - ln
-        pos_sh = jnp.clip(sh, 0, 31)
-        neg_sh = jnp.clip(-sh, 0, 31)
-        contrib = jnp.where(sh >= 0, val << pos_sh, _srl(val, neg_sh))
-        mask = (ln > 0) & (rel < 32) & (rel + ln > 0)
-        tsum = cumsum64(jnp.where(mask, contrib, 0))
-        cols_l.append(tsum[:, 63:64])
-        cols_r.append(tsum[:, 127:128])
+        contrib = jnp.where(j == w, part0, 0)
+        if w > 0:
+            contrib = contrib | jnp.where(j == w - 1, part1, 0)
+        s = 1
+        while s < 64:
+            contrib = contrib | jnp.concatenate(
+                [contrib[:, s:], jnp.zeros((T2, s), I32)], axis=1)
+            s <<= 1
+        cols_l.append(contrib[:, 0:1])
+        cols_r.append(contrib[:, 64:65])
     words = jnp.concatenate(cols_l + cols_r, axis=1).astype(U32)
 
-    bsum = csum + eob_len
+    bsum = base_bits + eob_len
     bits = jnp.concatenate([bsum[:, 63:64], bsum[:, 127:128]], axis=1)
     return words, bits
 
@@ -545,7 +576,7 @@ def block_chunks_pallas(coeff, diff, cls, valid, tabs: PackedTables, W: int,
             coeff_ref[:], diff_ref[:], cls_ref[:], valid_ref[:], t, W)
 
     grid = (N // tile,)
-    words, bits = pl.pallas_call(
+    words, bits = _pcall(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((N // 2, 2 * W), jnp.uint32),
                    jax.ShapeDtypeStruct((N // 2, 2), jnp.int32)),
@@ -623,7 +654,7 @@ def block_chunks_dct_pallas(pb2, diff2, cls2, valid2, qidx, D2_h, bias2_h,
         words_ref[:], bits_ref[:] = _chunk_planes_packed(
             rows, diff_ref[:], cls_ref[:], valid_ref[:], t, W)
 
-    words, bits = pl.pallas_call(
+    words, bits = _pcall(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((M, 2 * W), jnp.uint32),
                    jax.ShapeDtypeStruct((M, 2), jnp.int32)),
@@ -745,7 +776,7 @@ def merge_segments_pallas(words, bits, bps: int, cap_words: int,
         out_w_ref[:] = x[:, :cap_words]
         out_b_ref[:] = x[:, 127:128].astype(I32)
 
-    out_w, out_b = pl.pallas_call(
+    out_w, out_b = _pcall(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((S_pad, cap_words), jnp.uint32),
                    jax.ShapeDtypeStruct((S_pad, 1), jnp.int32)),
@@ -896,7 +927,7 @@ def merge_segments_packed(words, bits, bps: int, W: int, cap_words: int,
         out_w_ref[:] = x
         out_b_ref[:] = blen
 
-    out_w, out_b = pl.pallas_call(
+    out_w, out_b = _pcall(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((rows0 >> n_cross, R_f), jnp.uint32),
                    jax.ShapeDtypeStruct((rows0 >> n_cross, R_f), jnp.int32)),
@@ -1057,7 +1088,7 @@ def stuff_and_rst_pallas(seg_words, seg_bits, rst_marker, has_rst,
                       (planes[3] << 24)).astype(U32)
         nff_ref[:] = nff
 
-    out_w, nff = pl.pallas_call(
+    out_w, nff = _pcall(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((S_pad, WO), jnp.uint32),
                    jax.ShapeDtypeStruct((S_pad, 1), jnp.int32)),

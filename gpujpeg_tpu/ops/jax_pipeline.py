@@ -72,7 +72,8 @@ class _EncContext:
         self.plan = plan
         self._quant_zz = quant_zz
         self._tabs = build_packed_tables(huff)
-        self._use_pallas = jax.devices()[0].platform not in ("cpu",)
+        from ..runtime import use_pallas_default
+        self._use_pallas = use_pallas_default()
 
         # tier 1: typical-content segment budget; tier 2 (lazy): worst case
         geo_probe = build_uniform_geometry(plan)
@@ -631,7 +632,8 @@ def decode_device(decoder, plan: CoderPlan, info, scan_data,
                   segments_by_scan, dc_by_comp, ac_by_comp,
                   out_image: ImageParameters):
     import time
-    if jax.devices()[0].platform not in ("cpu",):
+    from ..runtime import use_pallas_default
+    if use_pallas_default():
         try:
             return _decode_device_v2(decoder, plan, info, scan_data,
                                      segments_by_scan, dc_by_comp,

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from ..tables import HuffmanTable
 
+from ..runtime import pallas_call as _pcall
 I32 = jnp.int32
 U32 = jnp.uint32
 
@@ -393,7 +394,7 @@ def make_decode_kernel(seg_tile: int, bps: int, wcap: int, n_slots: int,
         S = data_rows.shape[0]
         n_tiles = S // seg_tile
         grid = (n_tiles, bps)
-        out = pl.pallas_call(
+        out = _pcall(
             kernel,
             out_shape=jax.ShapeDtypeStruct((bps, S, 64), jnp.int32),
             grid=grid,

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from .pallas_decode import DecTables, QUICK_BITS, _lane_gather
 
+from ..runtime import pallas_call as _pcall
 I32 = jnp.int32
 U32 = jnp.uint32
 
@@ -306,7 +307,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
         S = dataT.shape[1]
         n_tiles = S // seg_tile
         grid = (n_tiles, bps)
-        out = pl.pallas_call(
+        out = _pcall(
             kernel,
             out_shape=jax.ShapeDtypeStruct((bps, n_tiles * G * 64, 128),
                                            jnp.int32),

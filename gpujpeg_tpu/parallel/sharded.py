@@ -427,7 +427,8 @@ class ShardedEncoder:
         budget = seg_budget_for_quality(params.quality, geo_probe.bps)
         geo = build_uniform_geometry(
             plan, seg_byte_budget=min(budget, geo_probe.cap_seg_words * 4))
-        use_pallas = jax.devices()[0].platform not in ("cpu",)
+        from ..runtime import use_pallas_default
+        use_pallas = use_pallas_default()
 
         from ..tables import dct_zigzag_operator
         D64, bias64 = dct_zigzag_operator()

@@ -66,3 +66,25 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception as e:  # pragma: no cover - best effort
         log.debug("compilation cache setup skipped: %s", e)
+
+
+def pallas_interpret() -> bool:
+    """True when GPUJPEG_TPU_PALLAS_INTERPRET is set: run every Pallas
+    kernel in interpreter mode so the real TPU kernels (not the XLA
+    fallbacks) are testable on the CPU backend."""
+    return bool(os.environ.get("GPUJPEG_TPU_PALLAS_INTERPRET"))
+
+
+def use_pallas_default() -> bool:
+    """Device kernels use Pallas on real accelerators, or anywhere when
+    interpret mode is forced."""
+    import jax
+    return jax.devices()[0].platform not in ("cpu",) or pallas_interpret()
+
+
+def pallas_call(*args, **kw):
+    """pl.pallas_call wrapper honoring :func:`pallas_interpret`."""
+    from jax.experimental import pallas as pl
+    if pallas_interpret():
+        kw.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kw)
