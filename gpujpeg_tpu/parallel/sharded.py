@@ -384,6 +384,31 @@ class ShardedDecoder:
         return np.concatenate(parts)
 
 
+@dataclasses.dataclass
+class _ShardedBuild:
+    """Cached per-(params, image) sharded-encode state with lazy tier-2."""
+    layout: BandLayout
+    quant_zz: dict
+    huff: dict
+    rst_np: np.ndarray
+    has_np: np.ndarray
+    plan: CoderPlan
+    geo1: object
+    geo2: object
+    make_fn: object
+    fn1: object = None
+    fn2: object = None
+
+    def tier2(self):
+        """Worst-case-capacity variant, built lazily on tier-1 overflow
+        (mirror of the single-chip encode_segments_device tier loop)."""
+        if self.fn2 is None:
+            from ..ops.entropy_v2 import build_uniform_geometry
+            self.geo2 = build_uniform_geometry(self.plan)
+            self.fn2 = self.make_fn(self.geo2)
+        return self.geo2, self.fn2
+
+
 class ShardedEncoder:
     """Encoder that shards one image's MCU-row bands across the 'seg' mesh
     axis and (optionally) a frame batch across the 'frame' axis."""
@@ -407,8 +432,8 @@ class ShardedEncoder:
             return hit
 
         from ..ops.entropy_v2 import (
-            build_packed_tables, build_uniform_geometry, encode_rows,
-            seg_budget_for_quality)
+            block_byte_budget, build_packed_tables, build_uniform_geometry,
+            encode_rows, seg_budget_for_quality)
 
         layout = plan_bands(params, image, self.n_seg)
         plan = layout.plan
@@ -425,8 +450,6 @@ class ShardedEncoder:
         rst_np, has_np = _global_rst_arrays(layout)
         geo_probe = build_uniform_geometry(plan)
         budget = seg_budget_for_quality(params.quality, geo_probe.bps)
-        geo = build_uniform_geometry(
-            plan, seg_byte_budget=min(budget, geo_probe.cap_seg_words * 4))
         from ..runtime import use_pallas_default
         use_pallas = use_pallas_default()
 
@@ -437,52 +460,57 @@ class ShardedEncoder:
         qdiv = jnp.asarray(np.maximum(np.stack([
             np.asarray(quant_zz[0], np.float32),
             np.asarray(quant_zz[1], np.float32)]), 1.0))
+        # row layout (coeff_idx / block_cls) is capacity-independent:
+        # geo_probe, tier-1 and tier-2 share it
         NB = plan.n_blocks
         spp = np.append(plan.block_plane_idx, NB)
-        idx_plane = spp[np.minimum(geo.coeff_idx, NB)]
-        idx_plane[geo.coeff_idx >= NB] = NB
+        idx_plane = spp[np.minimum(geo_probe.coeff_idx, NB)]
+        idx_plane[geo_probe.coeff_idx >= NB] = NB
         idx_plane_j = jnp.asarray(idx_plane)
-        cls_rows = jnp.asarray(geo.block_cls)
+        cls_rows = jnp.asarray(geo_probe.block_cls)
         band_image = layout.band_image
 
-        # class-compatible geometry fields consumed by encode_batch
-        class _G:
-            cap_seg_bytes = geo.cap_seg_words * 4
-            cap_out_bytes = geo.cap_out_bytes
-        g = _G()
+        def make_fn(geo_t):
+            def encode_band(raw_band, rst, has_rst):
+                planes = preprocess(raw_band, band_image, plan, jnp)
+                planes = jax.lax.optimization_barrier(tuple(planes))
+                pblocks = jnp.concatenate(
+                    [plane_to_blocks(p, jnp) for p in planes])
+                pblocks = jnp.concatenate(
+                    [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
+                x = pblocks[idx_plane_j].astype(jnp.float32)
+                y = jax.lax.dot_general(
+                    x, D, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) - bias
+                rows = jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
+                return encode_rows(rows, geo_t, tabs, use_pallas,
+                                   rst_marker=rst, has_rst=has_rst)
 
-        def encode_band(raw_band, rst, has_rst):
-            planes = preprocess(raw_band, band_image, plan, jnp)
-            planes = jax.lax.optimization_barrier(tuple(planes))
-            pblocks = jnp.concatenate(
-                [plane_to_blocks(p, jnp) for p in planes])
-            pblocks = jnp.concatenate(
-                [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
-            x = pblocks[idx_plane_j].astype(jnp.float32)
-            y = jax.lax.dot_general(
-                x, D, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32) - bias
-            rows = jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
-            return encode_rows(rows, geo, tabs, use_pallas,
-                               rst_marker=rst, has_rst=has_rst)
+            def local_fn(raw, rst, has_rst):
+                # raw: (B_local, 1, band_bytes); rst/has: (1, S_local)
+                out, out_len, seg_bits, n_ff = jax.vmap(
+                    lambda r: encode_band(r, rst[0], has_rst[0]))(raw[:, 0])
+                return (out[:, None], out_len[:, None],
+                        seg_bits[:, None], n_ff[:, None])
 
-        def local_fn(raw, rst, has_rst):
-            # raw: (B_local, 1, band_bytes); rst/has: (1, S_local)
-            out, out_len, seg_bits, n_ff = jax.vmap(
-                lambda r: encode_band(r, rst[0], has_rst[0]))(raw[:, 0])
-            return (out[:, None], out_len[:, None],
-                    seg_bits[:, None], n_ff[:, None])
+            fspec = "frame" if "frame" in self.mesh.axis_names else None
+            return jax.jit(_shard_map(
+                local_fn, mesh=self.mesh,
+                in_specs=(P(fspec, "seg", None), P("seg", None),
+                          P("seg", None)),
+                out_specs=(P(fspec, "seg", None), P(fspec, "seg", None),
+                           P(fspec, "seg", None), P(fspec, "seg", None)),
+            ))
 
-        fspec = "frame" if "frame" in self.mesh.axis_names else None
-        fn = jax.jit(_shard_map(
-            local_fn, mesh=self.mesh,
-            in_specs=(P(fspec, "seg", None), P("seg", None), P("seg", None)),
-            out_specs=(P(fspec, "seg", None), P(fspec, "seg", None),
-                       P(fspec, "seg", None), P(fspec, "seg", None)),
-        ))
-
-        built = (layout, quant_zz, huff, g, rst_np, has_np, fn)
+        built = _ShardedBuild(
+            layout=layout, quant_zz=quant_zz, huff=huff,
+            rst_np=rst_np, has_np=has_np, plan=plan,
+            geo1=build_uniform_geometry(
+                plan, cap_bytes_per_block=block_byte_budget(params.quality),
+                seg_byte_budget=min(budget, geo_probe.cap_seg_words * 4)),
+            geo2=None, make_fn=make_fn)
+        built.fn1 = make_fn(built.geo1)
         self._cache[key] = built
         return built
 
@@ -494,8 +522,12 @@ class ShardedEncoder:
     def encode_batch(self, raws, params: Parameters,
                      image: ImageParameters) -> list[bytes]:
         """Encode a batch of same-geometry frames: frames sharded over the
-        'frame' axis, each frame's bands over the 'seg' axis."""
-        layout, quant_zz, huff, g, rst_np, has_np, fn = self._build(params, image)
+        'frame' axis, each frame's bands over the 'seg' axis. Tier-1
+        typical-content capacity overflow reruns on the tier-2 worst-case
+        geometry; pathological content beyond that falls back to the host
+        golden coder per frame (mirrors encode_segments_device's loop)."""
+        b = self._build(params, image)
+        layout = b.layout
         B = len(raws)
         # pad the batch to a multiple of the frame axis
         Bp = -(-B // self.n_frame) * self.n_frame
@@ -503,22 +535,30 @@ class ShardedEncoder:
             split_raw_bands(raws[min(i, B - 1)], image, layout)
             for i in range(Bp)
         ])  # (Bp, n_bands, band_bytes)
+        bands_j = jnp.asarray(bands)
+        rst_j, has_j = jnp.asarray(b.rst_np), jnp.asarray(b.has_np)
 
-        out, out_len, seg_bits, n_ff = fn(
-            jnp.asarray(bands), jnp.asarray(rst_np), jnp.asarray(has_np))
-        out_h = np.asarray(jax.device_get(out))
-        if out_h.dtype == np.uint32:     # pallas stuffing packs 4 bytes/word
-            out_h = np.ascontiguousarray(out_h).view(np.uint8)
-        len_h = np.asarray(jax.device_get(out_len))
-        bits_h = np.asarray(jax.device_get(seg_bits))
-        if (bits_h > g.cap_seg_bytes * 8).any():
-            raise OverflowError(
-                "per-segment capacity exceeded in sharded encode; raise "
-                "cap_bytes_per_block (pathological input)")
+        for tier in (1, 2):
+            geo, fn = (b.geo1, b.fn1) if tier == 1 else b.tier2()
+            out, out_len, seg_bits, n_ff = fn(bands_j, rst_j, has_j)
+            len_h = np.asarray(jax.device_get(out_len))
+            bits_h = np.asarray(jax.device_get(seg_bits))
+            nff_h = np.asarray(jax.device_get(n_ff))
+            stuffed = ((bits_h + 7) >> 3) + nff_h
+            overflow = (bits_h > geo.cap_seg_words * 4 * 8).any() or \
+                (stuffed + 2 > geo.cap_out_bytes).any()
+            if not overflow:
+                out_h = np.asarray(jax.device_get(out))
+                if out_h.dtype == np.uint32:  # pallas stuffing packs words
+                    out_h = np.ascontiguousarray(out_h).view(np.uint8)
+                return [self._assemble(layout, b.quant_zz, b.huff,
+                                       out_h[f], len_h[f], params, image)
+                        for f in range(B)]
 
-        return [self._assemble(layout, quant_zz, huff,
-                               out_h[f], len_h[f], params, image)
-                for f in range(B)]
+        # beyond worst-case caps: host golden coder (last resort)
+        from ..models.encoder import Encoder
+        enc = Encoder(backend="golden")
+        return [enc.encode(np.asarray(r), params, image) for r in raws]
 
     # ------------------------------------------------------------------
     def _assemble(self, layout: BandLayout, quant_zz, huff,

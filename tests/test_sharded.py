@@ -110,3 +110,29 @@ def test_sharded_decode_fallback_non_aligned():
         img, Parameters(quality=80, restart_interval=3), image)
     raw, out_img = ShardedDecoder(_mesh(1, 8)).decode(data)
     assert psnr(img, raw.reshape(H, W, 3)) > 30
+
+
+def test_sharded_tier2_fallback_high_entropy(monkeypatch):
+    """A tier-1 capacity overflow must rerun on the tier-2 worst-case
+    geometry instead of raising (round-1 advisor finding), and stay
+    bit-identical to the single-chip encoder. The tiny forced budget
+    makes the overflow deterministic."""
+    import gpujpeg_tpu.parallel.sharded as sh
+    import gpujpeg_tpu.ops.entropy_v2 as ev2
+    monkeypatch.setattr(ev2, "seg_budget_for_quality", lambda q, bps: 8)
+    rng = np.random.default_rng(5)
+    H, W = 64, 64
+    img = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(quality=90, restart_interval=2)
+
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    jp._ENC_CACHE.clear()     # cached contexts were built with real budgets
+    single = Encoder(backend="jax").encode(img, params, image)
+    enc = ShardedEncoder(_mesh(1, 8))
+    sharded = enc.encode(img, params, image)
+    jp._ENC_CACHE.clear()
+    assert sharded == single
+    assert enc._cache and next(iter(enc._cache.values())).fn2 is not None, \
+        "expected tier-2 rerun to have engaged"
