@@ -430,19 +430,28 @@ def _chunk_planes_packed(c, diff2, cls2, valid2, t, W: int):
     """
     T2 = c.shape[0]
     lane = jax.lax.broadcasted_iota(I32, (T2, 128), 1)
-    k = lane & 63
     left = lane < 64
 
     def expand(a2):
         return jnp.where(left, a2[:, 0:1], a2[:, 1:2])
 
+    return _chunk_planes_lanes(c, expand(diff2), expand(cls2),
+                               expand(valid2), t, W)
+
+
+def _chunk_planes_lanes(c, diff, cls, valid, t, W: int):
+    """Core of :func:`_chunk_planes_packed` with per-lane (T2, 128)
+    ``diff``/``cls``/``valid`` operands (``diff`` is read only at the DC
+    lanes 0/64), so fused callers can derive them in-kernel without the
+    narrow (T2, 2) input streams."""
+    T2 = c.shape[0]
+    lane = jax.lax.broadcasted_iota(I32, (T2, 128), 1)
+    k = lane & 63
+    left = lane < 64
+
     def shift_r(x, s, fill=0):
         return jnp.concatenate(
             [jnp.full((T2, s), fill, x.dtype), x[:, :-s]], axis=1)
-
-    diff = expand(diff2)
-    cls = expand(cls2)
-    valid = expand(valid2)
 
     is_dc = k == 0
     v = jnp.where(is_dc, diff, c)
@@ -683,6 +692,128 @@ def block_chunks_dct_pallas(pb2, diff2, cls2, valid2, qidx, D2_h, bias2_h,
     if pad:
         words = words[:-2 * pad]
         bits = bits[:-2 * pad]
+    return words, bits
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedSpec:
+    """Static per-geometry facts letting the fused kernel derive class /
+    validity / quantizer / DC-prediction in-kernel, eliminating every
+    narrow per-row input stream (measured ~1.1 ms per stream at 8K).
+
+    Applies to identity-gather non-interleaved plans: scan order ==
+    uniform row order, consecutive blocks within a segment (DC-prediction
+    distance 1), components concatenated at static block boundaries.
+    """
+    #: per-component (start_block, cls, quant_row_index); start of comp 0
+    #: is 0; blocks >= boundary i belong to component i
+    comp_starts: tuple
+    comp_cls: tuple
+    comp_q: tuple
+    n_real_blocks: int
+    seg_rows: int          # rows (block pairs) per segment; 0 <=> bps == 1
+
+
+def block_chunks_dct_fused(pb2, spec: FusedSpec, D2_h, bias2_h, qrows_h,
+                           tabs: PackedTables, W: int, tile: int = 768):
+    """Fully fused stage 1 with zero narrow input streams: DCT+quant on
+    the MXU, DC differences from the quantized DC lanes (previous block
+    = previous lane-64/row slot; resets at segment-start rows), class /
+    validity / quantizer from static block-index thresholds.
+
+    pb2 (M, 128) u8 two blocks per row; qrows_h (n_comp, 128) f32 —
+    per-component quant divisors tiled twice. Returns a single combined
+    (Mp, 2W+2) int32 array: lanes [0, 2W) window words (bit pattern),
+    lanes [2W, 2W+2) per-block bit lengths. Mp = M padded to the tile.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = pb2.shape[0]
+    T2 = tile // 2
+    pad = (-M) % T2
+    if pad:
+        pb2 = jnp.pad(pb2, ((0, pad), (0, 0)))
+    Mp = M + pad
+    ac512 = jnp.asarray(tabs.ac512)
+    dc128 = jnp.asarray(np.concatenate([tabs.dc64, np.zeros(64, np.int32)]))
+    D2 = jnp.asarray(D2_h)
+    n_comp = len(spec.comp_starts)
+    bq = jnp.asarray(np.concatenate(
+        [bias2_h[None, :], qrows_h], axis=0).astype(np.float32))
+    seg_rows = spec.seg_rows
+
+    def kernel(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref, out_ref):
+        pid = pl.program_id(0)
+        xf = pb_ref[:].astype(jnp.int32).astype(jnp.float32)
+        y = jax.lax.dot_general(
+            xf, d2_ref[:], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32) - bq_ref[0:1, :]
+
+        lane = jax.lax.broadcasted_iota(I32, (T2, 128), 1)
+        rowi = jax.lax.broadcasted_iota(I32, (T2, 128), 0)
+        blk = 2 * (pid * T2 + rowi) + (lane >= 64).astype(I32)
+        cls = jnp.full((T2, 128), spec.comp_cls[0], I32)
+        qv = jnp.broadcast_to(bq_ref[1 + spec.comp_q[0]:
+                                     2 + spec.comp_q[0], :], y.shape)
+        for i in range(1, n_comp):
+            past = blk >= spec.comp_starts[i]
+            if spec.comp_cls[i] != spec.comp_cls[i - 1]:
+                cls = jnp.where(past, spec.comp_cls[i], cls)
+            if spec.comp_q[i] != spec.comp_q[i - 1]:
+                qv = jnp.where(past, jnp.broadcast_to(
+                    bq_ref[1 + spec.comp_q[i]:2 + spec.comp_q[i], :],
+                    y.shape), qv)
+        valid = (blk < spec.n_real_blocks).astype(I32)
+        rows = jnp.rint(y / qv).astype(I32)
+
+        # DC differences from the quantized DC lanes: previous block of a
+        # row's left block is the previous row's right block (reset at
+        # segment-start rows); of the right block, the left one.
+        dc_l = rows[:, 0:1]
+        dc_r = rows[:, 64:65]
+        if seg_rows == 0:          # bps == 1: every block starts a segment
+            diff_l, diff_r = dc_l, dc_r
+        else:
+            prev_l = jnp.concatenate(
+                [jnp.zeros((1, 1), I32), dc_r[:-1]], axis=0)
+            rstart = ((pid * T2 + rowi[:, 0:1]) % seg_rows) == 0
+            diff_l = dc_l - jnp.where(rstart, 0, prev_l)
+            diff_r = dc_r - dc_l
+        lane_left = lane < 64
+        diff = jnp.where(lane_left, diff_l, diff_r)
+
+        t = _pallas_helpers(ac_ref[:], dc_ref[:], tabs)
+        words, bits = _chunk_planes_lanes(rows, diff, cls, valid, t, W)
+        out_ref[:] = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(words, I32), bits], axis=1)
+
+    out = _pcall(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, 2 * W + 2), jnp.int32),
+        grid=(Mp // T2,),
+        in_specs=[
+            pl.BlockSpec((T2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1 + n_comp, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((512,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T2, 2 * W + 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(pb2, D2, bq, ac512, dc128)
+    return out, Mp
+
+
+def split_fused_output(out, Mp: int, M: int, W: int):
+    """Combined (Mp, 2W+2) -> (words (2M, W) u32, bits (2M, 1) i32)."""
+    words = jax.lax.bitcast_convert_type(out[:, :2 * W], jnp.uint32)
+    bits = out[:, 2 * W:]
+    words = words.reshape(2 * Mp, W)[:2 * M]
+    bits = bits.reshape(2 * Mp, 1)[:2 * M]
     return words, bits
 
 

@@ -16,6 +16,7 @@ video stream of same-geometry frames reuses one compiled executable.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -290,54 +291,53 @@ class _EncContext:
         self._stage_fns = (jax.jit(stage_pre), jax.jit(stage_dct),
                            jax.jit(stage_entropy))
 
-        if use_pallas and packed_dct:
-            # fully fused: DCT+quant runs inside the stage-1 entropy
-            # kernel, so the (n_rows, 64) coefficient tensor never
-            # round-trips HBM; only the tiny DC column is computed
-            # separately for the prediction chain
-            from .entropy_v2 import block_chunks_dct_pallas, merge_and_stuff
-            dc_cols = jnp.asarray(
-                np.ascontiguousarray(D2_h[:, [0, 64]]))       # (128, 2)
-            bias_dc = jnp.asarray(
-                np.array([bias64[0], bias64[0]], np.float32))
-            q2tab_h = np.stack(
-                [np.concatenate([qdiv_h[i], qdiv_h[j]])
-                 for i in range(n_q) for j in range(n_q)]).astype(np.float32)
-            q2_dc = jnp.asarray(
-                np.ascontiguousarray(q2tab_h[:, [0, 64]]))    # (n_q^2, 2)
-            cls2_j = jnp.asarray(np.asarray(geo.block_cls).reshape(-1, 2))
-            val2_j = jnp.asarray(np.asarray(geo.block_valid).reshape(-1, 2))
-            dcd_j = jnp.asarray(geo.dc_dist)
+        # fused-kernel eligibility: identity row order (scan order ==
+        # plane order, consecutive in-segment blocks => DC distance 1)
+        # and segment rows dividing the tile
+        FUSED_TILE = 768
+        seg_rows = geo.bps // 2
+        fused_ok = (use_pallas and packed_dct and not plan.params.interleaved
+                    and (seg_rows == 0 or (FUSED_TILE // 2) % max(seg_rows, 1)
+                         == 0)
+                    and not os.environ.get("GPUJPEG_TPU_NO_FUSED_DCT"))
+        if fused_ok:
+            # fully fused stage 1: DCT+quant + in-kernel DC prediction +
+            # static-threshold class/validity/quantizer — no narrow
+            # per-row input streams, one combined output stream (each
+            # narrow Pallas stream measures ~1.1 ms at 8K)
+            from .entropy_v2 import (
+                FusedSpec, block_chunks_dct_fused, merge_and_stuff,
+                split_fused_output)
+            starts, clss, qs = [], [], []
+            pos = 0
+            for c in plan.components:
+                starts.append(pos)
+                clss.append(int(c.comp_type))
+                qs.append(int(c.quant_table_index))
+                pos += c.block_count
+            spec = FusedSpec(
+                comp_starts=tuple(starts), comp_cls=tuple(clss),
+                comp_q=tuple(qs), n_real_blocks=plan.n_blocks,
+                seg_rows=seg_rows)
+            qrows_h = np.stack([np.concatenate([qdiv_h[q], qdiv_h[q]])
+                                for q in range(n_q)]).astype(np.float32)
             rst_j = jnp.asarray(geo.seg_rst_marker)
             hrst_j = jnp.asarray(geo.seg_has_rst)
-            qidx_col = qidx_all[:, None]
-            distances = geo.dc_distances
             bias2_h = np.concatenate([bias64, bias64]).astype(np.float32)
+            M = geo.n_rows // 2
+            Wb = geo.words_per_block
 
             @jax.jit
             def fn_fused(raw):
                 pblocks = stage_pre(raw)
                 pb2 = pblocks.reshape(-1, 128)
-                y_dc = jax.lax.dot_general(
-                    pb2.astype(jnp.float32), dc_cols,
-                    (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) - bias_dc
-                dc = jnp.rint(y_dc / q2_dc[qidx_all]).astype(
-                    jnp.int32).reshape(-1)
-                prev = jnp.zeros_like(dc)
-                for d in distances:
-                    sh = jnp.concatenate(
-                        [jnp.zeros((d,), dc.dtype), dc[:-d]])
-                    prev = jnp.where(dcd_j == d, sh, prev)
-                diff2 = (dc - prev).reshape(-1, 2)
-                words, bits = block_chunks_dct_pallas(
-                    pb2, diff2, cls2_j, val2_j, qidx_col, D2_h, bias2_h,
-                    q2tab_h, tabs, geo.words_per_block)
+                out, Mp = block_chunks_dct_fused(
+                    pb2, spec, D2_h, bias2_h, qrows_h, tabs, Wb,
+                    tile=FUSED_TILE)
+                words, bits = split_fused_output(out, Mp, M, Wb)
                 return merge_and_stuff(
                     words, bits, rst_j, hrst_j, geo.bps, geo.cap_seg_words,
-                    geo.cap_out_bytes, geo.words_per_block, True,
-                    geo.max_stuff)
+                    geo.cap_out_bytes, Wb, True, geo.max_stuff)
 
             return fn_fused
 

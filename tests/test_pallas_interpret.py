@@ -154,3 +154,21 @@ def test_pallas_entropy_matches_xla_reference():
     for s in range(plan.n_segments):
         n = int(np.asarray(len_x)[s])
         np.testing.assert_array_equal(ox[s, :n], op[s, :n])
+
+
+def test_fused_dct_kernel_matches_unfused(monkeypatch):
+    """The fully fused stage-1 kernel (in-kernel DC prediction + static
+    class/quantizer thresholds) must produce byte-identical streams to
+    the unfused device path on the same input."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    h, w = 64, 80
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=75, restart_interval=4)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    fused = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    monkeypatch.setenv("GPUJPEG_TPU_NO_FUSED_DCT", "1")
+    jp._ENC_CACHE.clear()
+    unfused = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    jp._ENC_CACHE.clear()
+    assert fused == unfused
