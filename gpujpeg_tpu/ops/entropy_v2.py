@@ -741,6 +741,7 @@ def block_chunks_dct_fused(pb2, spec: FusedSpec, D2_h, bias2_h, qrows_h,
     n_comp = len(spec.comp_starts)
     bq = jnp.asarray(np.concatenate(
         [bias2_h[None, :], qrows_h], axis=0).astype(np.float32))
+    n_bq = int(bq.shape[0])
     seg_rows = spec.seg_rows
 
     def kernel(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref, out_ref):
@@ -776,8 +777,9 @@ def block_chunks_dct_fused(pb2, spec: FusedSpec, D2_h, bias2_h, qrows_h,
         if seg_rows == 0:          # bps == 1: every block starts a segment
             diff_l, diff_r = dc_l, dc_r
         else:
-            prev_l = jnp.concatenate(
-                [jnp.zeros((1, 1), I32), dc_r[:-1]], axis=0)
+            # previous row's right-block DC; the wrap row is always a
+            # segment start (tiles are segment-aligned), so it masks out
+            prev_l = pltpu.roll(dc_r, 1, axis=0)
             rstart = ((pid * T2 + rowi[:, 0:1]) % seg_rows) == 0
             diff_l = dc_l - jnp.where(rstart, 0, prev_l)
             diff_r = dc_r - dc_l
@@ -797,7 +799,7 @@ def block_chunks_dct_fused(pb2, spec: FusedSpec, D2_h, bias2_h, qrows_h,
             pl.BlockSpec((T2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1 + n_comp, 128), lambda i: (0, 0),
+            pl.BlockSpec((n_bq, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((512,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((128,), lambda i: (0,), memory_space=pltpu.VMEM),

@@ -4,6 +4,12 @@ The reference is single-process, single-GPU per coder (SURVEY §2.3); this
 package is the new first-class distribution layer: band/segment sharding of
 one image over a mesh, frame sharding for video batches.
 """
+from .multihost import (
+    MultiHostEncoder,
+    MultiHostSingleImageEncoder,
+    global_mesh,
+    init_distributed,
+)
 from .sharded import (
     ShardedDecoder,
     BandLayout,
@@ -15,6 +21,10 @@ from .sharded import (
 
 __all__ = [
     "BandLayout",
+    "MultiHostEncoder",
+    "MultiHostSingleImageEncoder",
+    "global_mesh",
+    "init_distributed",
     "ShardedDecoder",
     "ShardedEncoder",
     "choose_restart_interval",
