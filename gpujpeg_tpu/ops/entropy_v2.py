@@ -714,26 +714,34 @@ class FusedSpec:
     seg_rows: int          # rows (block pairs) per segment; 0 <=> bps == 1
 
 
-def block_chunks_dct_fused(pb2, spec: FusedSpec, D2_h, bias2_h, qrows_h,
-                           tabs: PackedTables, W: int, tile: int = 768):
+def block_chunks_dct_fused(pbw, spec: FusedSpec, D2_h, bias2_h, qrows_h,
+                           tabs: PackedTables, W: int, tile: int = 768,
+                           min_rows: int = 0):
     """Fully fused stage 1 with zero narrow input streams: DCT+quant on
     the MXU, DC differences from the quantized DC lanes (previous block
     = previous lane-64/row slot; resets at segment-start rows), class /
     validity / quantizer from static block-index thresholds.
 
-    pb2 (M, 128) u8 two blocks per row; qrows_h (n_comp, 128) f32 —
-    per-component quant divisors tiled twice. Returns a single combined
-    (Mp, 2W+2) int32 array: lanes [0, 2W) window words (bit pattern),
-    lanes [2W, 2W+2) per-block bit lengths. Mp = M padded to the tile.
+    pbw (M, 32) int32 — two blocks per row, pixel bytes packed 4-per-word
+    little-endian (:func:`blocks.plane_to_blocks_u32`; the u8 blockify
+    transpose costs 4x more). qrows_h (n_comp, 128) f32 per-component
+    quant divisors tiled twice. Returns a single combined (Mp, 2W+2)
+    int32 array: lanes [0, 2W) window words (bit pattern), lanes
+    [2W, 2W+2) per-block bit lengths, with per-block capacity overflow
+    (> W*32 bits) folded in as a 1<<20 offset so it survives the merge
+    into the segment totals. Mp = max(M, min_rows) padded to the tile —
+    pass the merge stage's padded row count as ``min_rows`` so no
+    downstream re-pad (a full-array copy) is needed.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    M = pb2.shape[0]
+    M = pbw.shape[0]
     T2 = tile // 2
-    pad = (-M) % T2
+    target = max(M, min_rows)
+    pad = (-target) % T2 + (target - M)
     if pad:
-        pb2 = jnp.pad(pb2, ((0, pad), (0, 0)))
+        pbw = jnp.pad(pbw, ((0, pad), (0, 0)))
     Mp = M + pad
     ac512 = jnp.asarray(tabs.ac512)
     dc128 = jnp.asarray(np.concatenate([tabs.dc64, np.zeros(64, np.int32)]))
@@ -746,14 +754,18 @@ def block_chunks_dct_fused(pb2, spec: FusedSpec, D2_h, bias2_h, qrows_h,
 
     def kernel(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref, out_ref):
         pid = pl.program_id(0)
-        xf = pb_ref[:].astype(jnp.int32).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(I32, (T2, 128), 1)
+        rowi = jax.lax.broadcasted_iota(I32, (T2, 128), 0)
+
+        # unpack the 4-per-word pixel bytes to one byte per lane
+        xw = jnp.pad(pb_ref[:], ((0, 0), (0, 96)))
+        g = jnp.take_along_axis(xw, _srl(lane, 2), axis=1)
+        xb = _srl(g, (lane & 3) * 8) & 255
+        xf = xb.astype(jnp.float32)
         y = jax.lax.dot_general(
             xf, d2_ref[:], (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32) - bq_ref[0:1, :]
-
-        lane = jax.lax.broadcasted_iota(I32, (T2, 128), 1)
-        rowi = jax.lax.broadcasted_iota(I32, (T2, 128), 0)
         blk = 2 * (pid * T2 + rowi) + (lane >= 64).astype(I32)
         cls = jnp.full((T2, 128), spec.comp_cls[0], I32)
         qv = jnp.broadcast_to(bq_ref[1 + spec.comp_q[0]:
@@ -788,6 +800,9 @@ def block_chunks_dct_fused(pb2, spec: FusedSpec, D2_h, bias2_h, qrows_h,
 
         t = _pallas_helpers(ac_ref[:], dc_ref[:], tabs)
         words, bits = _chunk_planes_lanes(rows, diff, cls, valid, t, W)
+        # per-block capacity overflow folds into the bit length so it
+        # survives the merge into segment totals (host checks seg_bits)
+        bits = bits + jnp.where(bits > W * 32, 1 << 20, 0)
         out_ref[:] = jnp.concatenate(
             [jax.lax.bitcast_convert_type(words, I32), bits], axis=1)
 
@@ -796,7 +811,7 @@ def block_chunks_dct_fused(pb2, spec: FusedSpec, D2_h, bias2_h, qrows_h,
         out_shape=jax.ShapeDtypeStruct((Mp, 2 * W + 2), jnp.int32),
         grid=(Mp // T2,),
         in_specs=[
-            pl.BlockSpec((T2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_bq, 128), lambda i: (0, 0),
@@ -806,16 +821,22 @@ def block_chunks_dct_fused(pb2, spec: FusedSpec, D2_h, bias2_h, qrows_h,
         ],
         out_specs=pl.BlockSpec((T2, 2 * W + 2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-    )(pb2, D2, bq, ac512, dc128)
+    )(pbw, D2, bq, ac512, dc128)
     return out, Mp
 
 
-def split_fused_output(out, Mp: int, M: int, W: int):
-    """Combined (Mp, 2W+2) -> (words (2M, W) u32, bits (2M, 1) i32)."""
+def split_fused_output(out, Mp: int, n_keep: int, W: int):
+    """Combined (Mp, 2W+2) -> (words (n_keep, W) u32, bits (n_keep, 1)
+    i32). With ``n_keep == 2 * Mp`` the slices vanish (arrange via
+    ``min_rows`` so the padded rows coincide with the merge stage's
+    segment padding and no copy happens here)."""
     words = jax.lax.bitcast_convert_type(out[:, :2 * W], jnp.uint32)
     bits = out[:, 2 * W:]
-    words = words.reshape(2 * Mp, W)[:2 * M]
-    bits = bits.reshape(2 * Mp, 1)[:2 * M]
+    words = words.reshape(2 * Mp, W)
+    bits = bits.reshape(2 * Mp, 1)
+    if n_keep != 2 * Mp:
+        words = words[:n_keep]
+        bits = bits[:n_keep]
     return words, bits
 
 
@@ -1378,7 +1399,13 @@ def merge_and_stuff(words, bits, rst_marker, has_rst, bps: int,
                     cap_seg_words: int, cap_out_bytes: int, W: int,
                     use_pallas: bool, max_stuff: int = MAX_STUFF):
     """Stages 2+3: tree-merge block strings into segment strings, byte
-    stuff, append RST; folds capacity overflow into seg_bits."""
+    stuff, append RST. Per-block capacity overflow (> W*32 bits) folds
+    into that block's bit length (1<<20 offset) so the merged segment
+    total trips the host's seg_bits-vs-cap check; stuffing overflow
+    (n_ff > max_stuff) is checked by the host against the returned n_ff
+    directly."""
+    bits = bits + jnp.where((bits > W * 32) & (bits < (1 << 20)),
+                            1 << 20, 0)
     pow2 = lambda v: v > 0 and (v & (v - 1)) == 0  # noqa: E731
     if use_pallas and bps > 1 and pow2(bps) and pow2(W) and bps * W <= 512:
         seg_words, seg_bits = merge_segments_packed(words, bits, bps, W,
@@ -1400,9 +1427,6 @@ def merge_and_stuff(words, bits, rst_marker, has_rst, bps: int,
         out, out_len, n_ff = stuff_and_rst(
             seg_words, seg_bits, rst_marker, has_rst, cap_out_bytes,
             max_stuff)
-    overflow = (jnp.max(bits) > W * 32) | (jnp.max(n_ff) > max_stuff)
-    seg_bits = jnp.where(overflow, seg_bits + (cap_seg_words + 1) * 32,
-                         seg_bits)
     return out.reshape(-1), out_len, seg_bits, n_ff
 
 

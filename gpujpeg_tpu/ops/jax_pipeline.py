@@ -321,22 +321,42 @@ class _EncContext:
                 seg_rows=seg_rows)
             qrows_h = np.stack([np.concatenate([qdiv_h[q], qdiv_h[q]])
                                 for q in range(n_q)]).astype(np.float32)
-            rst_j = jnp.asarray(geo.seg_rst_marker)
-            hrst_j = jnp.asarray(geo.seg_has_rst)
             bias2_h = np.concatenate([bias64, bias64]).astype(np.float32)
             M = geo.n_rows // 2
             Wb = geo.words_per_block
+            # align the kernel's row padding with the packed merge's
+            # segment padding AND the tile size, so neither a jnp.pad
+            # (full-array copy) nor an output slice is ever needed:
+            # S_pad % spt == 0 (merge tiles) and S_pad*bps/2 % T2 == 0
+            S = geo.n_segments
+            P = geo.bps * Wb
+            spt = max(1, 256 * 128 // P)
+            T2 = FUSED_TILE // 2
+            import math
+            g = math.gcd(geo.bps, 2 * T2)
+            L = spt * ((2 * T2 // g) // math.gcd(spt, 2 * T2 // g))
+            S_pad = -(-S // L) * L
+            n_rows_pad = S_pad * geo.bps
+            rst_p = jnp.asarray(np.pad(
+                np.asarray(geo.seg_rst_marker), (0, S_pad - S)))
+            hrst_p = jnp.asarray(np.pad(
+                np.asarray(geo.seg_has_rst), (0, S_pad - S)))
+
+            from .blocks import plane_to_blocks_u32
 
             @jax.jit
             def fn_fused(raw):
-                pblocks = stage_pre(raw)
-                pb2 = pblocks.reshape(-1, 128)
+                planes = preprocess(raw, plan.image, plan, jnp)
+                planes = jax.lax.optimization_barrier(tuple(planes))
+                pbw = jnp.concatenate(
+                    [plane_to_blocks_u32(p, jnp) for p in planes])
+                pbw = pbw.reshape(-1, 32)          # two blocks per row
                 out, Mp = block_chunks_dct_fused(
-                    pb2, spec, D2_h, bias2_h, qrows_h, tabs, Wb,
-                    tile=FUSED_TILE)
-                words, bits = split_fused_output(out, Mp, M, Wb)
+                    pbw, spec, D2_h, bias2_h, qrows_h, tabs, Wb,
+                    tile=FUSED_TILE, min_rows=n_rows_pad // 2)
+                words, bits = split_fused_output(out, Mp, 2 * Mp, Wb)
                 return merge_and_stuff(
-                    words, bits, rst_j, hrst_j, geo.bps, geo.cap_seg_words,
+                    words, bits, rst_p, hrst_p, geo.bps, geo.cap_seg_words,
                     geo.cap_out_bytes, Wb, True, geo.max_stuff)
 
             return fn_fused
@@ -411,7 +431,8 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
         n_ff_h = np.asarray(n_ff)[:plan.n_segments]
         stuffed = ((seg_bits_h + 7) >> 3) + n_ff_h
         overflow = (seg_bits_h > ctx.cap_seg_bytes * 8).any() or \
-            (stuffed + 2 > ctx.cap_out_bytes).any()
+            (stuffed + 2 > ctx.cap_out_bytes).any() or \
+            (n_ff_h > ctx.geo.max_stuff).any()
         if not overflow:
             break
         if tier == 1:

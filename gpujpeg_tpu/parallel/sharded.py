@@ -546,7 +546,8 @@ class ShardedEncoder:
             nff_h = np.asarray(jax.device_get(n_ff))
             stuffed = ((bits_h + 7) >> 3) + nff_h
             overflow = (bits_h > geo.cap_seg_words * 4 * 8).any() or \
-                (stuffed + 2 > geo.cap_out_bytes).any()
+                (stuffed + 2 > geo.cap_out_bytes).any() or \
+                (nff_h > geo.max_stuff).any()
             if not overflow:
                 out_h = np.asarray(jax.device_get(out))
                 if out_h.dtype == np.uint32:  # pallas stuffing packs words
