@@ -292,7 +292,8 @@ def main(argv=None) -> int:
             with open(src, "rb") as f:
                 jpeg = f.read()
             if decoder is None:
-                decoder = Decoder(backend=args.backend)
+                decoder = Decoder(backend=args.backend,
+                                  perf_stats=bool(args.verbose))
             out_probe = image_io.image_get_properties(dst, file_exists=False)
             if out_probe.pixel_format != PixelFormat.NONE:
                 decoder.set_output_format(

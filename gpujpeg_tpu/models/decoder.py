@@ -40,8 +40,13 @@ class DecoderStats:
 
 
 class Decoder:
-    def __init__(self, backend: str = "jax"):
+    def __init__(self, backend: str = "jax", perf_stats: bool = False):
         self.backend = backend
+        #: record per-phase durations (huffman/IDCT/postprocess splits on
+        #: the device path run as staged executables with a sync after
+        #: each, mirroring the reference's CUDA-event timers recorded
+        #: only when param.perf_stats is set, gpujpeg_common.h:315-325)
+        self.perf_stats = perf_stats
         self.stats = DecoderStats()
         self.output_format: PixelFormat | None = None
         self.output_color_space: ColorSpace | None = None

@@ -602,15 +602,16 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                                 c.data_width))
             pos += c.block_count
 
-        @jax.jit
-        def fn(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode, delta,
-               huffval, dcs, acs, Ws):
+        def stage_huffman(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode,
+                          delta, huffval, dcs, acs):
             from . import pallas_decode as _pd
             t = _pd.DecTables(quick, maxcode, delta, huffval)
             out3 = run(rows_j, seg_comp_j, seg_nblk_j, t, dcs, acs)
             flat = out3.reshape(-1, 64)
             coeff_scan = flat[:nb] if out_row_identity else flat[out_row_j]
-            coeff_plane = coeff_scan if inv_identity else coeff_scan[inv_j]
+            return coeff_scan if inv_identity else coeff_scan[inv_j]
+
+        def stage_idct(coeff_plane, Ws):
             planes = []
             for (start, count, dh, dw), W in zip(comp_slices, Ws):
                 blocks = dequant_idct_device(
@@ -618,8 +619,23 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                 planes.append(blocks_to_plane(blocks, dh, dw, jnp))
             # keep XLA from fusing the 8x8 un-blockify transpose into the
             # pixel chain (measured 73 -> 21 ms at 8K; encode-side mirror)
-            planes = list(jax.lax.optimization_barrier(tuple(planes)))
+            return list(jax.lax.optimization_barrier(tuple(planes)))
+
+        def stage_post(planes):
             return postprocess(planes, out_image, plan, jnp)
+
+        @jax.jit
+        def fn(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode, delta,
+               huffval, dcs, acs, Ws):
+            coeff_plane = stage_huffman(rows_j, seg_comp_j, seg_nblk_j,
+                                        quick, maxcode, delta, huffval,
+                                        dcs, acs)
+            return stage_post(stage_idct(coeff_plane, Ws))
+
+        # per-stage jits for perf_stats mode: the reference reports
+        # huffman/idct/postprocess splits (gpujpeg_common.h:315-325)
+        fn.stages = (jax.jit(stage_huffman), jax.jit(stage_idct),
+                     jax.jit(stage_post))
         _DEC_V2_CACHE[key] = fn
 
     Ws = tuple(
@@ -640,9 +656,30 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                 jnp.asarray(tabs.huffval), jnp.asarray(dc_slot),
                 jnp.asarray(ac_slot))
     jax.block_until_ready(args_dev)      # uploads excluded from in_gpu
+
+    def sync(a):
+        leaf = jax.tree_util.tree_leaves(a)[0]
+        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+
     t0 = time.perf_counter()
-    raw = fn(*args_dev, Ws)
-    jax.block_until_ready(raw)
+    if getattr(decoder, "perf_stats", False):
+        s_huff, s_idct, s_post = fn.stages
+        coeff_plane = s_huff(*args_dev)
+        sync(coeff_plane)
+        t1 = time.perf_counter()
+        planes = s_idct(coeff_plane, Ws)
+        sync(planes)
+        t2 = time.perf_counter()
+        raw = s_post(planes)
+        sync(raw)
+        t3 = time.perf_counter()
+        decoder.stats.duration_huffman_coder = (t1 - t0) * 1e3
+        decoder.stats.duration_dct_quantization = (t2 - t1) * 1e3
+        decoder.stats.duration_postprocessor = (t3 - t2) * 1e3
+    else:
+        raw = fn(*args_dev, Ws)
+        jax.block_until_ready(raw)
+        sync(raw)
     decoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
     if not getattr(decoder, "output_to_device", False):
         raw = np.asarray(raw)   # D2H (the reference's default output path)

@@ -172,3 +172,27 @@ def test_fused_dct_kernel_matches_unfused(monkeypatch):
     unfused = Encoder(backend="jax").encode(img.reshape(-1), params, image)
     jp._ENC_CACHE.clear()
     assert fused == unfused
+
+
+def test_decoder_perf_stats_device_path():
+    """CLI -v decode must fill the huffman/IDCT/postprocess phase splits
+    on the device path (reference: gpujpeg_common.h:315-325)."""
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 64, 80
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=2)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+    old = dmod.CPU_SEGMENT_THRESHOLD
+    dmod.CPU_SEGMENT_THRESHOLD = 0
+    try:
+        dec = Decoder(backend="jax", perf_stats=True)
+        dec.decode(data)
+    finally:
+        dmod.CPU_SEGMENT_THRESHOLD = old
+    st = dec.stats
+    assert st.duration_huffman_coder > 0
+    assert st.duration_dct_quantization > 0
+    assert st.duration_postprocessor > 0
+    assert st.duration_in_gpu > 0
