@@ -281,6 +281,16 @@ class ShardedDecoder:
             for sc in scan.components:
                 dc_by_comp[sc.comp_index] = info.huffman_tables[(0, sc.dc_table)]
                 ac_by_comp[sc.comp_index] = info.huffman_tables[(1, sc.ac_table)]
+
+        from ..runtime import use_pallas_default
+        if use_pallas_default():
+            try:
+                return self._decode_bands_v3(info, layout, band_out,
+                                             dc_by_comp, ac_by_comp)
+            except Exception as e:  # pragma: no cover - kernel gaps
+                import logging
+                logging.getLogger(__name__).warning(
+                    "sharded pallas decode failed (%s); XLA fallback", e)
         luts, dc_tab, ac_tab = build_dec_tables(dc_by_comp, ac_by_comp)
         g = build_dec_geometry(plan)
 
@@ -360,6 +370,137 @@ class ShardedDecoder:
             out_specs=P("seg", None),
         ))
         out = fn(jnp.asarray(datab), jnp.asarray(startsb))
+        return np.asarray(jax.device_get(out))
+
+    def _decode_bands_v3(self, info, layout: BandLayout, band_out,
+                         dc_by_comp, ac_by_comp):
+        """Pallas v3 lockstep decode per band under shard_map — sharded
+        decode inherits the single-chip kernel's performance (round-1
+        verdict item 6; the XLA scatter formulation below is the
+        correctness fallback only)."""
+        from ..ops.blocks import blocks_to_plane
+        from ..ops.dct import dequant_idct_device, idct_operator_f32
+        from ..ops.preprocess import postprocess
+        from ..ops.pallas_decode import build_dec_tables_v2, build_segment_rows
+        from ..ops.pallas_decode_v3 import make_decode_kernel_v3
+
+        plan = layout.plan
+        n = layout.n_bands
+        S = plan.n_segments
+        bps = int(plan.max_seg_block_count)
+
+        uniq: list = []
+
+        def slot_of(t):
+            for i, u in enumerate(uniq):
+                if u is t:
+                    return i
+            uniq.append(t)
+            return len(uniq) - 1
+
+        dc_slot = np.zeros(4, np.int32)
+        ac_slot = np.zeros(4, np.int32)
+        for c in plan.components:
+            dc_slot[c.index] = slot_of(dc_by_comp[c.index])
+            ac_slot[c.index] = slot_of(ac_by_comp[c.index])
+        n_slots = len(uniq)
+        tabs = build_dec_tables_v2(uniq)
+
+        # per-band destuffed word rows; common Wcap across bands
+        spb = {s.index: s.segment_count for s in plan.scans}
+        band_rows = []
+        wcap = 0
+        for b in range(n):
+            scan_data_b, segs_b = [], []
+            for scan in plan.scans:
+                stream_scan = info.scans[0] if info.interleaved \
+                    else next(sc for sc in info.scans
+                              if sc.components[0].comp_index == scan.index)
+                lo_seg = b * spb[scan.index]
+                segs_b.append(stream_scan.segments[
+                    lo_seg:lo_seg + spb[scan.index]])
+                scan_data_b.append(stream_scan.data)
+            rows_b, w_b = build_segment_rows(scan_data_b, segs_b, plan)
+            band_rows.append(rows_b)
+            wcap = max(wcap, w_b)
+        if wcap > 384:
+            raise ValueError("per-segment stream too large for v3 kernel")
+
+        per_seg = wcap * 4 * 2 + 64 * 4 * 2 + 50 * 8 * 4 // 128 * 4
+        seg_tile = max(128, min(2048, (8 << 20) // max(per_seg, 1)))
+        seg_tile = 1 << (seg_tile.bit_length() - 1)
+        S_pad = -(-S // seg_tile) * seg_tile
+        dataT = np.zeros((n, wcap, S_pad), np.int32)
+        for b in range(n):
+            r = np.zeros((S_pad, wcap), np.uint32)
+            r[:S, :band_rows[b].shape[1]] = band_rows[b]
+            dataT[b] = np.ascontiguousarray(r.T).view(np.int32)
+
+        seg_comp = np.zeros((S_pad, 1), np.int32)
+        seg_nblk = np.zeros((S_pad, 1), np.int32)
+        if plan.params.interleaved and plan.image.comp_count > 1:
+            tpl = np.asarray([plan.block_comp[i] for i in range(bps)],
+                             np.int32)
+            seg_nblk[:S, 0] = plan.seg_block_count
+        else:
+            tpl = np.full(bps, -1, np.int32)
+            seg_comp[:S, 0] = plan.seg_scan
+            seg_nblk[:S, 0] = plan.seg_block_count
+        sc_in = np.broadcast_to(
+            seg_comp.reshape(1, S_pad // 128, 128), (n, S_pad // 128, 128))
+        sn_in = np.broadcast_to(
+            seg_nblk.reshape(1, S_pad // 128, 128), (n, S_pad // 128, 128))
+
+        run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl)
+        nb = plan.n_blocks
+        slot_in_seg = np.arange(nb, dtype=np.int32) - \
+            plan.seg_block_start[plan.block_segment]
+        out_row = plan.block_segment.astype(np.int64) * bps + slot_in_seg
+        out_row_identity = bool(
+            np.array_equal(out_row, np.arange(nb, dtype=np.int64)))
+        inv = np.empty(nb, dtype=np.int32)
+        inv[plan.block_plane_idx] = np.arange(nb, dtype=np.int32)
+        inv_identity = bool(np.array_equal(inv, np.arange(nb, dtype=np.int32)))
+        out_row_j = None if out_row_identity else jnp.asarray(out_row)
+        inv_j = None if inv_identity else jnp.asarray(inv)
+
+        Ws = tuple(
+            jnp.asarray(idct_operator_f32(
+                tuple(int(x) for x in info.quant_tables[
+                    info.components[c.index].quant_table_index])))
+            for c in plan.components)
+        comp_slices = []
+        pos = 0
+        for c in plan.components:
+            comp_slices.append((pos, c.block_count, c.data_height,
+                                c.data_width))
+            pos += c.block_count
+        # small decode tables ride as captured constants (replicated)
+        def local_fn(dT, sc, sn):
+            def one(d, c_, n_):
+                out3 = run(d, c_, n_, tabs, dc_slot, ac_slot)
+                flat = out3.reshape(-1, 64)
+                coeff = flat[:nb] if out_row_identity else flat[out_row_j]
+                coeff = coeff if inv_identity else coeff[inv_j]
+                planes = []
+                for (start, count, dh, dw), W in zip(comp_slices, Ws):
+                    blocks = dequant_idct_device(
+                        coeff[start:start + count], W)
+                    planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+                planes = list(jax.lax.optimization_barrier(tuple(planes)))
+                return postprocess(planes, band_out, plan, jnp)
+            return jax.vmap(one)(dT, sc, sn)
+
+        fn = jax.jit(_shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P("seg", None, None), P("seg", None, None),
+                      P("seg", None, None)),
+            out_specs=P("seg", None),
+            check_vma=False,   # pallas_call out_shapes carry no vma
+        ))
+        out = fn(jnp.asarray(dataT),
+                 jnp.asarray(np.ascontiguousarray(sc_in)),
+                 jnp.asarray(np.ascontiguousarray(sn_in)))
         return np.asarray(jax.device_get(out))
 
     @staticmethod

@@ -127,6 +127,39 @@ def kernel_body(c, diff2, cls2, valid2, t, W, mode):
     part0 = jnp.where(ln > 0, part0, 0)
     part1 = jnp.where((s0 < 0) & (ln > 0),
                       val << jnp.clip(32 + s0, 0, 31), 0)
+    if mode == "wmm":
+        # 16-bit halves reduced on the MXU: sums of disjoint-bit masks
+        # over a 64-lane half stay < 2^16, exact in f32
+        halves = []
+        for w in range(W):
+            contrib = jnp.where(j == w, part0, 0)
+            if w > 0:
+                contrib = contrib | jnp.where(j == w - 1, part1, 0)
+            halves.append((contrib & 0xFFFF).astype(jnp.float32))
+            halves.append(_srl(contrib, 16).astype(jnp.float32))
+        A = jnp.concatenate(halves, axis=0)            # (2W*T2, 128)
+        lane = jax.lax.broadcasted_iota(I32, (128, 8), 0)
+        B = jnp.where(lane < 64,
+                      jnp.where(jax.lax.broadcasted_iota(I32, (128, 8), 1)
+                                == 0, 1.0, 0.0),
+                      jnp.where(jax.lax.broadcasted_iota(I32, (128, 8), 1)
+                                == 1, 1.0, 0.0)).astype(jnp.float32)
+        sums = jax.lax.dot_general(
+            A, B, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)        # (2W*T2, 8)
+        cols_l, cols_r = [], []
+        for w in range(W):
+            lo = sums[2 * w * T2:(2 * w + 1) * T2]
+            hi = sums[(2 * w + 1) * T2:(2 * w + 2) * T2]
+            cols_l.append(lo[:, 0:1].astype(I32) |
+                          (hi[:, 0:1].astype(I32) << 16))
+            cols_r.append(lo[:, 1:2].astype(I32) |
+                          (hi[:, 1:2].astype(I32) << 16))
+        words = jnp.concatenate(cols_l + cols_r, axis=1).astype(U32)
+        bsum = base_bits + eob_len
+        bits = jnp.concatenate([bsum[:, 63:64], bsum[:, 127:128]], axis=1)
+        return words, bits
     cols_l, cols_r = [], []
     for w in range(W):
         contrib = jnp.where(j == w, part0, 0)

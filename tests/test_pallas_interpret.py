@@ -196,3 +196,39 @@ def test_decoder_perf_stats_device_path():
     assert st.duration_dct_quantization > 0
     assert st.duration_postprocessor > 0
     assert st.duration_in_gpu > 0
+
+
+def test_sharded_decode_v3_kernel_path():
+    """ShardedDecoder must use the Pallas v3 lockstep kernel per band
+    (round-1 verdict item 6) and match the single-chip decoder exactly."""
+    import jax
+    from jax.sharding import Mesh
+    from gpujpeg_tpu.parallel import ShardedDecoder
+
+    H, W = 128, 160
+    img = make_test_rgb(H, W, seed=5)
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(quality=85, restart_interval=4)
+    data = Encoder(backend="golden").encode(img, params, image)
+
+    devs = np.array(jax.devices()[:8]).reshape(1, 8)
+    dec = ShardedDecoder(Mesh(devs, ("frame", "seg")))
+    # fail loudly if the v3 path silently falls back
+    import gpujpeg_tpu.parallel.sharded as sh
+    called = {}
+    orig = sh.ShardedDecoder._decode_bands_v3
+
+    def spy(self, *a, **kw):
+        r = orig(self, *a, **kw)   # raises -> fallback, and we fail below
+        called["v3"] = True
+        return r
+
+    sh.ShardedDecoder._decode_bands_v3 = spy
+    try:
+        raw, out_img = dec.decode(data)
+    finally:
+        sh.ShardedDecoder._decode_bands_v3 = orig
+    assert called.get("v3"), "v3 sharded decode path not taken"
+    ref, _ = Decoder(backend="golden").decode(data)
+    assert np.abs(raw.astype(int) - ref.astype(int)).max() <= 1
