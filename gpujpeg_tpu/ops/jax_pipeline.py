@@ -612,11 +612,14 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             return coeff_scan if inv_identity else coeff_scan[inv_j]
 
         def stage_idct(coeff_plane, Ws):
+            from .blocks import blocks_u32_to_plane, pack_blocks_u32
             planes = []
             for (start, count, dh, dw), W in zip(comp_slices, Ws):
                 blocks = dequant_idct_device(
                     coeff_plane[start:start + count], W)
-                planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+                # 4-per-word packing quarters the un-blockify transpose
+                planes.append(blocks_u32_to_plane(
+                    pack_blocks_u32(blocks, jnp), dh, dw, jnp))
             # keep XLA from fusing the 8x8 un-blockify transpose into the
             # pixel chain (measured 73 -> 21 ms at 8K; encode-side mirror)
             return list(jax.lax.optimization_barrier(tuple(planes)))

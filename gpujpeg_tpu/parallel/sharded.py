@@ -483,10 +483,12 @@ class ShardedDecoder:
                 coeff = flat[:nb] if out_row_identity else flat[out_row_j]
                 coeff = coeff if inv_identity else coeff[inv_j]
                 planes = []
+                from ..ops.blocks import blocks_u32_to_plane, pack_blocks_u32
                 for (start, count, dh, dw), W in zip(comp_slices, Ws):
                     blocks = dequant_idct_device(
                         coeff[start:start + count], W)
-                    planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+                    planes.append(blocks_u32_to_plane(
+                        pack_blocks_u32(blocks, jnp), dh, dw, jnp))
                 planes = list(jax.lax.optimization_barrier(tuple(planes)))
                 return postprocess(planes, band_out, plan, jnp)
             return jax.vmap(one)(dT, sc, sn)
