@@ -93,6 +93,8 @@ def lib():
     PU32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     L.gj_build_rows.restype = I64
     L.gj_build_rows.argtypes = [PU8, I64, PI64, PI64, I64, PU32, I64]
+    L.gj_build_rows_t.restype = I64
+    L.gj_build_rows_t.argtypes = [PU8, I64, PI64, PI64, I64, PU32, I64, I64]
     _LIB = L
     return _LIB
 

@@ -295,4 +295,35 @@ int64_t gj_build_rows(
     return max_words;
 }
 
+// Column-major variant: writes word w of segment s at rowsT[w*n_cols + s]
+// — the exact transposed (Wcap, S_pad) layout the TPU v3 decode kernel
+// consumes, so the host-side 8 MB transpose of the row matrix vanishes.
+int64_t gj_build_rows_t(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* lo, const int64_t* hi, int64_t n_segments,
+    uint32_t* rowsT, int64_t n_words, int64_t n_cols)
+{
+    int64_t max_words = 0;
+    for (int64_t s = 0; s < n_segments; ++s) {
+        int64_t a = lo[s], b = hi[s];
+        if (a < 0 || b > data_len || a >= b) continue;
+        uint32_t* dst = rowsT + s;
+        int64_t n = 0;
+        const int64_t cap = n_words * 4;
+        uint32_t acc = 0;
+        for (int64_t i = a; i < b && n < cap; ++i) {
+            uint8_t byte = data[i];
+            acc = (acc << 8) | byte;
+            if ((n & 3) == 3) dst[(n >> 2) * n_cols] = acc;
+            ++n;
+            if (byte == 0xFF && i + 1 < b && data[i + 1] == 0x00)
+                ++i;  // skip stuffed zero
+        }
+        if (n & 3) dst[(n >> 2) * n_cols] = acc << (8 * (4 - (n & 3)));
+        int64_t w = (n + 3) >> 2;
+        if (w > max_words) max_words = w;
+    }
+    return max_words;
+}
+
 }  // extern "C"

@@ -344,12 +344,18 @@ class _EncContext:
 
             from .blocks import plane_to_blocks_u32
 
+            barrier_mode = os.environ.get("GPUJPEG_TPU_PRE_BARRIER",
+                                          "planes")
+
             @jax.jit
             def fn_fused(raw):
                 planes = preprocess(raw, plan.image, plan, jnp)
-                planes = jax.lax.optimization_barrier(tuple(planes))
+                if barrier_mode == "planes":
+                    planes = jax.lax.optimization_barrier(tuple(planes))
                 pbw = jnp.concatenate(
                     [plane_to_blocks_u32(p, jnp) for p in planes])
+                if barrier_mode == "packed":
+                    pbw = jax.lax.optimization_barrier(pbw)
                 pbw = pbw.reshape(-1, 32)          # two blocks per row
                 out, Mp = block_chunks_dct_fused(
                     pbw, spec, D2_h, bias2_h, qrows_h, tabs, Wb,
@@ -514,7 +520,8 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     (ops/pallas_decode.py) + MXU dequant/IDCT + postprocess."""
     import time
     from .pallas_decode import (
-        build_dec_tables_v2, build_segment_rows, make_decode_kernel)
+        build_dec_tables_v2, build_segment_rows, build_segment_rows_t,
+        make_decode_kernel, segment_ranges_wcap)
 
     S = plan.n_segments
     bps = int(plan.max_seg_block_count)
@@ -535,10 +542,14 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     n_slots = len(uniq)
     tabs = build_dec_tables_v2(uniq)
 
-    rows, wcap = build_segment_rows(scan_data, segments_by_scan, plan)
+    concat, lo_r, hi_r, wcap = segment_ranges_wcap(
+        scan_data, segments_by_scan, plan)
     # v3 lane-major kernel handles wcap <= 384 (VMEM transposed data tile);
     # larger per-segment streams use the v2 kernel
     use_v3 = wcap <= 384
+    rows = None
+    if not use_v3:
+        rows, wcap = build_segment_rows(scan_data, segments_by_scan, plan)
     if use_v3:
         per_seg = wcap * 4 * 2 + 64 * 4 * 2 + 50 * 8 * 4 // 128 * 4
         # 2048 measured fastest at 8K (larger tiles gain nothing once
@@ -551,8 +562,10 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         seg_tile = max(64, min(2048, (14 << 20) // per_seg))
         seg_tile = 1 << (seg_tile.bit_length() - 1)
     S_pad = -(-S // seg_tile) * seg_tile
-    rows_pad = np.zeros((S_pad, wcap), np.uint32)
-    rows_pad[:S] = rows
+    rows_pad = None
+    if rows is not None:
+        rows_pad = np.zeros((S_pad, wcap), np.uint32)
+        rows_pad[:S] = rows
 
     seg_comp = np.zeros((S_pad, 1), np.int32)
     seg_nblk = np.zeros((S_pad, 1), np.int32)
@@ -648,7 +661,12 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         for c in plan.components
     )
     if use_v3:
-        data_in = np.ascontiguousarray(rows_pad.T).view(np.int32)  # (wcap, S_pad)
+        data_in = build_segment_rows_t(concat, lo_r, hi_r, plan, wcap, S_pad)
+        if data_in is None:  # no native lib: NumPy rows + transpose
+            rows, _ = build_segment_rows(scan_data, segments_by_scan, plan)
+            rows_pad = np.zeros((S_pad, wcap), np.uint32)
+            rows_pad[:S] = rows
+            data_in = np.ascontiguousarray(rows_pad.T).view(np.int32)
         sc_in = seg_comp.reshape(S_pad // 128, 128)
         sn_in = seg_nblk.reshape(S_pad // 128, 128)
     else:
@@ -658,7 +676,8 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                 jnp.asarray(tabs.maxcode), jnp.asarray(tabs.delta),
                 jnp.asarray(tabs.huffval), jnp.asarray(dc_slot),
                 jnp.asarray(ac_slot))
-    jax.block_until_ready(args_dev)      # uploads excluded from in_gpu
+    if getattr(decoder, "perf_stats", False):
+        jax.block_until_ready(args_dev)  # uploads excluded from in_gpu
 
     def sync(a):
         leaf = jax.tree_util.tree_leaves(a)[0]

@@ -171,6 +171,35 @@ def build_segment_rows(scan_data, segments_by_scan, plan) -> tuple[np.ndarray, i
     return words.astype(np.uint32), Wcap
 
 
+def segment_ranges_wcap(scan_data, segments_by_scan, plan):
+    """(concat bytes, lo, hi, Wcap) for the v2/v3 row builders."""
+    S = plan.n_segments
+    concat, lo, hi = _segment_ranges(scan_data, segments_by_scan, plan)
+    max_raw = int(np.maximum(hi - lo, 1).max()) if S else 1
+    Wcap = -(-(max_raw + 4) // 4)
+    Wcap = -(-Wcap // 8) * 8
+    if Wcap > 384:
+        Wcap = -(-Wcap // 128) * 128
+    return concat, lo, hi, Wcap
+
+
+def build_segment_rows_t(concat, lo, hi, plan, Wcap: int,
+                         s_pad: int) -> np.ndarray | None:
+    """Destuffed words directly in the transposed (Wcap, S_pad)
+    column-major layout the v3 kernel consumes (no 8 MB host transpose).
+    Returns int32 (Wcap, S_pad), or None when the native library is
+    unavailable (caller falls back to build_segment_rows + transpose)."""
+    from ..native import lib as native_lib
+    L = native_lib()
+    if L is None or not hasattr(L, "gj_build_rows_t"):
+        return None
+    rowsT = np.zeros((Wcap, s_pad), np.uint32)
+    L.gj_build_rows_t(np.ascontiguousarray(concat), concat.size,
+                      np.ascontiguousarray(lo), np.ascontiguousarray(hi),
+                      plan.n_segments, rowsT, Wcap, s_pad)
+    return rowsT.view(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------

@@ -10,8 +10,8 @@ trap 'rm -rf "$TMP"' EXIT
 export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
 
 echo "== raw planar RGB round trip (reference: /dev/zero 1080p) =="
-head -c $((640*480*3)) /dev/zero > "$TMP/zero.rgb"
-python -m gpujpeg_tpu -e -s 640x480 -q 90 -r 4 "$TMP/zero.rgb" "$TMP/zero.jpg"
+head -c $((160*96*3)) /dev/zero > "$TMP/zero.rgb"
+python -m gpujpeg_tpu -e -s 160x96 -q 90 -r 4 "$TMP/zero.rgb" "$TMP/zero.jpg"
 python -m gpujpeg_tpu -d "$TMP/zero.jpg" "$TMP/zero_out.rgb"
 test -s "$TMP/zero_out.jpg" 2>/dev/null || test -s "$TMP/zero_out.rgb"
 
