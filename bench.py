@@ -46,11 +46,11 @@ def make_image(H, W, seed=7):
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_gpujpeg_tpu")
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    # the library enables the persistent compilation cache (per-user
+    # ~/.cache/gpujpeg_tpu/jax_cache) at import; a cold process re-running
+    # a previously seen geometry pays a cache load, not a compile
     from gpujpeg_tpu.models.encoder import Encoder
     from gpujpeg_tpu.models.decoder import Decoder
     from gpujpeg_tpu.params import ImageParameters, Parameters, \

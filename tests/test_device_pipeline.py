@@ -184,3 +184,46 @@ def test_device_decoder_foreign_jpeg():
         dmod.CPU_SEGMENT_THRESHOLD = old
     pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
     assert psnr(got.reshape(h, w, 3), pil) > 38.0
+
+
+def test_16k_geometry_selects_chunked_path():
+    """16K (15360x8640, 132 Mpix) plans must route through the lax.map
+    segment-chunked encode (bounded live intermediates; a single-shot
+    plan would materialize ~18 GB at once). Plan/geometry invariants
+    checked without running the jit."""
+    from gpujpeg_tpu.ops.jax_pipeline import _EncContext
+    from gpujpeg_tpu.plan import make_plan
+    params = Parameters(quality=75, restart_interval=32)
+    image = ImageParameters(width=15360, height=8640,
+                            color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    plan = make_plan(params, image)
+    assert plan.n_blocks == 15360 * 8640 * 3 // 64
+    quant_zz, huff = Encoder()._tables(params)
+    ctx = _EncContext(plan, quant_zz, huff)
+    assert ctx._stage_fns is None, "expected the chunked (lax.map) encode"
+    # chunk segmentation covers all segments exactly once
+    assert plan.n_segments * 32 == plan.n_blocks
+
+
+def test_forced_chunked_roundtrip_psnr():
+    """End-to-end PSNR through the forced-chunking path (the 16K code
+    path at test scale), cross-checked with PIL."""
+    import io
+    from PIL import Image as PILImage
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    h, w = 96, 128
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=4)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    old = jp._EncContext.CHUNK_ROWS
+    jp._EncContext.CHUNK_ROWS = 64
+    jp._ENC_CACHE.clear()
+    try:
+        data = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    finally:
+        jp._EncContext.CHUNK_ROWS = old
+        jp._ENC_CACHE.clear()
+    pil = np.asarray(PILImage.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(pil, img) > 32
