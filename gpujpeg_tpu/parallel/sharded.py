@@ -487,6 +487,7 @@ class ShardedDecoder:
                 for (start, count, dh, dw), W in zip(comp_slices, Ws):
                     blocks = dequant_idct_device(
                         coeff[start:start + count], W)
+                    blocks = jax.lax.optimization_barrier(blocks)
                     planes.append(blocks_u32_to_plane(
                         pack_blocks_u32(blocks, jnp), dh, dw, jnp))
                 planes = list(jax.lax.optimization_barrier(tuple(planes)))

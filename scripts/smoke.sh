@@ -8,6 +8,7 @@ TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT
 
 export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+export PYTHONPATH=".:${PYTHONPATH:-}"
 
 echo "== raw planar RGB round trip (reference: /dev/zero 1080p) =="
 head -c $((160*96*3)) /dev/zero > "$TMP/zero.rgb"
