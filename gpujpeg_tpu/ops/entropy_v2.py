@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 import jax
@@ -49,6 +50,12 @@ from .huffman_encode import cap_for_quality
 from ..runtime import pallas_call as _pcall
 I32 = jnp.int32
 U32 = jnp.uint32
+
+MAX_STUFF = 255  # max 0xFF bytes per segment handled on device (fits uint8)
+#: tier-1 stuffing cap: typical segments stuff ~2 bytes, so 31 (5
+#: butterfly stages instead of 8) covers real content; overflow falls
+#: back to the tier-2 worst-case geometry like the other caps
+MAX_STUFF_T1 = 31
 
 
 # ---------------------------------------------------------------------------
@@ -762,9 +769,12 @@ def block_chunks_dct_fused(pbw, spec: FusedSpec, D2_h, bias2_h, qrows_h,
         g = jnp.take_along_axis(xw, _srl(lane, 2), axis=1)
         xb = _srl(g, (lane & 3) * 8) & 255
         xf = xb.astype(jnp.float32)
+        prec = (jax.lax.Precision.DEFAULT
+                if os.environ.get("GPUJPEG_TPU_DCT_FAST")
+                else jax.lax.Precision.HIGHEST)
         y = jax.lax.dot_general(
             xf, d2_ref[:], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
             preferred_element_type=jnp.float32) - bq_ref[0:1, :]
         blk = 2 * (pid * T2 + rowi) + (lane >= 64).astype(I32)
         cls = jnp.full((T2, 128), spec.comp_cls[0], I32)
@@ -1106,6 +1116,155 @@ def merge_segments_packed(words, bits, bps: int, W: int, cap_words: int,
     return jnp.pad(segs, ((0, 0), (0, cap_words - P))), segb
 
 
+def merge_stuff_packed(words, bits, rst_marker, has_rst, bps: int, W: int,
+                       cap_words: int, cap_out: int,
+                       max_stuff: int = MAX_STUFF, seg_tile: int = 256):
+    """Packed tree merge + byte stuffing + RST append in ONE kernel
+    (P = bps*W == 128 lanes per segment string only — the flagship
+    geometry). Fusing removes the (S, cap_words) segment-string HBM
+    round trip between the two stages and their narrow side streams.
+
+    Returns (out_words (S, cap_out//4) u32 LE-packed, out_len (S,),
+    seg_bits (S,), n_ff (S,)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, _ = words.shape
+    S = n_rows // bps
+    P = bps * W
+    assert P == 128 and cap_out % 4 == 0
+    bpr = 128 // W
+    S_pad = -(-S // seg_tile) * seg_tile
+    if S_pad != S:
+        pad = (S_pad - S) * bps
+        words = jnp.pad(words, ((0, pad), (0, 0)))
+        bits = jnp.pad(bits, ((0, pad), (0, 0)))
+    rst_marker = jnp.pad(rst_marker, (0, S_pad - rst_marker.shape[0]))
+    has_rst = jnp.pad(has_rst, (0, S_pad - has_rst.shape[0]))
+    rows0 = S_pad
+    w2 = words.reshape(rows0, 128)
+    b2 = bits.reshape(rows0, bpr)
+    log2W = W.bit_length() - 1
+    WO = cap_out // 4
+    b0 = max(0, min(max_stuff, 255).bit_length() - 1)
+
+    def kernel(w_ref, b_ref, r_ref, h_ref, out_ref, meta_ref):
+        x = w_ref[:]
+        T = x.shape[0]
+        lane = jax.lax.broadcasted_iota(I32, (T, 128), 1)
+        bpad = jnp.pad(b_ref[:], ((0, 0), (0, 128 - bpr)))
+        blen = jnp.take_along_axis(bpad, lane >> log2W, axis=1)
+        R = W
+        while R < 128:
+            x, blen = _merge_level_packed(x, blen, R, lane)
+            R *= 2
+
+        # ---- stuffing on the merged segment strings (in VMEM) ----
+        # strings physically cap at P = 128 words even when the logical
+        # cap_words is larger (tier-2 worst-case caps)
+        cw = min(cap_words, 128)
+        bits_c = blen[:, 0:1]
+        w = jnp.pad(x[:, :cw].astype(I32), ((0, 0), (0, WO - cw)))
+        lane_o = jax.lax.broadcasted_iota(I32, (T, WO), 1)
+        pad_bits = (-bits_c) & 7
+        seg_len = (bits_c + pad_bits) >> 3
+        last = bits_c >> 3
+        fill = (1 << pad_bits) - 1
+
+        planes = []
+        for p in range(4):
+            xb = _srl(w, 8 * (3 - p)) & 255
+            g = lane_o * 4 + p
+            xb = jnp.where(g == last, xb | fill, xb)
+            xb = jnp.where(g < seg_len, xb, 0)
+            planes.append(xb)
+
+        is_ff = [(planes[p] == 0xFF).astype(I32) for p in range(4)]
+        cnt = is_ff[0] + is_ff[1] + is_ff[2] + is_ff[3]
+        cum = cnt
+        s = 1
+        while s < WO:
+            sh = jnp.concatenate(
+                [jnp.zeros((T, s), I32), cum[:, :-s]], axis=1)
+            cum = cum + sh
+            s <<= 1
+        cum_ex = cum - cnt
+        nff = cum[:, WO - 1:WO]
+
+        disp = []
+        acc = cum_ex
+        for p in range(4):
+            g = lane_o * 4 + p
+            disp.append(jnp.where(g < seg_len,
+                                  jnp.minimum(acc, max_stuff), 0))
+            acc = acc + is_ff[p]
+
+        for b in range(b0, -1, -1):
+            step = 1 << b
+            np_, nd_ = [], []
+            for p in range(4):
+                ps = (p - step) % 4
+                sh = (step + ps - p) // 4
+                if sh:
+                    src_a = jnp.concatenate(
+                        [jnp.zeros((T, sh), I32), planes[ps][:, :-sh]],
+                        axis=1)
+                    src_d = jnp.concatenate(
+                        [jnp.zeros((T, sh), I32), disp[ps][:, :-sh]],
+                        axis=1)
+                else:
+                    src_a, src_d = planes[ps], disp[ps]
+                smv = (_srl(src_d, b) & 1) > 0
+                mmv = (_srl(disp[p], b) & 1) > 0
+                np_.append(jnp.where(smv, src_a,
+                                     jnp.where(mmv, 0, planes[p])))
+                nd_.append(jnp.where(smv, src_d - step,
+                                     jnp.where(mmv, 0, disp[p])))
+            planes, disp = np_, nd_
+
+        stuffed = seg_len + jnp.minimum(nff, max_stuff)
+        hr = h_ref[:] > 0
+        rmark = r_ref[:]
+        for p in range(4):
+            g = lane_o * 4 + p
+            planes[p] = jnp.where(hr & (g == stuffed), 0xFF, planes[p])
+            planes[p] = jnp.where(hr & (g == stuffed + 1), rmark,
+                                  planes[p])
+
+        out_ref[:] = (planes[0] | (planes[1] << 8) | (planes[2] << 16) |
+                      (planes[3] << 24)).astype(U32)
+        out_len = stuffed + 2 * h_ref[:]
+        meta = jnp.concatenate(
+            [bits_c, nff, out_len, jnp.zeros((T, 5), I32)], axis=1)
+        meta_ref[:] = meta
+
+    out_w, meta = _pcall(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S_pad, WO), jnp.uint32),
+                   jax.ShapeDtypeStruct((S_pad, 8), jnp.int32)),
+        grid=(rows0 // seg_tile,),
+        in_specs=[
+            pl.BlockSpec((seg_tile, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_tile, bpr), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((seg_tile, WO), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_tile, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(w2, b2, rst_marker[:, None].astype(jnp.int32),
+      has_rst[:, None].astype(jnp.int32))
+    return (out_w[:S], meta[:S, 2], meta[:S, 0], meta[:S, 1])
+
+
 def merge_segments(words, bits, bps: int, cap_words: int):
     """(S*bps, W) block strings -> (S, cap_words) segment strings + bits."""
     n_rows, W = words.shape
@@ -1131,11 +1290,6 @@ def merge_segments(words, bits, bps: int, cap_words: int):
 # Stage 3 — byte stuffing + RST append (byte-per-lane domain)
 # ---------------------------------------------------------------------------
 
-MAX_STUFF = 255  # max 0xFF bytes per segment handled on device (fits uint8)
-#: tier-1 stuffing cap: typical segments stuff ~2 bytes, so 31 (5
-#: butterfly stages instead of 8) covers real content; overflow falls
-#: back to the tier-2 worst-case geometry like the other caps
-MAX_STUFF_T1 = 31
 
 
 def stuff_and_rst_pallas(seg_words, seg_bits, rst_marker, has_rst,
@@ -1407,6 +1561,12 @@ def merge_and_stuff(words, bits, rst_marker, has_rst, bps: int,
     bits = bits + jnp.where((bits > W * 32) & (bits < (1 << 20)),
                             1 << 20, 0)
     pow2 = lambda v: v > 0 and (v & (v - 1)) == 0  # noqa: E731
+    if (use_pallas and bps > 1 and pow2(bps) and pow2(W)
+            and bps * W == 128 and cap_out_bytes % 4 == 0):
+        out, out_len, seg_bits, n_ff = merge_stuff_packed(
+            words, bits, rst_marker, has_rst, bps, W, cap_seg_words,
+            cap_out_bytes, max_stuff)
+        return out.reshape(-1), out_len, seg_bits, n_ff
     if use_pallas and bps > 1 and pow2(bps) and pow2(W) and bps * W <= 512:
         seg_words, seg_bits = merge_segments_packed(words, bits, bps, W,
                                                     cap_seg_words)

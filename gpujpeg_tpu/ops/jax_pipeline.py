@@ -294,7 +294,7 @@ class _EncContext:
         # fused-kernel eligibility: identity row order (scan order ==
         # plane order, consecutive in-segment blocks => DC distance 1)
         # and segment rows dividing the tile
-        FUSED_TILE = 768
+        FUSED_TILE = int(os.environ.get("GPUJPEG_TPU_FUSED_TILE", "768"))
         seg_rows = geo.bps // 2
         fused_ok = (use_pallas and packed_dct and not plan.params.interleaved
                     and (seg_rows == 0 or (FUSED_TILE // 2) % max(seg_rows, 1)
