@@ -52,6 +52,26 @@ def dequant_idct_device(coeff: jax.Array, W: jax.Array) -> jax.Array:
     return jnp.clip(jnp.rint(y), 0.0, 255.0).astype(jnp.uint8)
 
 
+def dequant_idct_device_packed(coeff: jax.Array, W: jax.Array) -> jax.Array:
+    """Two-blocks-per-row variant of :func:`dequant_idct_device`:
+    (N, 64) -> reshape (N/2, 128) @ blockdiag(W, W) runs the MXU at full
+    lane width (the forward DCT's measured ~25% win applies in reverse).
+    Requires even N; bit-identical to the unpacked form."""
+    N = coeff.shape[0]
+    z = jnp.zeros((64, 64), W.dtype)
+    W2 = jnp.concatenate([
+        jnp.concatenate([W, z], axis=1),
+        jnp.concatenate([z, W], axis=1)], axis=0)
+    x = coeff.reshape(N // 2, 128).astype(jnp.float32)
+    y = jax.lax.dot_general(
+        x, W2, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) + 128.0
+    out = jnp.clip(jnp.rint(y), 0.0, 255.0).astype(jnp.uint8)
+    return out.reshape(N, 64)
+
+
 @functools.lru_cache(maxsize=16)
 def fdct_operator_f32(quant_zz_key: tuple) -> tuple[np.ndarray, np.ndarray]:
     quant_zz = np.array(quant_zz_key, dtype=np.int32)

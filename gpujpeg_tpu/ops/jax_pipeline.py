@@ -626,10 +626,15 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
 
         def stage_idct(coeff_plane, Ws):
             from .blocks import blocks_u32_to_plane, pack_blocks_u32
+            from .dct import dequant_idct_device_packed
             planes = []
             for (start, count, dh, dw), W in zip(comp_slices, Ws):
-                blocks = dequant_idct_device(
-                    coeff_plane[start:start + count], W)
+                if count % 2 == 0:
+                    blocks = dequant_idct_device_packed(
+                        coeff_plane[start:start + count], W)
+                else:
+                    blocks = dequant_idct_device(
+                        coeff_plane[start:start + count], W)
                 # barrier: keep the byte-packing transpose OUT of the
                 # IDCT fusion (fusing in measured 4.7 -> 18.8 ms at 8K)
                 blocks = jax.lax.optimization_barrier(blocks)
