@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 import time
 
@@ -176,6 +177,17 @@ def _print_stats(prefix: str, stats, iteration_ms: float, verbose: int):
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS even when a site hook (e.g. a hosted-TPU
+    # plugin) pre-imported jax and overwrote the platform selection —
+    # the env var is the user's explicit choice for this invocation.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        import jax
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
     args = build_parser().parse_args(argv)
 
     if args.device_list:

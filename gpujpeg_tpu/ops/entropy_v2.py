@@ -721,6 +721,72 @@ class FusedSpec:
     seg_rows: int          # rows (block pairs) per segment; 0 <=> bps == 1
 
 
+def _stage1_dct_tile(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref,
+                     spec: FusedSpec, tabs: PackedTables, W: int, T2: int,
+                     seg_rows: int, n_comp: int):
+    """One grid step of the fused stage 1: unpack packed pixel words,
+    DCT+quant on the MXU, in-kernel DC prediction, symbol synthesis and
+    window assembly. Returns (words (T2, 2W) uint32, bits (T2, 2) int32
+    with per-block capacity overflow folded in as a 1<<20 offset)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental import pallas as pl
+
+    pid = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(I32, (T2, 128), 1)
+    rowi = jax.lax.broadcasted_iota(I32, (T2, 128), 0)
+
+    # unpack the 4-per-word pixel bytes to one byte per lane
+    xw = jnp.pad(pb_ref[:], ((0, 0), (0, 96)))
+    g = jnp.take_along_axis(xw, _srl(lane, 2), axis=1)
+    xb = _srl(g, (lane & 3) * 8) & 255
+    xf = xb.astype(jnp.float32)
+    prec = (jax.lax.Precision.DEFAULT
+            if os.environ.get("GPUJPEG_TPU_DCT_FAST")
+            else jax.lax.Precision.HIGHEST)
+    y = jax.lax.dot_general(
+        xf, d2_ref[:], (((1,), (0,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32) - bq_ref[0:1, :]
+    blk = 2 * (pid * T2 + rowi) + (lane >= 64).astype(I32)
+    cls = jnp.full((T2, 128), spec.comp_cls[0], I32)
+    qv = jnp.broadcast_to(bq_ref[1 + spec.comp_q[0]:
+                                 2 + spec.comp_q[0], :], y.shape)
+    for i in range(1, n_comp):
+        past = blk >= spec.comp_starts[i]
+        if spec.comp_cls[i] != spec.comp_cls[i - 1]:
+            cls = jnp.where(past, spec.comp_cls[i], cls)
+        if spec.comp_q[i] != spec.comp_q[i - 1]:
+            qv = jnp.where(past, jnp.broadcast_to(
+                bq_ref[1 + spec.comp_q[i]:2 + spec.comp_q[i], :],
+                y.shape), qv)
+    valid = (blk < spec.n_real_blocks).astype(I32)
+    rows = jnp.rint(y / qv).astype(I32)
+
+    # DC differences from the quantized DC lanes: previous block of a
+    # row's left block is the previous row's right block (reset at
+    # segment-start rows); of the right block, the left one.
+    dc_l = rows[:, 0:1]
+    dc_r = rows[:, 64:65]
+    if seg_rows == 0:          # bps == 1: every block starts a segment
+        diff_l, diff_r = dc_l, dc_r
+    else:
+        # previous row's right-block DC; the wrap row is always a
+        # segment start (tiles are segment-aligned), so it masks out
+        prev_l = pltpu.roll(dc_r, 1, axis=0)
+        rstart = ((pid * T2 + rowi[:, 0:1]) % seg_rows) == 0
+        diff_l = dc_l - jnp.where(rstart, 0, prev_l)
+        diff_r = dc_r - dc_l
+    lane_left = lane < 64
+    diff = jnp.where(lane_left, diff_l, diff_r)
+
+    t = _pallas_helpers(ac_ref[:], dc_ref[:], tabs)
+    words, bits = _chunk_planes_lanes(rows, diff, cls, valid, t, W)
+    # per-block capacity overflow folds into the bit length so it
+    # survives the merge into segment totals (host checks seg_bits)
+    bits = bits + jnp.where(bits > W * 32, 1 << 20, 0)
+    return words, bits
+
+
 def block_chunks_dct_fused(pbw, spec: FusedSpec, D2_h, bias2_h, qrows_h,
                            tabs: PackedTables, W: int, tile: int = 768,
                            min_rows: int = 0):
@@ -760,59 +826,9 @@ def block_chunks_dct_fused(pbw, spec: FusedSpec, D2_h, bias2_h, qrows_h,
     seg_rows = spec.seg_rows
 
     def kernel(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref, out_ref):
-        pid = pl.program_id(0)
-        lane = jax.lax.broadcasted_iota(I32, (T2, 128), 1)
-        rowi = jax.lax.broadcasted_iota(I32, (T2, 128), 0)
-
-        # unpack the 4-per-word pixel bytes to one byte per lane
-        xw = jnp.pad(pb_ref[:], ((0, 0), (0, 96)))
-        g = jnp.take_along_axis(xw, _srl(lane, 2), axis=1)
-        xb = _srl(g, (lane & 3) * 8) & 255
-        xf = xb.astype(jnp.float32)
-        prec = (jax.lax.Precision.DEFAULT
-                if os.environ.get("GPUJPEG_TPU_DCT_FAST")
-                else jax.lax.Precision.HIGHEST)
-        y = jax.lax.dot_general(
-            xf, d2_ref[:], (((1,), (0,)), ((), ())),
-            precision=prec,
-            preferred_element_type=jnp.float32) - bq_ref[0:1, :]
-        blk = 2 * (pid * T2 + rowi) + (lane >= 64).astype(I32)
-        cls = jnp.full((T2, 128), spec.comp_cls[0], I32)
-        qv = jnp.broadcast_to(bq_ref[1 + spec.comp_q[0]:
-                                     2 + spec.comp_q[0], :], y.shape)
-        for i in range(1, n_comp):
-            past = blk >= spec.comp_starts[i]
-            if spec.comp_cls[i] != spec.comp_cls[i - 1]:
-                cls = jnp.where(past, spec.comp_cls[i], cls)
-            if spec.comp_q[i] != spec.comp_q[i - 1]:
-                qv = jnp.where(past, jnp.broadcast_to(
-                    bq_ref[1 + spec.comp_q[i]:2 + spec.comp_q[i], :],
-                    y.shape), qv)
-        valid = (blk < spec.n_real_blocks).astype(I32)
-        rows = jnp.rint(y / qv).astype(I32)
-
-        # DC differences from the quantized DC lanes: previous block of a
-        # row's left block is the previous row's right block (reset at
-        # segment-start rows); of the right block, the left one.
-        dc_l = rows[:, 0:1]
-        dc_r = rows[:, 64:65]
-        if seg_rows == 0:          # bps == 1: every block starts a segment
-            diff_l, diff_r = dc_l, dc_r
-        else:
-            # previous row's right-block DC; the wrap row is always a
-            # segment start (tiles are segment-aligned), so it masks out
-            prev_l = pltpu.roll(dc_r, 1, axis=0)
-            rstart = ((pid * T2 + rowi[:, 0:1]) % seg_rows) == 0
-            diff_l = dc_l - jnp.where(rstart, 0, prev_l)
-            diff_r = dc_r - dc_l
-        lane_left = lane < 64
-        diff = jnp.where(lane_left, diff_l, diff_r)
-
-        t = _pallas_helpers(ac_ref[:], dc_ref[:], tabs)
-        words, bits = _chunk_planes_lanes(rows, diff, cls, valid, t, W)
-        # per-block capacity overflow folds into the bit length so it
-        # survives the merge into segment totals (host checks seg_bits)
-        bits = bits + jnp.where(bits > W * 32, 1 << 20, 0)
+        words, bits = _stage1_dct_tile(
+            pb_ref, d2_ref, bq_ref, ac_ref, dc_ref, spec, tabs, W, T2,
+            seg_rows, n_comp)
         out_ref[:] = jnp.concatenate(
             [jax.lax.bitcast_convert_type(words, I32), bits], axis=1)
 
@@ -833,6 +849,96 @@ def block_chunks_dct_fused(pbw, spec: FusedSpec, D2_h, bias2_h, qrows_h,
                                memory_space=pltpu.VMEM),
     )(pbw, D2, bq, ac512, dc128)
     return out, Mp
+
+
+def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
+                          D2_h, bias2_h, qrows_h, tabs: PackedTables,
+                          W: int, bps: int, cap_words: int, cap_out: int,
+                          max_stuff: int = MAX_STUFF, tile: int = 768):
+    """The WHOLE entropy encode in ONE kernel: fused DCT+quant+stage-1
+    plus the packed tree merge, byte stuffing and RST append of
+    :func:`merge_stuff_packed` — for the flagship geometry
+    (``bps * W == 128``, identity row order, segment-aligned tiles).
+
+    The merge/stuff arithmetic runs on ``2*T2*W/128``-row arrays (16x
+    fewer vregs than stage 1 at W=4), so its in-kernel cost is small,
+    while the separate-kernel version pays its own grid overhead plus
+    an HBM round trip of the (n_rows, W) window array. The relayout from
+    the (T2, 2W) window layout to the (segments, 128) packed merge
+    layout is an in-VMEM reshape.
+
+    pbw (M, 32) int32 packed pixel words; rst_marker/has_rst (S_pad, 1)
+    int32 with S_pad == ceil(M*2/bps) padded to whole tiles by the
+    caller (min_rows alignment). Returns (out u8-view (S_pad*cap_out,),
+    out_len, seg_bits, n_ff) — the contract of :func:`merge_and_stuff`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = pbw.shape[0]
+    T2 = tile // 2
+    assert bps * W == 128 and cap_out % 4 == 0
+    assert (2 * T2) % bps == 0 and (T2 * 2 * W) % 128 == 0
+    assert M % T2 == 0, (M, T2)
+    spt_t = 2 * T2 // bps              # segments per grid tile
+    S_pad = 2 * M // bps
+    assert rst_marker.shape[0] == S_pad, (rst_marker.shape, S_pad)
+    n_comp = len(spec.comp_starts)
+    seg_rows = spec.seg_rows
+    WO = cap_out // 4
+    mrows_t = T2 * 2 * W // 128        # packed merge rows per tile
+
+    ac512 = jnp.asarray(tabs.ac512)
+    dc128 = jnp.asarray(np.concatenate([tabs.dc64, np.zeros(64, np.int32)]))
+    D2 = jnp.asarray(D2_h)
+    bq = jnp.asarray(np.concatenate(
+        [bias2_h[None, :], qrows_h], axis=0).astype(np.float32))
+    n_bq = int(bq.shape[0])
+
+    def kernel(pb_ref, r_ref, h_ref, d2_ref, bq_ref, ac_ref, dc_ref,
+               out_ref, meta_ref):
+        words, bits = _stage1_dct_tile(
+            pb_ref, d2_ref, bq_ref, ac_ref, dc_ref, spec, tabs, W, T2,
+            seg_rows, n_comp)
+        # relayout to the packed merge layout: rows of 128/W whole block
+        # strings (row-major flatten == block-major word order)
+        w2 = words.reshape(mrows_t, 128)
+        b2 = bits.reshape(mrows_t, 128 // W)
+        out_w, meta = _merge_stuff_core(
+            w2, b2, r_ref[:], h_ref[:], W, cap_words, WO, max_stuff)
+        out_ref[:] = out_w
+        meta_ref[:] = meta
+
+    out_w, meta = _pcall(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S_pad, WO), jnp.uint32),
+                   jax.ShapeDtypeStruct((S_pad, 8), jnp.int32)),
+        grid=(M // T2,),
+        in_specs=[
+            pl.BlockSpec((T2, 32), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spt_t, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spt_t, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bq, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((512,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((spt_t, WO), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spt_t, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(pbw, rst_marker, has_rst, D2, bq, ac512, dc128)
+    seg_bits = meta[:, 0]
+    n_ff = meta[:, 1]
+    out_len = meta[:, 2]
+    return out_w.reshape(-1), out_len, seg_bits, n_ff
 
 
 def split_fused_output(out, Mp: int, n_keep: int, W: int):
@@ -1116,6 +1222,103 @@ def merge_segments_packed(words, bits, bps: int, W: int, cap_words: int,
     return jnp.pad(segs, ((0, 0), (0, cap_words - P))), segb
 
 
+def _merge_stuff_core(x, b2, rmark, hrst, W: int, cap_words: int,
+                      WO: int, max_stuff: int):
+    """In-kernel core of the packed merge + byte stuffing + RST append
+    (P = bps*W == 128 geometry). x (T, 128) uint32 — 128/W block strings
+    per row (whole segments); b2 (T, 128//W) i32 per-block bit lengths;
+    rmark/hrst (T, 1) i32. Returns (out_words (T, WO) u32 LE-packed,
+    meta (T, 8) i32 = [seg_bits, n_ff, out_len, 0...])."""
+    T = x.shape[0]
+    bpr = 128 // W
+    log2W = W.bit_length() - 1
+    b0 = max(0, min(max_stuff, 255).bit_length() - 1)
+    lane = jax.lax.broadcasted_iota(I32, (T, 128), 1)
+    bpad = jnp.pad(b2, ((0, 0), (0, 128 - bpr)))
+    blen = jnp.take_along_axis(bpad, lane >> log2W, axis=1)
+    R = W
+    while R < 128:
+        x, blen = _merge_level_packed(x, blen, R, lane)
+        R *= 2
+
+    # ---- stuffing on the merged segment strings (in VMEM) ----
+    # strings physically cap at P = 128 words even when the logical
+    # cap_words is larger (tier-2 worst-case caps)
+    cw = min(cap_words, 128)
+    bits_c = blen[:, 0:1]
+    w = jnp.pad(x[:, :cw].astype(I32), ((0, 0), (0, WO - cw)))
+    lane_o = jax.lax.broadcasted_iota(I32, (T, WO), 1)
+    pad_bits = (-bits_c) & 7
+    seg_len = (bits_c + pad_bits) >> 3
+    last = bits_c >> 3
+    fill = (1 << pad_bits) - 1
+
+    planes = []
+    for p in range(4):
+        xb = _srl(w, 8 * (3 - p)) & 255
+        g = lane_o * 4 + p
+        xb = jnp.where(g == last, xb | fill, xb)
+        xb = jnp.where(g < seg_len, xb, 0)
+        planes.append(xb)
+
+    is_ff = [(planes[p] == 0xFF).astype(I32) for p in range(4)]
+    cnt = is_ff[0] + is_ff[1] + is_ff[2] + is_ff[3]
+    cum = cnt
+    s = 1
+    while s < WO:
+        sh = jnp.concatenate(
+            [jnp.zeros((T, s), I32), cum[:, :-s]], axis=1)
+        cum = cum + sh
+        s <<= 1
+    cum_ex = cum - cnt
+    nff = cum[:, WO - 1:WO]
+
+    disp = []
+    acc = cum_ex
+    for p in range(4):
+        g = lane_o * 4 + p
+        disp.append(jnp.where(g < seg_len,
+                              jnp.minimum(acc, max_stuff), 0))
+        acc = acc + is_ff[p]
+
+    for b in range(b0, -1, -1):
+        step = 1 << b
+        np_, nd_ = [], []
+        for p in range(4):
+            ps = (p - step) % 4
+            sh = (step + ps - p) // 4
+            if sh:
+                src_a = jnp.concatenate(
+                    [jnp.zeros((T, sh), I32), planes[ps][:, :-sh]],
+                    axis=1)
+                src_d = jnp.concatenate(
+                    [jnp.zeros((T, sh), I32), disp[ps][:, :-sh]],
+                    axis=1)
+            else:
+                src_a, src_d = planes[ps], disp[ps]
+            smv = (_srl(src_d, b) & 1) > 0
+            mmv = (_srl(disp[p], b) & 1) > 0
+            np_.append(jnp.where(smv, src_a,
+                                 jnp.where(mmv, 0, planes[p])))
+            nd_.append(jnp.where(smv, src_d - step,
+                                 jnp.where(mmv, 0, disp[p])))
+        planes, disp = np_, nd_
+
+    stuffed = seg_len + jnp.minimum(nff, max_stuff)
+    hr = hrst > 0
+    for p in range(4):
+        g = lane_o * 4 + p
+        planes[p] = jnp.where(hr & (g == stuffed), 0xFF, planes[p])
+        planes[p] = jnp.where(hr & (g == stuffed + 1), rmark, planes[p])
+
+    out_w = (planes[0] | (planes[1] << 8) | (planes[2] << 16) |
+             (planes[3] << 24)).astype(U32)
+    out_len = stuffed + 2 * hrst
+    meta = jnp.concatenate(
+        [bits_c, nff, out_len, jnp.zeros((T, 5), I32)], axis=1)
+    return out_w, meta
+
+
 def merge_stuff_packed(words, bits, rst_marker, has_rst, bps: int, W: int,
                        cap_words: int, cap_out: int,
                        max_stuff: int = MAX_STUFF, seg_tile: int = 256):
@@ -1145,98 +1348,13 @@ def merge_stuff_packed(words, bits, rst_marker, has_rst, bps: int, W: int,
     rows0 = S_pad
     w2 = words.reshape(rows0, 128)
     b2 = bits.reshape(rows0, bpr)
-    log2W = W.bit_length() - 1
     WO = cap_out // 4
-    b0 = max(0, min(max_stuff, 255).bit_length() - 1)
 
     def kernel(w_ref, b_ref, r_ref, h_ref, out_ref, meta_ref):
-        x = w_ref[:]
-        T = x.shape[0]
-        lane = jax.lax.broadcasted_iota(I32, (T, 128), 1)
-        bpad = jnp.pad(b_ref[:], ((0, 0), (0, 128 - bpr)))
-        blen = jnp.take_along_axis(bpad, lane >> log2W, axis=1)
-        R = W
-        while R < 128:
-            x, blen = _merge_level_packed(x, blen, R, lane)
-            R *= 2
-
-        # ---- stuffing on the merged segment strings (in VMEM) ----
-        # strings physically cap at P = 128 words even when the logical
-        # cap_words is larger (tier-2 worst-case caps)
-        cw = min(cap_words, 128)
-        bits_c = blen[:, 0:1]
-        w = jnp.pad(x[:, :cw].astype(I32), ((0, 0), (0, WO - cw)))
-        lane_o = jax.lax.broadcasted_iota(I32, (T, WO), 1)
-        pad_bits = (-bits_c) & 7
-        seg_len = (bits_c + pad_bits) >> 3
-        last = bits_c >> 3
-        fill = (1 << pad_bits) - 1
-
-        planes = []
-        for p in range(4):
-            xb = _srl(w, 8 * (3 - p)) & 255
-            g = lane_o * 4 + p
-            xb = jnp.where(g == last, xb | fill, xb)
-            xb = jnp.where(g < seg_len, xb, 0)
-            planes.append(xb)
-
-        is_ff = [(planes[p] == 0xFF).astype(I32) for p in range(4)]
-        cnt = is_ff[0] + is_ff[1] + is_ff[2] + is_ff[3]
-        cum = cnt
-        s = 1
-        while s < WO:
-            sh = jnp.concatenate(
-                [jnp.zeros((T, s), I32), cum[:, :-s]], axis=1)
-            cum = cum + sh
-            s <<= 1
-        cum_ex = cum - cnt
-        nff = cum[:, WO - 1:WO]
-
-        disp = []
-        acc = cum_ex
-        for p in range(4):
-            g = lane_o * 4 + p
-            disp.append(jnp.where(g < seg_len,
-                                  jnp.minimum(acc, max_stuff), 0))
-            acc = acc + is_ff[p]
-
-        for b in range(b0, -1, -1):
-            step = 1 << b
-            np_, nd_ = [], []
-            for p in range(4):
-                ps = (p - step) % 4
-                sh = (step + ps - p) // 4
-                if sh:
-                    src_a = jnp.concatenate(
-                        [jnp.zeros((T, sh), I32), planes[ps][:, :-sh]],
-                        axis=1)
-                    src_d = jnp.concatenate(
-                        [jnp.zeros((T, sh), I32), disp[ps][:, :-sh]],
-                        axis=1)
-                else:
-                    src_a, src_d = planes[ps], disp[ps]
-                smv = (_srl(src_d, b) & 1) > 0
-                mmv = (_srl(disp[p], b) & 1) > 0
-                np_.append(jnp.where(smv, src_a,
-                                     jnp.where(mmv, 0, planes[p])))
-                nd_.append(jnp.where(smv, src_d - step,
-                                     jnp.where(mmv, 0, disp[p])))
-            planes, disp = np_, nd_
-
-        stuffed = seg_len + jnp.minimum(nff, max_stuff)
-        hr = h_ref[:] > 0
-        rmark = r_ref[:]
-        for p in range(4):
-            g = lane_o * 4 + p
-            planes[p] = jnp.where(hr & (g == stuffed), 0xFF, planes[p])
-            planes[p] = jnp.where(hr & (g == stuffed + 1), rmark,
-                                  planes[p])
-
-        out_ref[:] = (planes[0] | (planes[1] << 8) | (planes[2] << 16) |
-                      (planes[3] << 24)).astype(U32)
-        out_len = stuffed + 2 * h_ref[:]
-        meta = jnp.concatenate(
-            [bits_c, nff, out_len, jnp.zeros((T, 5), I32)], axis=1)
+        out_w, meta = _merge_stuff_core(
+            w_ref[:], b_ref[:], r_ref[:], h_ref[:], W, cap_words, WO,
+            max_stuff)
+        out_ref[:] = out_w
         meta_ref[:] = meta
 
     out_w, meta = _pcall(

@@ -200,9 +200,14 @@ class _EncContext:
             bps, csw = geo.bps, geo.cap_seg_words
             cob, W = geo.cap_out_bytes, geo.words_per_block
             mstuff = geo.max_stuff
+            qidx_arg = (qidx_all if packed_dct and CR % 2 == 0
+                        else jnp.zeros((1,), jnp.int32))
 
+            # geometry tensors are jit ARGUMENTS, not closed-over
+            # constants: constants serialize into the lowered module and
+            # cost minutes of host-side lowering at 8K+ (measured 250 s)
             @jax.jit
-            def fn_chunked(raw):
+            def fn_chunked(raw, chunks, qidx_all):
                 planes = preprocess(raw, plan.image, plan, jnp)
                 planes = jax.lax.optimization_barrier(tuple(planes))
                 pblocks = jnp.concatenate(
@@ -224,7 +229,7 @@ class _EncContext:
                     qidx_p = jnp.concatenate(
                         [qidx_all, jnp.zeros(rpad // 2, qidx_all.dtype)])
                     xs = (pb.reshape(n_chunks, CR // 2, 128),
-                          qidx_p.reshape(n_chunks, CR // 2)) + chunks[1:]
+                          qidx_p.reshape(n_chunks, CR // 2)) + tuple(chunks[1:])
 
                     def body(c):
                         pbc, qic, clsc, valc, dcdc, rstc, hrstc = c
@@ -235,7 +240,7 @@ class _EncContext:
                 elif identity_gather:
                     pb = jnp.concatenate(
                         [pblocks, jnp.zeros((rpad, 64), pblocks.dtype)])
-                    xs = (pb.reshape(n_chunks, CR, 64),) + chunks[1:]
+                    xs = (pb.reshape(n_chunks, CR, 64),) + tuple(chunks[1:])
 
                     def body(c):
                         pbc, clsc, valc, dcdc, rstc, hrstc = c
@@ -244,7 +249,7 @@ class _EncContext:
                 else:
                     pb = jnp.concatenate(
                         [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
-                    xs = chunks
+                    xs = tuple(chunks)
 
                     def body(c):
                         idxc, clsc, valc, dcdc, rstc, hrstc = c
@@ -256,7 +261,8 @@ class _EncContext:
                         seg_bits.reshape(-1), n_ff.reshape(-1))
 
             self._stage_fns = None      # no staged timing for huge plans
-            return fn_chunked
+            self._fn_args = (chunks, qidx_arg)
+            return lambda raw: fn_chunked(raw, *self._fn_args)
 
         def stage_pre(raw):
             planes = preprocess(raw, plan.image, plan, jnp)
@@ -265,24 +271,38 @@ class _EncContext:
             planes = jax.lax.optimization_barrier(tuple(planes))
             return jnp.concatenate([plane_to_blocks(p, jnp) for p in planes])
 
-        def stage_dct(pblocks):
+        # geometry tensors are jit ARGUMENTS (see fn_chunked note): the
+        # staged fns receive them per call from the arrays held here
+        dct_args = ((qidx_all,) if packed_dct else
+                    (cls_rows,) if identity_gather else
+                    (idx_plane_j, cls_rows))
+        ent_args = (jnp.asarray(geo.block_cls), jnp.asarray(geo.block_valid),
+                    jnp.asarray(geo.dc_dist), jnp.asarray(geo.seg_rst_marker),
+                    jnp.asarray(geo.seg_has_rst))
+
+        def stage_dct(pblocks, *args):
             if packed_dct:
                 return dct_quant_packed(
-                    pblocks.reshape(-1, 128), qidx_all).reshape(-1, 64)
+                    pblocks.reshape(-1, 128), args[0]).reshape(-1, 64)
             if identity_gather:
+                (cls_r,) = args
                 x = pblocks.astype(jnp.float32)              # (n_rows, 64)
             else:
+                idx_j, cls_r = args
                 pblocks = jnp.concatenate(
                     [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
-                x = pblocks[idx_plane_j].astype(jnp.float32)
+                x = pblocks[idx_j].astype(jnp.float32)
             y = jax.lax.dot_general(
                 x, D, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32) - bias
-            return jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
+            return jnp.rint(y / qdiv[cls_r]).astype(jnp.int32)
 
-        def stage_entropy(rows):
-            return encode_rows(rows, geo, tabs, use_pallas)
+        def stage_entropy(rows, cls, valid, dcd, rst, hrst):
+            return encode_rows_arrays(
+                rows, cls, valid, dcd, rst, hrst, geo.dc_distances,
+                geo.bps, geo.cap_seg_words, geo.cap_out_bytes,
+                geo.words_per_block, tabs, use_pallas, geo.max_stuff)
 
         # per-stage jits for perf_stats mode (the reference records its
         # CUDA-event phase timers only when param.perf_stats is set,
@@ -290,6 +310,7 @@ class _EncContext:
         # pipeline split at stage boundaries
         self._stage_fns = (jax.jit(stage_pre), jax.jit(stage_dct),
                            jax.jit(stage_entropy))
+        self._stage_args = (dct_args, ent_args)
 
         # fused-kernel eligibility: identity row order (scan order ==
         # plane order, consecutive in-segment blocks => DC distance 1)
@@ -347,8 +368,48 @@ class _EncContext:
             barrier_mode = os.environ.get("GPUJPEG_TPU_PRE_BARRIER",
                                           "planes")
 
+            # single-kernel variant: merge + stuff run IN the stage-1
+            # kernel on 16x-fewer-vreg arrays (flagship P == 128 only),
+            # removing two kernel launches and the window-array HBM
+            # round trip
+            full_ok = (P == 128 and geo.cap_out_bytes % 4 == 0
+                       and (2 * T2) % geo.bps == 0
+                       and (T2 * 2 * Wb) % 128 == 0
+                       and not os.environ.get("GPUJPEG_TPU_NO_FULL_FUSED"))
+            if full_ok:
+                from .entropy_v2 import encode_dct_fused_full
+                spt_t = 2 * T2 // geo.bps
+                S_pad_f = -(-S // spt_t) * spt_t
+                Mp_f = S_pad_f * geo.bps // 2
+                rst2 = jnp.asarray(np.pad(
+                    np.asarray(geo.seg_rst_marker),
+                    (0, S_pad_f - S)).astype(np.int32)[:, None])
+                hrst2 = jnp.asarray(np.pad(
+                    np.asarray(geo.seg_has_rst),
+                    (0, S_pad_f - S)).astype(np.int32)[:, None])
+
+                @jax.jit
+                def fn_full(raw, rst2, hrst2):
+                    planes = preprocess(raw, plan.image, plan, jnp)
+                    if barrier_mode == "planes":
+                        planes = jax.lax.optimization_barrier(tuple(planes))
+                    pbw = jnp.concatenate(
+                        [plane_to_blocks_u32(p, jnp) for p in planes])
+                    if barrier_mode == "packed":
+                        pbw = jax.lax.optimization_barrier(pbw)
+                    pbw = pbw.reshape(-1, 32)      # two blocks per row
+                    if Mp_f > M:
+                        pbw = jnp.pad(pbw, ((0, Mp_f - M), (0, 0)))
+                    return encode_dct_fused_full(
+                        pbw, rst2, hrst2, spec, D2_h, bias2_h, qrows_h,
+                        tabs, Wb, geo.bps, geo.cap_seg_words,
+                        geo.cap_out_bytes, geo.max_stuff, tile=FUSED_TILE)
+
+                self._fn_args = (rst2, hrst2)
+                return lambda raw: fn_full(raw, *self._fn_args)
+
             @jax.jit
-            def fn_fused(raw):
+            def fn_fused(raw, rst_p, hrst_p):
                 planes = preprocess(raw, plan.image, plan, jnp)
                 if barrier_mode == "planes":
                     planes = jax.lax.optimization_barrier(tuple(planes))
@@ -365,13 +426,16 @@ class _EncContext:
                     words, bits, rst_p, hrst_p, geo.bps, geo.cap_seg_words,
                     geo.cap_out_bytes, Wb, True, geo.max_stuff)
 
-            return fn_fused
+            self._fn_args = (rst_p, hrst_p)
+            return lambda raw: fn_fused(raw, *self._fn_args)
 
         @jax.jit
-        def fn(raw):
-            return stage_entropy(stage_dct(stage_pre(raw)))
+        def fn(raw, dct_args, ent_args):
+            return stage_entropy(stage_dct(stage_pre(raw), *dct_args),
+                                 *ent_args)
 
-        return fn
+        self._fn_args = (dct_args, ent_args)
+        return lambda raw: fn(raw, *self._fn_args)
 
 
 def _enc_context(plan: CoderPlan, quant_zz, huff) -> _EncContext:
@@ -394,14 +458,15 @@ def _run_staged(encoder, ctx, raw_j):
         np.asarray(leaf.reshape(-1)[:1])
 
     s_pre, s_dct, s_ent = ctx._stage_fns
+    dct_args, ent_args = ctx._stage_args
     t0 = time.perf_counter()
     pblocks = s_pre(raw_j)
     sync(pblocks)
     t1 = time.perf_counter()
-    rows = s_dct(pblocks)
+    rows = s_dct(pblocks, *dct_args)
     sync(rows)
     t2 = time.perf_counter()
-    out = s_ent(rows)
+    out = s_ent(rows, *ent_args)
     sync(out)
     t3 = time.perf_counter()
     encoder.stats.duration_preprocessor = (t1 - t0) * 1e3
@@ -472,20 +537,22 @@ _DEC_CACHE: dict = {}
 def _dec_fn(plan: CoderPlan, out_image: ImageParameters, L_pad: int,
             n_luts: int, max_iters: int):
     key = (plan.params, plan.image, out_image, L_pad, n_luts)
-    fn = _DEC_CACHE.get(key)
-    if fn is not None:
-        return fn
+    cached = _DEC_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     g = build_dec_geometry(plan)
-    gd = {
+    gd_dev = {
         "block_comp": jnp.asarray(g.block_comp),
         "seg_block_start": jnp.asarray(g.seg_block_start),
         "seg_block_count": jnp.asarray(g.seg_block_count),
     }
-    # inverse of the scan-order gather
+    # inverse of the scan-order gather; a jit ARGUMENT (closed-over
+    # million-element constants serialize into the lowered module and
+    # dominate first-call latency at 8K)
     inv = np.empty(plan.n_blocks, dtype=np.int32)
     inv[plan.block_plane_idx] = np.arange(plan.n_blocks, dtype=np.int32)
-    inv = jnp.asarray(inv)
+    inv_dev = jnp.asarray(inv)
     n_blocks = plan.n_blocks
 
     comp_slices = []
@@ -495,10 +562,10 @@ def _dec_fn(plan: CoderPlan, out_image: ImageParameters, L_pad: int,
         pos += c.block_count
 
     @jax.jit
-    def fn(data, seg_starts, dc_tab, ac_tab, luts, Ws):
+    def fn(data, seg_starts, dc_tab, ac_tab, luts, Ws, gd, inv_a):
         coeff_scan = huffman_decode_kernel(
             data, seg_starts, gd, luts, dc_tab, ac_tab, n_blocks, max_iters)
-        coeff_plane = coeff_scan[inv]
+        coeff_plane = coeff_scan[inv_a]
         planes = []
         for (start, count, dh, dw), W in zip(comp_slices, Ws):
             blocks = dequant_idct_device(coeff_plane[start:start + count], W)
@@ -506,8 +573,11 @@ def _dec_fn(plan: CoderPlan, out_image: ImageParameters, L_pad: int,
         planes = list(jax.lax.optimization_barrier(tuple(planes)))
         return postprocess(planes, out_image, plan, jnp)
 
-    _DEC_CACHE[key] = fn
-    return fn
+    wrapped = (lambda data, seg_starts, dc_tab, ac_tab, luts, Ws:
+               fn(data, seg_starts, dc_tab, ac_tab, luts, Ws, gd_dev,
+                  inv_dev))
+    _DEC_CACHE[key] = wrapped
+    return wrapped
 
 
 _DEC_V2_CACHE: dict = {}
@@ -606,8 +676,12 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             np.array_equal(out_row, np.arange(nb, dtype=np.int64)))
         inv_identity = bool(
             np.array_equal(inv, np.arange(nb, dtype=np.int32)))
-        inv_j = None if inv_identity else jnp.asarray(inv)
-        out_row_j = None if out_row_identity else jnp.asarray(out_row)
+        # reorder indices are jit ARGUMENTS (identity on the flagship
+        # path; embedded-constant lowering costs minutes when present)
+        inv_j = (jnp.zeros((1,), jnp.int32) if inv_identity
+                 else jnp.asarray(inv))
+        out_row_j = (jnp.zeros((1,), jnp.int32) if out_row_identity
+                     else jnp.asarray(out_row.astype(np.int32)))
         comp_slices = []
         pos = 0
         for c in plan.components:
@@ -616,13 +690,13 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             pos += c.block_count
 
         def stage_huffman(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode,
-                          delta, huffval, dcs, acs):
+                          delta, huffval, dcs, acs, out_row_a, inv_a):
             from . import pallas_decode as _pd
             t = _pd.DecTables(quick, maxcode, delta, huffval)
             out3 = run(rows_j, seg_comp_j, seg_nblk_j, t, dcs, acs)
             flat = out3.reshape(-1, 64)
-            coeff_scan = flat[:nb] if out_row_identity else flat[out_row_j]
-            return coeff_scan if inv_identity else coeff_scan[inv_j]
+            coeff_scan = flat[:nb] if out_row_identity else flat[out_row_a]
+            return coeff_scan if inv_identity else coeff_scan[inv_a]
 
         def stage_idct(coeff_plane, Ws):
             from .blocks import blocks_u32_to_plane, pack_blocks_u32
@@ -649,17 +723,26 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             return postprocess(planes, out_image, plan, jnp)
 
         @jax.jit
-        def fn(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode, delta,
-               huffval, dcs, acs, Ws):
+        def fn_j(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode, delta,
+                 huffval, dcs, acs, Ws, out_row_a, inv_a):
             coeff_plane = stage_huffman(rows_j, seg_comp_j, seg_nblk_j,
                                         quick, maxcode, delta, huffval,
-                                        dcs, acs)
+                                        dcs, acs, out_row_a, inv_a)
             return stage_post(stage_idct(coeff_plane, Ws))
+
+        def fn(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode, delta,
+               huffval, dcs, acs, Ws):
+            return fn_j(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode,
+                        delta, huffval, dcs, acs, Ws, out_row_j, inv_j)
+
+        s_huff_j = jax.jit(stage_huffman)
+
+        def s_huff(*args):
+            return s_huff_j(*args, out_row_j, inv_j)
 
         # per-stage jits for perf_stats mode: the reference reports
         # huffman/idct/postprocess splits (gpujpeg_common.h:315-325)
-        fn.stages = (jax.jit(stage_huffman), jax.jit(stage_idct),
-                     jax.jit(stage_post))
+        fn.stages = (s_huff, jax.jit(stage_idct), jax.jit(stage_post))
         _DEC_V2_CACHE[key] = fn
 
     Ws = tuple(

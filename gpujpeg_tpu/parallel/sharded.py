@@ -614,38 +614,56 @@ class ShardedEncoder:
         cls_rows = jnp.asarray(geo_probe.block_cls)
         band_image = layout.band_image
 
+        # band geometry tensors are jit ARGUMENTS (replicated across the
+        # mesh), not closed-over constants: embedded-constant lowering
+        # costs minutes at scale, and the runtime-arg form keeps the
+        # quant divide numerically identical to the single-chip
+        # encoder's (XLA strength-reduces divides by embedded constants,
+        # which changes float rounding and breaks byte-identity)
+        valid_rows = jnp.asarray(geo_probe.block_valid)
+        dcd_rows = jnp.asarray(geo_probe.dc_dist)
+        from ..ops.entropy_v2 import encode_rows_arrays
+        geo_args = (idx_plane_j, cls_rows, valid_rows, dcd_rows, qdiv)
+
         def make_fn(geo_t):
-            def encode_band(raw_band, rst, has_rst):
+            def encode_band(raw_band, rst, has_rst, idxp, clsr, validr,
+                            dcdr, qd):
                 planes = preprocess(raw_band, band_image, plan, jnp)
                 planes = jax.lax.optimization_barrier(tuple(planes))
                 pblocks = jnp.concatenate(
                     [plane_to_blocks(p, jnp) for p in planes])
                 pblocks = jnp.concatenate(
                     [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
-                x = pblocks[idx_plane_j].astype(jnp.float32)
+                x = pblocks[idxp].astype(jnp.float32)
                 y = jax.lax.dot_general(
                     x, D, (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32) - bias
-                rows = jnp.rint(y / qdiv[cls_rows]).astype(jnp.int32)
-                return encode_rows(rows, geo_t, tabs, use_pallas,
-                                   rst_marker=rst, has_rst=has_rst)
+                rows = jnp.rint(y / qd[clsr]).astype(jnp.int32)
+                return encode_rows_arrays(
+                    rows, clsr, validr, dcdr, rst, has_rst,
+                    geo_t.dc_distances, geo_t.bps, geo_t.cap_seg_words,
+                    geo_t.cap_out_bytes, geo_t.words_per_block, tabs,
+                    use_pallas, geo_t.max_stuff)
 
-            def local_fn(raw, rst, has_rst):
+            def local_fn(raw, rst, has_rst, idxp, clsr, validr, dcdr, qd):
                 # raw: (B_local, 1, band_bytes); rst/has: (1, S_local)
                 out, out_len, seg_bits, n_ff = jax.vmap(
-                    lambda r: encode_band(r, rst[0], has_rst[0]))(raw[:, 0])
+                    lambda r: encode_band(r, rst[0], has_rst[0], idxp,
+                                          clsr, validr, dcdr, qd))(raw[:, 0])
                 return (out[:, None], out_len[:, None],
                         seg_bits[:, None], n_ff[:, None])
 
             fspec = "frame" if "frame" in self.mesh.axis_names else None
-            return jax.jit(_shard_map(
+            jfn = jax.jit(_shard_map(
                 local_fn, mesh=self.mesh,
                 in_specs=(P(fspec, "seg", None), P("seg", None),
-                          P("seg", None)),
+                          P("seg", None), P(None), P(None), P(None),
+                          P(None), P(None, None)),
                 out_specs=(P(fspec, "seg", None), P(fspec, "seg", None),
                            P(fspec, "seg", None), P(fspec, "seg", None)),
             ))
+            return lambda bands, rst, has: jfn(bands, rst, has, *geo_args)
 
         built = _ShardedBuild(
             layout=layout, quant_zz=quant_zz, huff=huff,

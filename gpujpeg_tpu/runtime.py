@@ -83,8 +83,15 @@ def use_pallas_default() -> bool:
 
 
 def pallas_call(*args, **kw):
-    """pl.pallas_call wrapper honoring :func:`pallas_interpret`."""
+    """pl.pallas_call wrapper honoring :func:`pallas_interpret` and the
+    GPUJPEG_TPU_VMEM_LIMIT override (bytes; Mosaic's scoped-VMEM budget
+    caps kernel tile sizes — the entropy kernels are tuned against it)."""
     from jax.experimental import pallas as pl
     if pallas_interpret():
         kw.setdefault("interpret", True)
+    lim = os.environ.get("GPUJPEG_TPU_VMEM_LIMIT")
+    if lim and "compiler_params" not in kw and not kw.get("interpret"):
+        from jax.experimental.pallas import tpu as pltpu
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(lim))
     return pl.pallas_call(*args, **kw)

