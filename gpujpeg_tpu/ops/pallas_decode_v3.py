@@ -90,10 +90,12 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     tpl_np = interleaved_tpl.astype(np.int32)
     SLOW_LENS = tuple(range(QUICK_BITS + 1, 17))
 
+    NSL = len(SLOW_LENS)
+
     def kernel(dataT_ref, segcomp_ref, segnblk_ref,
                quick_ref, maxcode_ref, delta_ref, huffval_ref,
                dcslot_ref, acslot_ref,
-               out_ref, bitpos, dcpred):
+               out_ref, bitpos, dcpred, slowsc):
         b = pl.program_id(1)
 
         @pl.when(b == 0)
@@ -115,19 +117,48 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             dslot = jnp.where(comp == ci, dcslot_ref[ci], dslot)
             aslot = jnp.where(comp == ci, acslot_ref[ci], aslot)
 
-        # hoisted slow-path table scalars
-        mc_dc, mc_ac, dl_dc, dl_ac = {}, {}, {}, {}
-        for l in SLOW_LENS:
-            md = jnp.zeros((G, 128), I32)
-            ma = jnp.zeros((G, 128), I32)
-            dd = jnp.zeros((G, 128), I32)
-            da = jnp.zeros((G, 128), I32)
-            for t in range(n_slots):
-                md = jnp.where(dslot == t, maxcode_ref[t, l], md)
-                ma = jnp.where(aslot == t, maxcode_ref[t, l], ma)
-                dd = jnp.where(dslot == t, delta_ref[t, l], dd)
-                da = jnp.where(aslot == t, delta_ref[t, l], da)
-            mc_dc[l], mc_ac[l], dl_dc[l], dl_ac[l] = md, ma, dd, da
+        def build_slow_tables():
+            """Per-lane slow-path scalars (maxcode / value-index delta,
+            DC and AC, per code length): 4*n_slots selects per length."""
+            mc_dc, mc_ac, dl_dc, dl_ac = {}, {}, {}, {}
+            for l in SLOW_LENS:
+                md = jnp.zeros((G, 128), I32)
+                ma = jnp.zeros((G, 128), I32)
+                dd = jnp.zeros((G, 128), I32)
+                da = jnp.zeros((G, 128), I32)
+                for t in range(n_slots):
+                    md = jnp.where(dslot == t, maxcode_ref[t, l], md)
+                    ma = jnp.where(aslot == t, maxcode_ref[t, l], ma)
+                    dd = jnp.where(dslot == t, delta_ref[t, l], dd)
+                    da = jnp.where(aslot == t, delta_ref[t, l], da)
+                mc_dc[l], mc_ac[l], dl_dc[l], dl_ac[l] = md, ma, dd, da
+            return mc_dc, mc_ac, dl_dc, dl_ac
+
+        if uses_tpl:
+            # interleaved: slots depend on b (via the MCU template), so
+            # the build runs per grid step — cheap, the selects are
+            # scalar broadcasts
+            mc_dc, mc_ac, dl_dc, dl_ac = build_slow_tables()
+        else:
+            # non-interleaved: slots are b-invariant — build once at
+            # b == 0 into scratch carried across the b grid dimension
+            # (re-hoisting per (tile, b) costs 4*n_slots*NSL vreg selects
+            # per step, bps-fold more than needed)
+            @pl.when(b == 0)
+            def _():
+                mcd, mca, dld, dla = build_slow_tables()
+                for i, l in enumerate(SLOW_LENS):
+                    slowsc[(0 * NSL + i) * G:(0 * NSL + i) * G + G] = mcd[l]
+                    slowsc[(1 * NSL + i) * G:(1 * NSL + i) * G + G] = mca[l]
+                    slowsc[(2 * NSL + i) * G:(2 * NSL + i) * G + G] = dld[l]
+                    slowsc[(3 * NSL + i) * G:(3 * NSL + i) * G + G] = dla[l]
+
+            mc_dc, mc_ac, dl_dc, dl_ac = {}, {}, {}, {}
+            for i, l in enumerate(SLOW_LENS):
+                mc_dc[l] = slowsc[(0 * NSL + i) * G:(0 * NSL + i) * G + G]
+                mc_ac[l] = slowsc[(1 * NSL + i) * G:(1 * NSL + i) * G + G]
+                dl_dc[l] = slowsc[(2 * NSL + i) * G:(2 * NSL + i) * G + G]
+                dl_ac[l] = slowsc[(3 * NSL + i) * G:(3 * NSL + i) * G + G]
 
         word_iota = jax.lax.broadcasted_iota(I32, (wcap, 128), 0)
 
@@ -175,22 +206,34 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             q_len = q & 31
             q_sym = q >> 5
 
-            s_len = jnp.full((G, 128), 17, I32)
-            s_code = jnp.zeros((G, 128), I32)
-            for l in SLOW_LENS:
-                mc = jnp.where(is_dc, mc_dc[l], mc_ac[l]) if is_dc \
-                    is not None else mc_ac[l]
-                hit = (peek16 < mc) & (s_len == 17)
-                s_len = jnp.where(hit, l, s_len)
-                s_code = jnp.where(hit, peek16 >> (16 - l), s_code)
-            dlt = jnp.zeros((G, 128), I32)
-            for l in SLOW_LENS:
-                d = jnp.where(is_dc, dl_dc[l], dl_ac[l]) if is_dc \
-                    is not None else dl_ac[l]
-                dlt = jnp.where(s_len == l, d, dlt)
-            v_idx = jnp.clip(s_code + dlt, 0, 255)
-            s_sym = _bcast_lookup16(huffval_ref[:], slot * 256 + v_idx,
-                                    n_slots * 256)
+            def slow_path(_):
+                s_len = jnp.full((G, 128), 17, I32)
+                s_code = jnp.zeros((G, 128), I32)
+                for l in SLOW_LENS:
+                    mc = jnp.where(is_dc, mc_dc[l], mc_ac[l]) if is_dc \
+                        is not None else mc_ac[l]
+                    hit = (peek16 < mc) & (s_len == 17)
+                    s_len = jnp.where(hit, l, s_len)
+                    s_code = jnp.where(hit, peek16 >> (16 - l), s_code)
+                dlt = jnp.zeros((G, 128), I32)
+                for l in SLOW_LENS:
+                    d = jnp.where(is_dc, dl_dc[l], dl_ac[l]) if is_dc \
+                        is not None else dl_ac[l]
+                    dlt = jnp.where(s_len == l, d, dlt)
+                v_idx = jnp.clip(s_code + dlt, 0, 255)
+                s_sym = _bcast_lookup16(huffval_ref[:], slot * 256 + v_idx,
+                                        n_slots * 256)
+                return s_sym, s_len
+
+            # the 8-bit lookahead resolves the overwhelming majority of
+            # symbols; run the >QUICK_BITS slow path only when some lane
+            # actually missed (the GPU reference branches per thread —
+            # huffman_gpu_decoder.cu quick/full tables — the lockstep
+            # analog is an all-lane branch)
+            s_sym, s_len = jax.lax.cond(
+                jnp.any(q_len == 0), slow_path,
+                lambda _: (jnp.zeros((G, 128), I32),
+                           jnp.full((G, 128), 17, I32)), 0)
 
             use_quick = q_len > 0
             sym = jnp.where(use_quick, q_sym, s_sym)
@@ -337,6 +380,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             scratch_shapes=[
                 pltpu.VMEM((G, 128), I32),       # bitpos
                 pltpu.VMEM((4 * G, 128), I32),   # dcpred planes
+                pltpu.VMEM((4 * NSL * G, 128), I32),   # slow-path tables
             ],
         )(dataT, seg_comp, seg_nblk,
           _pack16(tabs.quick), jnp.asarray(tabs.maxcode),
