@@ -810,6 +810,9 @@ def decode_device(decoder, plan: CoderPlan, info, scan_data,
                                      segments_by_scan, dc_by_comp,
                                      ac_by_comp, out_image)
         except Exception as e:  # pragma: no cover - kernel gaps
+            if os.environ.get("GPUJPEG_TPU_STRICT"):
+                raise   # tests set this: a silent fallback would mask
+                        # kernel breakage behind a still-green suite
             import logging
             logging.getLogger(__name__).warning(
                 "pallas decode path failed (%s); using XLA fallback", e)

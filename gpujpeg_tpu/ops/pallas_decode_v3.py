@@ -177,10 +177,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
 
         # k-major coefficient rows (row = k*G + g): pltpu.repeat TILES
         # copies, so repeated (G,128) state aligns with g = row % G
-        onehot_cbase = jax.lax.broadcasted_iota(I32, (G * 64, 128), 0) // G
-
         active0 = (b < segnblk_ref[:]).astype(I32)   # (G,128)
-        coeff = jnp.zeros((G * 64, 128), I32)
         kpos = jnp.zeros((G, 128), I32)
         # shift-register stream window: (w0, w1, w2) ride in loop state;
         # each iteration decodes TWO symbols (<= 62 bits), so the window
@@ -257,7 +254,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             return jnp.any(act > 0)
 
         def body(st):
-            act_i, kp, cf, bp, dcp, w0, w1, w2 = st
+            act_i, kp, bp, dcp, w0, w1, w2 = st
             act = act_i > 0
             soff = bp & 31
 
@@ -315,16 +312,33 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             doneB = kB >= 64
             cB = jnp.where(actB, lnB + catB, 0)
 
-            # merged coefficient writes (one pass, B over A)
-            wposA_r = pltpu.repeat(wposA, 64, axis=0)     # (G*64, 128)
-            wvalA_r = pltpu.repeat(wvalA, 64, axis=0)
-            wrA_r = pltpu.repeat(writeA.astype(I32), 64, axis=0) > 0
-            wposB_r = pltpu.repeat(wposB, 64, axis=0)
-            wvalB_r = pltpu.repeat(valB, 64, axis=0)
-            wrB_r = pltpu.repeat(writeB.astype(I32), 64, axis=0) > 0
-            cf = jnp.where(
-                (onehot_cbase == wposB_r) & wrB_r, wvalB_r,
-                jnp.where((onehot_cbase == wposA_r) & wrA_r, wvalA_r, cf))
+            # merged coefficient writes (one pass, B over A), gated per
+            # 8-coefficient k-range: an iteration's two writes land in
+            # at most two ranges, so the one-hot scatter touches ~2/8 of
+            # the coefficient rows instead of all 64 every iteration.
+            # Rows live in out_ref (zeroed before the loop), not in
+            # loop-carried state — values can't be partially updated.
+            # A's and B's positions never collide (wposB >= kA > wposA),
+            # so the B-over-A select order is free.
+            for r in range(8):
+                lo = r * 8
+                inA = writeA & (wposA >= lo) & (wposA < lo + 8)
+                inB = writeB & (wposB >= lo) & (wposB < lo + 8)
+
+                @pl.when(jnp.any(inA | inB))
+                def _(lo=lo, inA=inA, inB=inB):
+                    kbase = (jax.lax.broadcasted_iota(
+                        I32, (8 * G, 128), 0) // G) + lo
+                    wA = pltpu.repeat(wposA, 8, axis=0)
+                    vA = pltpu.repeat(wvalA, 8, axis=0)
+                    mA = pltpu.repeat(inA.astype(I32), 8, axis=0) > 0
+                    wB = pltpu.repeat(wposB, 8, axis=0)
+                    vB = pltpu.repeat(valB, 8, axis=0)
+                    mB = pltpu.repeat(inB.astype(I32), 8, axis=0) > 0
+                    sub = out_ref[0, lo * G:(lo + 8) * G, :]
+                    out_ref[0, lo * G:(lo + 8) * G, :] = jnp.where(
+                        (kbase == wB) & mB, vB,
+                        jnp.where((kbase == wA) & mA, vA, sub))
 
             bp_new = bp + cA + cB
             delta = (bp_new >> 5) - (bp >> 5)             # 0, 1 or 2
@@ -336,14 +350,14 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             kp = jnp.where(actB, jnp.where(doneB, 0, kB),
                            jnp.where(act, jnp.where(doneA, 0, kA), kp))
             act_i = jnp.where(act & ~doneA & ~(actB & doneB), 1, 0)
-            return act_i, kp, cf, bp_new, dcp, w0, w1, w2
+            return act_i, kp, bp_new, dcp, w0, w1, w2
 
-        act, kp, cf, bp_f, dcp_f, _, _, _ = jax.lax.while_loop(
-            cond, body, (active0, kpos, coeff, bitpos[:], dcpred[:],
+        out_ref[0, :, :] = jnp.zeros((G * 64, 128), I32)
+        act, kp, bp_f, dcp_f, _, _, _ = jax.lax.while_loop(
+            cond, body, (active0, kpos, bitpos[:], dcpred[:],
                          w0_init, w1_init, w2_init))
         bitpos[:] = bp_f
         dcpred[:] = dcp_f
-        out_ref[0, :, :] = cf
 
     def run(dataT, seg_comp, seg_nblk, tabs: DecTables,
             dc_slot: np.ndarray, ac_slot: np.ndarray):

@@ -3,6 +3,10 @@ multi-chip sharding paths are testable without TPU hardware."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# fail loudly instead of falling back to the XLA decode path when a
+# Pallas kernel breaks — a silent fallback keeps the suite green while
+# hiding kernel breakage
+os.environ["GPUJPEG_TPU_STRICT"] = "1"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_gpujpeg_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
