@@ -342,8 +342,14 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
 
             bp_new = bp + cA + cB
             delta = (bp_new >> 5) - (bp >> 5)             # 0, 1 or 2
-            f1 = fetch1((bp_new >> 5) + 1)
+            # f2 feeds every delta>=1 lane (delta==0 lanes refetch their
+            # current w2 — harmless); f1 is consumed ONLY by delta==2
+            # lanes (>=33 bits in one iteration, two large symbols), so
+            # skip that masked-reduction fetch unless some lane needs it
             f2 = fetch1((bp_new >> 5) + 2)
+            f1 = jax.lax.cond(jnp.any(delta == 2),
+                              lambda _: fetch1((bp_new >> 5) + 1),
+                              lambda _: w1, 0)
             w0 = jnp.where(delta == 0, w0, jnp.where(delta == 1, w1, w2))
             w1 = jnp.where(delta == 0, w1, jnp.where(delta == 1, w2, f1))
             w2 = f2
