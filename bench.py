@@ -45,6 +45,36 @@ def make_image(H, W, seed=7):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def wait_for_backend():
+    """Probe backend init in subprocesses with a bounded timeout: a
+    wedged device tunnel otherwise hangs jax.devices() indefinitely and
+    the bench produces no output at all. Retries for up to
+    GPUJPEG_BENCH_INIT_WAIT seconds (default 900), then exits non-zero
+    with a clear message."""
+    import subprocess
+    deadline = time.time() + float(
+        os.environ.get("GPUJPEG_BENCH_INIT_WAIT", "900"))
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=180, capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+            err = (r.stderr or "").strip().splitlines()
+            log(f"backend probe attempt {attempt} failed: "
+                f"{err[-1] if err else 'unknown'}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe attempt {attempt} timed out (180 s)")
+        if time.time() > deadline:
+            log("device backend unavailable; aborting bench")
+            sys.exit(3)
+        time.sleep(60)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -158,4 +188,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+        wait_for_backend()
     main()
