@@ -5,6 +5,7 @@ package is the new first-class distribution layer: band/segment sharding of
 one image over a mesh, frame sharding for video batches.
 """
 from .multihost import (
+    MultiHostDecoder,
     MultiHostEncoder,
     MultiHostSingleImageEncoder,
     global_mesh,
@@ -21,6 +22,7 @@ from .sharded import (
 
 __all__ = [
     "BandLayout",
+    "MultiHostDecoder",
     "MultiHostEncoder",
     "MultiHostSingleImageEncoder",
     "global_mesh",

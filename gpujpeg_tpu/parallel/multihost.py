@@ -208,6 +208,27 @@ class MultiHostSingleImageEncoder:
                                      params, image)
 
 
+class MultiHostDecoder:
+    """Frame sharding across processes for decode: each process decodes
+    the frames it owns on its own local devices (band sharding via
+    :class:`ShardedDecoder`). Decode needs no cross-host collectives at
+    all — APP13 segment info gives O(1) segment offsets
+    (reference: gpujpeg_reader.c:1058-1126), so streams deal out to
+    processes and each stream's bands to local chips."""
+
+    def __init__(self, local_mesh: Mesh | None = None):
+        from .sharded import ShardedDecoder
+        if local_mesh is None:
+            devs = np.array(jax.local_devices())
+            local_mesh = Mesh(devs.reshape(1, -1), ("frame", "seg"))
+        self._inner = ShardedDecoder(local_mesh)
+
+    def decode_my_frames(self, streams) -> list:
+        """``streams``: the JPEG byte streams this process owns. Returns
+        ``[(raw, ImageParameters), ...]`` in the same order."""
+        return [self._inner.decode(s) for s in streams]
+
+
 def _bytes_view(a: np.ndarray) -> np.ndarray:
     """Pallas stuffing emits packed u32 words; view as bytes."""
     if a.dtype == np.uint32:

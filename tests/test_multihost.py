@@ -100,3 +100,30 @@ def test_two_process_distributed_encode(tmp_path):
     b = (tmp_path / "single_p1.jpg").read_bytes()
     assert a == b
     assert a == want
+
+
+def test_multihost_decoder_local_frames():
+    """MultiHostDecoder decodes each process's frames on local devices
+    (single-process here: a 4-device local band mesh); output must match
+    the plain decoder bit for bit."""
+    import jax
+    from jax.sharding import Mesh
+    from gpujpeg_tpu.parallel import MultiHostDecoder
+    from gpujpeg_tpu.models.decoder import Decoder
+
+    H, W = 128, 160
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(quality=80, restart_interval=4)
+    streams = [Encoder(backend="jax").encode(
+        make_test_rgb(H, W, seed=20 + i), params, image) for i in range(2)]
+
+    devs = np.array(jax.devices()[:4])
+    dec = MultiHostDecoder(Mesh(devs.reshape(1, -1), ("frame", "seg")))
+    got = dec.decode_my_frames(streams)
+    assert len(got) == 2
+    for stream, (raw, oi) in zip(streams, got):
+        ref_dec = Decoder(backend="jax")
+        ref_raw, _ = ref_dec.decode(stream)
+        assert np.array_equal(np.asarray(raw).reshape(-1),
+                              np.asarray(ref_raw).reshape(-1))
