@@ -57,29 +57,8 @@ def main():
           f"cap_out={geo.cap_out_bytes} vmem_limit="
           f"{os.environ.get('GPUJPEG_TPU_VMEM_LIMIT', 'default')}")
 
-    from gpujpeg_tpu.tables import dct_zigzag_operator
-    D64, bias64 = dct_zigzag_operator()
-    n_q = 2
-    qdiv_h = np.ones((n_q, 64), np.float32)
-    for qi in range(n_q):
-        if qi in quant_zz:
-            qdiv_h[qi] = np.maximum(np.asarray(quant_zz[qi], np.float32), 1.0)
-    D2_h = np.zeros((128, 128), np.float32)
-    D2_h[:64, :64] = D64
-    D2_h[64:, 64:] = D64
-    bias2_h = np.concatenate([bias64, bias64]).astype(np.float32)
-    qrows_h = np.stack([np.concatenate([qdiv_h[q], qdiv_h[q]])
-                        for q in range(n_q)]).astype(np.float32)
-    starts, clss, qs = [], [], []
-    pos = 0
-    for c in plan.components:
-        starts.append(pos)
-        clss.append(int(c.comp_type))
-        qs.append(int(c.quant_table_index))
-        pos += c.block_count
-    spec = ev2.FusedSpec(comp_starts=tuple(starts), comp_cls=tuple(clss),
-                         comp_q=tuple(qs), n_real_blocks=plan.n_blocks,
-                         seg_rows=geo.bps // 2)
+    spec, D2_h, bias2_h, qrows_h = ev2.fused_dct_inputs(
+        plan, quant_zz, geo.bps // 2)
     M = geo.n_rows // 2
     rng = np.random.default_rng(0)
     pbw = jnp.asarray(rng.integers(0, 2**31, (M, 32)).astype(np.int32))

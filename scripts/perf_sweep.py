@@ -107,11 +107,7 @@ def run_dec(iters: int):
 
     dec = Decoder(backend="jax")
     dec.output_to_device = True
-    jp._DEC_V2_CACHE.clear()
-    raw, _ = dec.decode(data)
-    key, dfn = next(iter(jp._DEC_V2_CACHE.items()))
-    # re-decode capturing the jitted fn's device inputs for pipelining
-    args = dec._last_dev_args if hasattr(dec, "_last_dev_args") else None
+    raw, _ = dec.decode(data)            # compile/warm
     t0 = time.perf_counter()
     raw, _ = dec.decode(data)
     np.asarray(jax.lax.slice(raw.reshape(-1), (0,), (1,)))

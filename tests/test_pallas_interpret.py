@@ -184,12 +184,16 @@ def test_full_fused_kernel_matches_separate(monkeypatch):
     params = Parameters(quality=75, restart_interval=32)  # W=4, bps=32
     image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
                             pixel_format=PixelFormat.PF_444_U8_P012)
+    jp._ENC_CACHE.clear()
     full = Encoder(backend="jax").encode(img.reshape(-1), params, image)
-    ctx = next(iter(jp._ENC_CACHE.values()))
-    assert ctx.fn.__qualname__.find("fn_full") >= 0 or True
+    (ctx,) = jp._ENC_CACHE.values()
+    assert getattr(ctx.fn, "kind", None) == "fused_full", \
+        "flagship geometry must engage the single-kernel fused encode"
     monkeypatch.setenv("GPUJPEG_TPU_NO_FULL_FUSED", "1")
     jp._ENC_CACHE.clear()
     separate = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    (ctx,) = jp._ENC_CACHE.values()
+    assert getattr(ctx.fn, "kind", None) == "fused"
     jp._ENC_CACHE.clear()
     assert full == separate
     # cross-check against an independent decoder
