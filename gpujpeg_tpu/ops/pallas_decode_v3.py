@@ -91,6 +91,14 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     SLOW_LENS = tuple(range(QUICK_BITS + 1, 17))
 
     NSL = len(SLOW_LENS)
+    # windowed stream fetch: when the active lanes' needed word range
+    # fits in WF rows, the masked reduction runs over a dynamic WF-row
+    # slice instead of all wcap rows (with a full-range fallback).
+    # Off by default until measured on real hardware.
+    import os as _os
+    WF = int(_os.environ.get("GPUJPEG_TPU_DEC_WINDOW", "0") or 0)
+    WF -= WF % 8
+    use_window = 0 < WF < wcap
 
     def kernel(dataT_ref, segcomp_ref, segnblk_ref,
                quick_ref, maxcode_ref, delta_ref, huffval_ref,
@@ -346,13 +354,42 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
 
             bp_new = bp + cA + cB
             delta = (bp_new >> 5) - (bp >> 5)             # 0, 1 or 2
+            wpn = bp_new >> 5
+            if use_window:
+                # the words needed this iteration span
+                # [min_act(wpn)+1, max_act(wpn)+2]; when that fits in WF
+                # rows, reduce over a dynamic WF-row slice instead of
+                # all wcap rows. Inactive lanes are excluded (their
+                # stale positions would inflate the span; a garbage
+                # fetch for them is harmless — every consumer is gated
+                # on act).
+                lo = jnp.min(jnp.where(act, wpn + 1, jnp.int32(1 << 30)))
+                lo = jnp.clip(lo & ~7, 0, (wcap - WF) & ~7)
+                hi = jnp.max(jnp.where(act, wpn + 2, 0))
+                inwin = hi < lo + WF
+                win_iota = jax.lax.broadcasted_iota(I32, (WF, 128), 0)
+
+                def fetch_win(wordpos):
+                    outs = []
+                    for g in range(G):
+                        dat = dataT_ref[pl.ds(lo, WF),
+                                        g * 128:(g + 1) * 128]
+                        m = (win_iota + lo) == wordpos[g:g + 1, :]
+                        outs.append(jnp.sum(jnp.where(m, dat, 0), axis=0,
+                                            keepdims=True))
+                    return jnp.concatenate(outs, axis=0).astype(U32)
+
+                def do_fetch(wordpos):
+                    return jax.lax.cond(inwin, fetch_win, fetch1, wordpos)
+            else:
+                do_fetch = fetch1
             # f2 feeds every delta>=1 lane (delta==0 lanes refetch their
             # current w2 — harmless); f1 is consumed ONLY by delta==2
             # lanes (>=33 bits in one iteration, two large symbols), so
             # skip that masked-reduction fetch unless some lane needs it
-            f2 = fetch1((bp_new >> 5) + 2)
+            f2 = do_fetch(wpn + 2)
             f1 = jax.lax.cond(jnp.any(delta == 2),
-                              lambda _: fetch1((bp_new >> 5) + 1),
+                              lambda _: do_fetch(wpn + 1),
                               lambda _: w1, 0)
             w0 = jnp.where(delta == 0, w0, jnp.where(delta == 1, w1, w2))
             w1 = jnp.where(delta == 0, w1, jnp.where(delta == 1, w2, f1))

@@ -259,3 +259,37 @@ def test_sharded_decode_v3_kernel_path():
     assert called.get("v3"), "v3 sharded decode path not taken"
     ref, _ = Decoder(backend="golden").decode(data)
     assert np.abs(raw.astype(int) - ref.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("wf", ["8", "32"])
+def test_decode_windowed_fetch_matches(monkeypatch, wf):
+    """The windowed stream fetch (GPUJPEG_TPU_DEC_WINDOW) must be
+    bit-identical to the full masked-reduction fetch — both when the
+    window mostly hits (wf=32) and when the tiny window forces the
+    full-range fallback on most iterations (wf=8)."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 128, 160
+    img = make_test_rgb(h, w)
+    # long segments (16 blocks at q92) make wcap comfortably larger
+    # than both window sizes, so wf=32 exercises window hits and wf=8
+    # exercises the full-range fallback
+    params = Parameters(quality=92, restart_interval=16)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+
+    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
+
+    def run():
+        jp._DEC_V2_CACHE.clear()
+        dec = Decoder(backend="jax")
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        raw, _ = dec.decode(data)
+        jp._DEC_V2_CACHE.clear()
+        return np.asarray(raw)
+
+    base = run()
+    monkeypatch.setenv("GPUJPEG_TPU_DEC_WINDOW", wf)
+    windowed = run()
+    assert np.array_equal(base, windowed)
