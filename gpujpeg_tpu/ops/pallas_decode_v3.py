@@ -99,6 +99,12 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     WF = int(_os.environ.get("GPUJPEG_TPU_DEC_WINDOW", "0") or 0)
     WF -= WF % 8
     use_window = 0 < WF < wcap
+    # int16 coefficient output halves the kernel-output + transpose HBM
+    # traffic (quantized baseline coefficients are < 2^11; i16 is safe).
+    # G >= 2 keeps row slices aligned to the (16, 128) i16 tile. Off by
+    # default until measured on real hardware.
+    OUT_DT = (jnp.int16 if (_os.environ.get("GPUJPEG_TPU_DEC_I16")
+                            and G >= 2) else jnp.int32)
 
     def kernel(dataT_ref, segcomp_ref, segnblk_ref,
                quick_ref, maxcode_ref, delta_ref, huffval_ref,
@@ -347,10 +353,11 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                     wB = pltpu.repeat(wposB, 8, axis=0)
                     vB = pltpu.repeat(valB, 8, axis=0)
                     mB = pltpu.repeat(inB.astype(I32), 8, axis=0) > 0
-                    sub = out_ref[0, lo * G:(lo + 8) * G, :]
+                    sub = out_ref[0, lo * G:(lo + 8) * G, :].astype(I32)
                     out_ref[0, lo * G:(lo + 8) * G, :] = jnp.where(
                         (kbase == wB) & mB, vB,
-                        jnp.where((kbase == wA) & mA, vA, sub))
+                        jnp.where((kbase == wA) & mA, vA, sub)
+                    ).astype(OUT_DT)
 
             bp_new = bp + cA + cB
             delta = (bp_new >> 5) - (bp >> 5)             # 0, 1 or 2
@@ -399,7 +406,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             act_i = jnp.where(act & ~doneA & ~(actB & doneB), 1, 0)
             return act_i, kp, bp_new, dcp, w0, w1, w2
 
-        out_ref[0, :, :] = jnp.zeros((G * 64, 128), I32)
+        out_ref[0, :, :] = jnp.zeros((G * 64, 128), OUT_DT)
         act, kp, bp_f, dcp_f, _, _, _ = jax.lax.while_loop(
             cond, body, (active0, kpos, bitpos[:], dcpred[:],
                          w0_init, w1_init, w2_init))
@@ -414,7 +421,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
         out = _pcall(
             kernel,
             out_shape=jax.ShapeDtypeStruct((bps, n_tiles * G * 64, 128),
-                                           jnp.int32),
+                                           OUT_DT),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((wcap, seg_tile), lambda i, b: (0, i),

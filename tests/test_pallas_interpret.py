@@ -293,3 +293,29 @@ def test_decode_windowed_fetch_matches(monkeypatch, wf):
     monkeypatch.setenv("GPUJPEG_TPU_DEC_WINDOW", wf)
     windowed = run()
     assert np.array_equal(base, windowed)
+
+
+def test_decode_i16_coefficients_match(monkeypatch):
+    """GPUJPEG_TPU_DEC_I16 (int16 kernel coefficient output) must be
+    bit-identical to the default int32 path."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 128, 160
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=92, restart_interval=16)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
+
+    def run():
+        jp._DEC_V2_CACHE.clear()
+        dec = Decoder(backend="jax")
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        raw, _ = dec.decode(data)
+        jp._DEC_V2_CACHE.clear()
+        return np.asarray(raw)
+
+    base = run()
+    monkeypatch.setenv("GPUJPEG_TPU_DEC_I16", "1")
+    assert np.array_equal(base, run())
