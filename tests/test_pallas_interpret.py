@@ -319,3 +319,31 @@ def test_decode_i16_coefficients_match(monkeypatch):
     base = run()
     monkeypatch.setenv("GPUJPEG_TPU_DEC_I16", "1")
     assert np.array_equal(base, run())
+
+
+def test_pallas_decode_corrupt_entropy_no_crash(monkeypatch, rng):
+    """Corrupt entropy bytes through the DEVICE decode kernel: the
+    in-kernel guards (l>16 fake-zero, k>63 clamps, fixed-bound loops)
+    must yield a full-size image, never a crash or hang."""
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 64, 80
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=4)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
+    sos = data.find(b"\xff\xda")
+    buf = bytearray(data)
+    for _ in range(12):
+        i = int(rng.integers(sos + 20, len(buf) - 3))
+        if buf[i] != 0xFF and buf[i - 1] != 0xFF:   # keep marker structure
+            buf[i] ^= 0x55
+    from gpujpeg_tpu.stream.reader import JpegParseError
+    try:
+        dec = Decoder(backend="jax")
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        raw, oi = dec.decode(bytes(buf))
+        assert np.asarray(raw).size == oi.width * oi.height * 3
+    except JpegParseError:
+        pass  # clean parse error acceptable
