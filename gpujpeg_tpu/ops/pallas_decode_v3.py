@@ -105,6 +105,14 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     # default until measured on real hardware.
     OUT_DT = (jnp.int16 if (_os.environ.get("GPUJPEG_TPU_DEC_I16")
                             and G >= 2) else jnp.int32)
+    # KB blocks per grid step: amortizes the per-step prologue (three
+    # init fetches, slot/table setup, output zero-init) and the
+    # per-block lane-skew barrier over KB blocks. KB=1 reproduces the
+    # one-block-per-step structure. Off (1) by default until measured.
+    KB = int(_os.environ.get("GPUJPEG_TPU_DEC_KB", "1") or 1)
+    if uses_tpl or KB < 1 or bps % KB:
+        KB = 1
+    RW = 8 if KB == 1 else 16      # coefficient rows per gated write range
 
     def kernel(dataT_ref, segcomp_ref, segnblk_ref,
                quick_ref, maxcode_ref, delta_ref, huffval_ref,
@@ -189,10 +197,13 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                                     keepdims=True))
             return jnp.concatenate(outs, axis=0).astype(U32)    # (G, 128)
 
-        # k-major coefficient rows (row = k*G + g): pltpu.repeat TILES
-        # copies, so repeated (G,128) state aligns with g = row % G
-        active0 = (b < segnblk_ref[:]).astype(I32)   # (G,128)
+        # k-major coefficient rows (row = pos*G + g, pos = bcur*64 + k):
+        # pltpu.repeat TILES copies, so repeated (G,128) state aligns
+        # with g = row % G
+        nblk = segnblk_ref[:]
+        active0 = (b * KB < nblk).astype(I32)        # (G,128)
         kpos = jnp.zeros((G, 128), I32)
+        bcur0 = jnp.zeros((G, 128), I32)             # block within step
         # shift-register stream window: (w0, w1, w2) ride in loop state;
         # each iteration decodes TWO symbols (<= 62 bits), so the window
         # advances by at most two words and runs two masked-reduction
@@ -272,7 +283,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             return jnp.any(act > 0)
 
         def body(st):
-            act_i, kp, bp, dcp, w0, w1, w2 = st
+            act_i, bcur, kp, bp, dcp, w0, w1, w2 = st
             act = act_i > 0
             soff = bp & 31
 
@@ -331,30 +342,33 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             cB = jnp.where(actB, lnB + catB, 0)
 
             # merged coefficient writes (one pass, B over A), gated per
-            # 8-coefficient k-range: an iteration's two writes land in
-            # at most two ranges, so the one-hot scatter touches ~2/8 of
-            # the coefficient rows instead of all 64 every iteration.
-            # Rows live in out_ref (zeroed before the loop), not in
-            # loop-carried state — values can't be partially updated.
-            # A's and B's positions never collide (wposB >= kA > wposA),
-            # so the B-over-A select order is free.
-            for r in range(8):
-                lo = r * 8
-                inA = writeA & (wposA >= lo) & (wposA < lo + 8)
-                inB = writeB & (wposB >= lo) & (wposB < lo + 8)
+            # RW-coefficient position range: an iteration's two writes
+            # land in at most two ranges, so the one-hot scatter touches
+            # ~2 of the 64*KB//RW ranges instead of every row each
+            # iteration. Rows live in out_ref (zeroed before the loop),
+            # not in loop-carried state — values can't be partially
+            # updated. A's and B's positions never collide
+            # (wposB >= kA > wposA), so the B-over-A select order is
+            # free. Positions are absolute within the step: bcur*64 + k.
+            posA = bcur * 64 + wposA
+            posB = bcur * 64 + wposB
+            for r in range(64 * KB // RW):
+                lo = r * RW
+                inA = writeA & (posA >= lo) & (posA < lo + RW)
+                inB = writeB & (posB >= lo) & (posB < lo + RW)
 
                 @pl.when(jnp.any(inA | inB))
                 def _(lo=lo, inA=inA, inB=inB):
                     kbase = (jax.lax.broadcasted_iota(
-                        I32, (8 * G, 128), 0) // G) + lo
-                    wA = pltpu.repeat(wposA, 8, axis=0)
-                    vA = pltpu.repeat(wvalA, 8, axis=0)
-                    mA = pltpu.repeat(inA.astype(I32), 8, axis=0) > 0
-                    wB = pltpu.repeat(wposB, 8, axis=0)
-                    vB = pltpu.repeat(valB, 8, axis=0)
-                    mB = pltpu.repeat(inB.astype(I32), 8, axis=0) > 0
-                    sub = out_ref[0, lo * G:(lo + 8) * G, :].astype(I32)
-                    out_ref[0, lo * G:(lo + 8) * G, :] = jnp.where(
+                        I32, (RW * G, 128), 0) // G) + lo
+                    wA = pltpu.repeat(posA, RW, axis=0)
+                    vA = pltpu.repeat(wvalA, RW, axis=0)
+                    mA = pltpu.repeat(inA.astype(I32), RW, axis=0) > 0
+                    wB = pltpu.repeat(posB, RW, axis=0)
+                    vB = pltpu.repeat(valB, RW, axis=0)
+                    mB = pltpu.repeat(inB.astype(I32), RW, axis=0) > 0
+                    sub = out_ref[0, lo * G:(lo + RW) * G, :].astype(I32)
+                    out_ref[0, lo * G:(lo + RW) * G, :] = jnp.where(
                         (kbase == wB) & mB, vB,
                         jnp.where((kbase == wA) & mA, vA, sub)
                     ).astype(OUT_DT)
@@ -401,14 +415,19 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             w0 = jnp.where(delta == 0, w0, jnp.where(delta == 1, w1, w2))
             w1 = jnp.where(delta == 0, w1, jnp.where(delta == 1, w2, f1))
             w2 = f2
-            kp = jnp.where(actB, jnp.where(doneB, 0, kB),
-                           jnp.where(act, jnp.where(doneA, 0, kA), kp))
-            act_i = jnp.where(act & ~doneA & ~(actB & doneB), 1, 0)
-            return act_i, kp, bp_new, dcp, w0, w1, w2
+            # block completion: a lane whose block finished (via A with
+            # no B, or via B) advances to the next block of this step
+            # and stays active while one exists for its segment
+            adv = act & (doneA | (actB & doneB))
+            bcur = jnp.where(adv, bcur + 1, bcur)
+            more = (bcur < KB) & ((b * KB + bcur) < nblk)
+            kp = jnp.where(adv, 0, jnp.where(act, kB, kp))
+            act_i = jnp.where(adv, more.astype(I32), act_i)
+            return act_i, bcur, kp, bp_new, dcp, w0, w1, w2
 
-        out_ref[0, :, :] = jnp.zeros((G * 64, 128), OUT_DT)
-        act, kp, bp_f, dcp_f, _, _, _ = jax.lax.while_loop(
-            cond, body, (active0, kpos, bitpos[:], dcpred[:],
+        out_ref[0, :, :] = jnp.zeros((KB * G * 64, 128), OUT_DT)
+        act, _, kp, bp_f, dcp_f, _, _, _ = jax.lax.while_loop(
+            cond, body, (active0, bcur0, kpos, bitpos[:], dcpred[:],
                          w0_init, w1_init, w2_init))
         bitpos[:] = bp_f
         dcpred[:] = dcp_f
@@ -417,11 +436,11 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             dc_slot: np.ndarray, ac_slot: np.ndarray):
         S = dataT.shape[1]
         n_tiles = S // seg_tile
-        grid = (n_tiles, bps)
+        grid = (n_tiles, bps // KB)
         out = _pcall(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((bps, n_tiles * G * 64, 128),
-                                           OUT_DT),
+            out_shape=jax.ShapeDtypeStruct(
+                (bps // KB, n_tiles * KB * G * 64, 128), OUT_DT),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((wcap, seg_tile), lambda i, b: (0, i),
@@ -443,7 +462,8 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                 pl.BlockSpec((4,), lambda i, b: (0,),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, G * 64, 128), lambda i, b: (b, i, 0),
+            out_specs=pl.BlockSpec((1, KB * G * 64, 128),
+                                   lambda i, b: (b, i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((G, 128), I32),       # bitpos
@@ -456,10 +476,11 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
           _pack16(tabs.quick), jnp.asarray(tabs.maxcode),
           jnp.asarray(tabs.delta), _pack16(tabs.huffval),
           jnp.asarray(dc_slot), jnp.asarray(ac_slot))
-        # reorder to scan rows: tile-local row k*G+g, so
-        # out[b, t*(64G) + k*G + g, l] -> row ((t*G+g)*128 + l)*bps + b, k
-        o = out.reshape(bps, n_tiles, 64, G, 128)
-        o = jnp.transpose(o, (1, 3, 4, 0, 2))        # (t, g, l, bps, 64)
+        # reorder to scan rows: tile-local row (kb*64 + k)*G + g, so
+        # out[bo, t*(64*KB*G) + (kb*64+k)*G + g, l]
+        #   -> row ((t*G+g)*128 + l)*bps + bo*KB + kb, k
+        o = out.reshape(bps // KB, n_tiles, KB, 64, G, 128)
+        o = jnp.transpose(o, (1, 4, 5, 0, 2, 3))   # (t, g, l, bO, kb, 64)
         return o.reshape(S * bps, 64)
 
     return run

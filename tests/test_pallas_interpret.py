@@ -347,3 +347,31 @@ def test_pallas_decode_corrupt_entropy_no_crash(monkeypatch, rng):
         assert np.asarray(raw).size == oi.width * oi.height * 3
     except JpegParseError:
         pass  # clean parse error acceptable
+
+
+@pytest.mark.parametrize("kb", ["2", "8"])
+def test_decode_multiblock_step_matches(monkeypatch, kb):
+    """GPUJPEG_TPU_DEC_KB > 1 (multiple blocks per grid step, lanes
+    advancing block-to-block inside one while loop) must be
+    bit-identical to the one-block-per-step default."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 128, 160
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=92, restart_interval=16)   # bps=16
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
+
+    def run():
+        jp._DEC_V2_CACHE.clear()
+        dec = Decoder(backend="jax")
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        raw, _ = dec.decode(data)
+        jp._DEC_V2_CACHE.clear()
+        return np.asarray(raw)
+
+    base = run()
+    monkeypatch.setenv("GPUJPEG_TPU_DEC_KB", kb)
+    assert np.array_equal(base, run())
