@@ -471,6 +471,38 @@ def _run_staged(encoder, ctx, raw_j):
     return out
 
 
+def _call_with_downgrade(ctx, raw_j):
+    """Run ctx.fn, degrading fused kernel variants on failure: a
+    variant that traced fine but fails to compile for the target (e.g.
+    a Mosaic limitation) must fall back to the next-simpler device
+    path, not crash the encode. Returns None to mean 'use the host
+    golden coder'. Under GPUJPEG_TPU_STRICT, failures re-raise."""
+    downgrade = {"fused_full": "GPUJPEG_TPU_NO_FULL_FUSED",
+                 "fused": "GPUJPEG_TPU_NO_FUSED_DCT"}
+    while True:
+        try:
+            return ctx.fn(raw_j)
+        except Exception as e:  # pragma: no cover - kernel gaps
+            if os.environ.get("GPUJPEG_TPU_STRICT"):
+                raise
+            flag = downgrade.get(getattr(ctx.fn, "kind", None))
+            if flag is None:
+                return None
+            import logging
+            logging.getLogger(__name__).warning(
+                "device encode variant %s failed (%s); retrying with "
+                "%s=1", getattr(ctx.fn, "kind", None), e, flag)
+            prev = os.environ.get(flag)
+            os.environ[flag] = "1"
+            try:
+                ctx.fn = ctx._build_fn(ctx.geo)
+            finally:
+                if prev is None:
+                    del os.environ[flag]
+                else:
+                    os.environ[flag] = prev
+
+
 def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
     """Run the device encoder; returns (scan_bodies, seg_sizes_by_scan):
     per scan, the ready-to-emit entropy bytes (RST markers included) and
@@ -492,7 +524,10 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
             out_flat, out_len, seg_bits, n_ff = _run_staged(
                 encoder, ctx, raw_j)
         else:
-            out_flat, out_len, seg_bits, n_ff = ctx.fn(raw_j)
+            res = _call_with_downgrade(ctx, raw_j)
+            if res is None:
+                return None         # host golden coder
+            out_flat, out_len, seg_bits, n_ff = res
         out_len_h = np.asarray(out_len)
         seg_bits_h = np.asarray(seg_bits)[:plan.n_segments]
         n_ff_h = np.asarray(n_ff)[:plan.n_segments]

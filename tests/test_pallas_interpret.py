@@ -375,3 +375,36 @@ def test_decode_multiblock_step_matches(monkeypatch, kb):
     base = run()
     monkeypatch.setenv("GPUJPEG_TPU_DEC_KB", kb)
     assert np.array_equal(base, run())
+
+
+def test_encode_kernel_downgrade_chain(monkeypatch):
+    """A fused encode variant that raises at call time must degrade to
+    the next-simpler device path (not crash), producing the identical
+    stream."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    h, w = 128, 160
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=75, restart_interval=32)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    jp._ENC_CACHE.clear()
+    want = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+
+    # make the fused_full variant blow up at call time
+    jp._ENC_CACHE.clear()
+    monkeypatch.delenv("GPUJPEG_TPU_STRICT", raising=False)
+    orig_build = jp._EncContext._build_fn
+
+    def sabotage(self, geo):
+        fn = orig_build(self, geo)
+        if getattr(fn, "kind", None) == "fused_full":
+            def boom(raw):
+                raise RuntimeError("synthetic Mosaic failure")
+            boom.kind = "fused_full"
+            return boom
+        return fn
+
+    monkeypatch.setattr(jp._EncContext, "_build_fn", sabotage)
+    got = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    jp._ENC_CACHE.clear()
+    assert got == want
