@@ -645,9 +645,12 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
 
     concat, lo_r, hi_r, wcap = segment_ranges_wcap(
         scan_data, segments_by_scan, plan)
-    # v3 lane-major kernel handles wcap <= 384 (VMEM transposed data tile);
-    # larger per-segment streams use the v2 kernel
-    use_v3 = wcap <= 384
+    # v3 lane-major kernel handles wcap <= V3_WCAP_MAX (VMEM transposed
+    # data tile); larger per-segment streams use the v2 kernel, whose
+    # window refill needs the 128-multiple wcap the shared rounding
+    # guarantees past the same threshold
+    from .pallas_decode import V3_WCAP_MAX
+    use_v3 = wcap <= V3_WCAP_MAX
     rows = None
     if not use_v3:
         rows, wcap = build_segment_rows(scan_data, segments_by_scan, plan)

@@ -53,6 +53,14 @@ U32 = jnp.uint32
 #: while the slow path is computed unconditionally anyway.
 QUICK_BITS = 8
 
+#: per-segment word capacity above which the decode route switches to
+#: this module's v2 column-state kernel (v3's transposed VMEM data tile
+#: stops paying off); ALSO the point where row capacities round up to
+#: 128-word multiples, which the v2 window refill requires. Keep the
+#: route decision (ops/jax_pipeline.py) and the rounding in lockstep by
+#: reading both from here.
+V3_WCAP_MAX = 384
+
 
 @dataclasses.dataclass(frozen=True)
 class DecTables:
@@ -145,7 +153,7 @@ def build_segment_rows(scan_data, segments_by_scan, plan) -> tuple[np.ndarray, i
     # rows, and a 13-word HD segment must not pay for a 128-row scan.
     # The v2 kernel's lane-chunked window refill needs 128-multiples.
     Wcap = -(-Wcap // 8) * 8
-    if Wcap > 384:
+    if Wcap > V3_WCAP_MAX:
         Wcap = -(-Wcap // 128) * 128
 
     L = native_lib()
@@ -178,7 +186,7 @@ def segment_ranges_wcap(scan_data, segments_by_scan, plan):
     max_raw = int(np.maximum(hi - lo, 1).max()) if S else 1
     Wcap = -(-(max_raw + 4) // 4)
     Wcap = -(-Wcap // 8) * 8
-    if Wcap > 384:
+    if Wcap > V3_WCAP_MAX:
         Wcap = -(-Wcap // 128) * 128
     return concat, lo, hi, Wcap
 

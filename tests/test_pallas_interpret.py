@@ -408,3 +408,33 @@ def test_encode_kernel_downgrade_chain(monkeypatch):
     got = Encoder(backend="jax").encode(img.reshape(-1), params, image)
     jp._ENC_CACHE.clear()
     assert got == want
+
+
+def test_decode_v2_large_wcap_kernel(monkeypatch):
+    """Force the v2 column-state kernel (used when per-segment streams
+    exceed the v3 data-tile budget) and check bit-identity with v3."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 128, 160
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=92, restart_interval=16)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
+
+    def run():
+        jp._DEC_V2_CACHE.clear()
+        dec = Decoder(backend="jax")
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        raw, _ = dec.decode(data)
+        jp._DEC_V2_CACHE.clear()
+        return np.asarray(raw)
+
+    v3 = run()
+    # drop the shared threshold: routes to v2 AND rounds row capacity
+    # to the 128-word multiples its window refill requires
+    import gpujpeg_tpu.ops.pallas_decode as pd
+    monkeypatch.setattr(pd, "V3_WCAP_MAX", 0)
+    v2 = run()
+    assert np.array_equal(v3, v2)
