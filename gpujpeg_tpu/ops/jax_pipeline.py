@@ -85,6 +85,11 @@ class _EncContext:
         self.cap_seg_bytes = self.geo.cap_seg_words * 4
         self.cap_out_bytes = self.geo.cap_out_bytes
         self.n_pad_segments = self.geo.n_segments
+        #: kernel variants disabled at runtime after a device failure
+        #: ("fused_full"/"fused"); checked by _build_fn so a downgrade
+        #: sticks for this context (and, via the shared set, its tier-2
+        #: sibling) without mutating process-global os.environ
+        self._disabled: set = set()
         self.fn = self._build_fn(self.geo)
         self._tier2: "_EncContext | None" = None
 
@@ -101,6 +106,10 @@ class _EncContext:
             ctx.cap_seg_bytes = ctx.geo.cap_seg_words * 4
             ctx.cap_out_bytes = ctx.geo.cap_out_bytes
             ctx.n_pad_segments = ctx.geo.n_segments
+            # share the disabled-variant set: a variant that failed on
+            # the tier-1 geometry must not be rebuilt (and re-fail after
+            # another multi-second compile) on the tier-2 retry
+            ctx._disabled = self._disabled
             ctx.fn = ctx._build_fn(ctx.geo)
             ctx._tier2 = ctx
             self._tier2 = ctx
@@ -322,6 +331,7 @@ class _EncContext:
         fused_ok = (use_pallas and packed_dct and not plan.params.interleaved
                     and (seg_rows == 0 or (FUSED_TILE // 2) % max(seg_rows, 1)
                          == 0)
+                    and "fused" not in self._disabled
                     and not os.environ.get("GPUJPEG_TPU_NO_FUSED_DCT"))
         if fused_ok:
             # fully fused stage 1: DCT+quant + in-kernel DC prediction +
@@ -365,6 +375,7 @@ class _EncContext:
             full_ok = (P == 128 and geo.cap_out_bytes % 4 == 0
                        and (2 * T2) % geo.bps == 0
                        and (T2 * 2 * Wb) % 128 == 0
+                       and "fused_full" not in self._disabled
                        and not os.environ.get("GPUJPEG_TPU_NO_FULL_FUSED"))
             if full_ok:
                 from .entropy_v2 import encode_dct_fused_full
@@ -475,32 +486,31 @@ def _call_with_downgrade(ctx, raw_j):
     """Run ctx.fn, degrading fused kernel variants on failure: a
     variant that traced fine but fails to compile for the target (e.g.
     a Mosaic limitation) must fall back to the next-simpler device
-    path, not crash the encode. Returns None to mean 'use the host
-    golden coder'. Under GPUJPEG_TPU_STRICT, failures re-raise."""
-    downgrade = {"fused_full": "GPUJPEG_TPU_NO_FULL_FUSED",
-                 "fused": "GPUJPEG_TPU_NO_FUSED_DCT"}
+    path, not crash the encode. block_until_ready inside the try makes
+    async-dispatch execution faults (delivered at materialization under
+    JAX's async dispatch) downgrade too, instead of escaping to the
+    caller's np.asarray. Returns None to mean 'use the host golden
+    coder'. Under GPUJPEG_TPU_STRICT, failures re-raise.
+
+    The downgrade is recorded in ctx._disabled (checked by _build_fn)
+    rather than by flipping the GPUJPEG_TPU_NO_* env vars: env mutation
+    is process-global and racy under concurrent encoders, and would not
+    persist to the tier-2 rebuild."""
     while True:
         try:
-            return ctx.fn(raw_j)
+            return jax.block_until_ready(ctx.fn(raw_j))
         except Exception as e:  # pragma: no cover - kernel gaps
             if os.environ.get("GPUJPEG_TPU_STRICT"):
                 raise
-            flag = downgrade.get(getattr(ctx.fn, "kind", None))
-            if flag is None:
+            kind = getattr(ctx.fn, "kind", None)
+            if kind not in ("fused_full", "fused"):
                 return None
             import logging
             logging.getLogger(__name__).warning(
-                "device encode variant %s failed (%s); retrying with "
-                "%s=1", getattr(ctx.fn, "kind", None), e, flag)
-            prev = os.environ.get(flag)
-            os.environ[flag] = "1"
-            try:
-                ctx.fn = ctx._build_fn(ctx.geo)
-            finally:
-                if prev is None:
-                    del os.environ[flag]
-                else:
-                    os.environ[flag] = prev
+                "device encode variant %s failed (%s); disabling it and "
+                "rebuilding the next-simpler variant", kind, e)
+            ctx._disabled.add(kind)
+            ctx.fn = ctx._build_fn(ctx.geo)
 
 
 def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
@@ -621,8 +631,8 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     (ops/pallas_decode.py) + MXU dequant/IDCT + postprocess."""
     import time
     from .pallas_decode import (
-        build_dec_tables_v2, build_segment_rows, build_segment_rows_t,
-        make_decode_kernel, segment_ranges_wcap)
+        build_dec_tables_v2, build_segment_rows_from_ranges,
+        build_segment_rows_t, make_decode_kernel, segment_ranges_wcap)
 
     S = plan.n_segments
     bps = int(plan.max_seg_block_count)
@@ -653,18 +663,26 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     use_v3 = wcap <= V3_WCAP_MAX
     rows = None
     if not use_v3:
-        rows, wcap = build_segment_rows(scan_data, segments_by_scan, plan)
+        rows = build_segment_rows_from_ranges(concat, lo_r, hi_r, S, wcap)
+    if plan.params.interleaved and plan.image.comp_count > 1:
+        tpl = np.asarray([plan.block_comp[i] for i in range(bps)], np.int32)
+    else:
+        tpl = np.full(bps, -1, np.int32)
     if use_v3:
-        # data tile + coeff rows + loop state + 160 B/segment of
-        # slow-path table scratch (4 arrays x 10 code lengths)
-        per_seg = wcap * 4 * 2 + 64 * 4 * 2 + 50 * 8 * 4 // 128 * 4 + 160
+        from .pallas_decode_v3 import v3_step_flags
+        kb, out_bytes = v3_step_flags(bps, tpl)
+        # data tile + double-buffered coeff out block (KB blocks per
+        # grid step) + loop state + 160 B/segment of slow-path table
+        # scratch (4 arrays x 10 code lengths)
+        per_seg = (wcap * 4 * 2 + kb * 64 * out_bytes * 2
+                   + 50 * 8 * 4 // 128 * 4 + 160)
         # 2048 measured fastest at 8K (larger tiles gain nothing once
         # lane utilization saturates; smaller ones pay launch overhead)
         seg_tile = max(128, min(2048, (8 << 20) // max(per_seg, 1)))
         seg_tile = 1 << (seg_tile.bit_length() - 1)
     else:
         # v2: ~9 KB/segment of live (T,128) intermediates at wcap=128
-        per_seg = wcap * 4 * 2 + 8 << 10
+        per_seg = wcap * 4 * 2 + (8 << 10)
         seg_tile = max(64, min(2048, (14 << 20) // per_seg))
         seg_tile = 1 << (seg_tile.bit_length() - 1)
     S_pad = -(-S // seg_tile) * seg_tile
@@ -675,14 +693,9 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
 
     seg_comp = np.zeros((S_pad, 1), np.int32)
     seg_nblk = np.zeros((S_pad, 1), np.int32)
-    if plan.params.interleaved and plan.image.comp_count > 1:
-        tpl = np.asarray(
-            [plan.block_comp[i] for i in range(bps)], np.int32)
-        seg_nblk[:S, 0] = plan.seg_block_count
-    else:
-        tpl = np.full(bps, -1, np.int32)
+    seg_nblk[:S, 0] = plan.seg_block_count
+    if not (plan.params.interleaved and plan.image.comp_count > 1):
         seg_comp[:S, 0] = plan.seg_scan  # scan index == component index
-        seg_nblk[:S, 0] = plan.seg_block_count
 
     # scan-order block -> kernel output row: v3 yields seg-major rows
     # (seg*bps + slot), v2 yields slot-major (slot*S_pad + seg)
@@ -790,7 +803,8 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     if use_v3:
         data_in = build_segment_rows_t(concat, lo_r, hi_r, plan, wcap, S_pad)
         if data_in is None:  # no native lib: NumPy rows + transpose
-            rows, _ = build_segment_rows(scan_data, segments_by_scan, plan)
+            rows = build_segment_rows_from_ranges(concat, lo_r, hi_r, S,
+                                                  wcap)
             rows_pad = np.zeros((S_pad, wcap), np.uint32)
             rows_pad[:S] = rows
             data_in = np.ascontiguousarray(rows_pad.T).view(np.int32)

@@ -142,19 +142,18 @@ def build_segment_rows(scan_data, segments_by_scan, plan) -> tuple[np.ndarray, i
     Uses the native C++ row builder when available (~5 ms at 8K vs ~1.8 s
     for the per-segment NumPy loop — the decode-side analog of the
     reference's host scan split hot loop, FAQ.md:53-68)."""
-    from ..native import lib as native_lib
+    concat, lo, hi, Wcap = segment_ranges_wcap(
+        scan_data, segments_by_scan, plan)
+    return build_segment_rows_from_ranges(
+        concat, lo, hi, plan.n_segments, Wcap), Wcap
 
-    S = plan.n_segments
-    concat, lo, hi = _segment_ranges(scan_data, segments_by_scan, plan)
-    max_raw = int(np.maximum(hi - lo, 1).max()) if S else 1
-    Wcap = -(-(max_raw + 4) // 4)
-    # v3 regime (<= 384 words): multiple of 8 (Mosaic sublane tile), NOT
-    # 128 — its per-iteration stream fetch reduces over all Wcap word
-    # rows, and a 13-word HD segment must not pay for a 128-row scan.
-    # The v2 kernel's lane-chunked window refill needs 128-multiples.
-    Wcap = -(-Wcap // 8) * 8
-    if Wcap > V3_WCAP_MAX:
-        Wcap = -(-Wcap // 128) * 128
+
+def build_segment_rows_from_ranges(concat, lo, hi, S: int,
+                                   Wcap: int) -> np.ndarray:
+    """Destuffed (S, Wcap) word rows from precomputed segment ranges —
+    lets callers that already ran segment_ranges_wcap (the v2 route in
+    jax_pipeline) skip a second full-stream range scan."""
+    from ..native import lib as native_lib
 
     L = native_lib()
     if L is not None:
@@ -162,7 +161,7 @@ def build_segment_rows(scan_data, segments_by_scan, plan) -> tuple[np.ndarray, i
         L.gj_build_rows(np.ascontiguousarray(concat), concat.size,
                         np.ascontiguousarray(lo), np.ascontiguousarray(hi),
                         S, rows, Wcap)
-        return rows, Wcap
+        return rows
 
     # NumPy fallback
     rows8 = np.zeros((S, Wcap * 4), np.uint8)
@@ -176,11 +175,17 @@ def build_segment_rows(scan_data, segments_by_scan, plan) -> tuple[np.ndarray, i
     w = rows8.reshape(S, Wcap, 4).astype(np.uint32)
     words = (w[:, :, 0] << 24) | (w[:, :, 1] << 16) | \
         (w[:, :, 2] << 8) | w[:, :, 3]
-    return words.astype(np.uint32), Wcap
+    return words.astype(np.uint32)
 
 
 def segment_ranges_wcap(scan_data, segments_by_scan, plan):
-    """(concat bytes, lo, hi, Wcap) for the v2/v3 row builders."""
+    """(concat bytes, lo, hi, Wcap) for the v2/v3 row builders.
+
+    Wcap in the v3 regime (<= V3_WCAP_MAX words) is a multiple of 8
+    (Mosaic sublane tile), NOT 128 — the v3 per-iteration stream fetch
+    reduces over all Wcap word rows, and a 13-word HD segment must not
+    pay for a 128-row scan. The v2 kernel's lane-chunked window refill
+    needs the 128-multiple rounding past the threshold."""
     S = plan.n_segments
     concat, lo, hi = _segment_ranges(scan_data, segments_by_scan, plan)
     max_raw = int(np.maximum(hi - lo, 1).max()) if S else 1

@@ -78,6 +78,20 @@ def _pack16(table):
     return packed
 
 
+def v3_step_flags(bps: int, interleaved_tpl) -> "tuple[int, int]":
+    """Effective (KB blocks per grid step, output element bytes) under
+    the current env flags — the caller's seg_tile VMEM sizing must use
+    these so GPUJPEG_TPU_DEC_KB / _DEC_I16 stay visible to the tile-size
+    choice (a KB=8 out block at seg_tile=2048 is 8 MB on its own)."""
+    import os as _os
+    uses_tpl = bool((np.asarray(interleaved_tpl) >= 0).any())
+    KB = int(_os.environ.get("GPUJPEG_TPU_DEC_KB", "1") or 1)
+    if uses_tpl or KB < 1 or bps % KB:
+        KB = 1
+    out_bytes = 2 if _os.environ.get("GPUJPEG_TPU_DEC_I16") else 4
+    return KB, out_bytes
+
+
 def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                           interleaved_tpl: np.ndarray):
     """seg_tile must be a multiple of 128; wcap the per-segment word
@@ -109,9 +123,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     # init fetches, slot/table setup, output zero-init) and the
     # per-block lane-skew barrier over KB blocks. KB=1 reproduces the
     # one-block-per-step structure. Off (1) by default until measured.
-    KB = int(_os.environ.get("GPUJPEG_TPU_DEC_KB", "1") or 1)
-    if uses_tpl or KB < 1 or bps % KB:
-        KB = 1
+    KB, _ = v3_step_flags(bps, interleaved_tpl)
     RW = 8 if KB == 1 else 16      # coefficient rows per gated write range
 
     def kernel(dataT_ref, segcomp_ref, segnblk_ref,

@@ -381,7 +381,8 @@ class ShardedDecoder:
         from ..ops.blocks import blocks_to_plane
         from ..ops.dct import dequant_idct_device, idct_operator_f32
         from ..ops.preprocess import postprocess
-        from ..ops.pallas_decode import build_dec_tables_v2, build_segment_rows
+        from ..ops.pallas_decode import (
+            V3_WCAP_MAX, build_dec_tables_v2, build_segment_rows)
         from ..ops.pallas_decode_v3 import make_decode_kernel_v3
 
         plan = layout.plan
@@ -423,7 +424,7 @@ class ShardedDecoder:
             rows_b, w_b = build_segment_rows(scan_data_b, segs_b, plan)
             band_rows.append(rows_b)
             wcap = max(wcap, w_b)
-        if wcap > 384:
+        if wcap > V3_WCAP_MAX:   # single source: the v2/v3 route threshold
             raise ValueError("per-segment stream too large for v3 kernel")
 
         per_seg = wcap * 4 * 2 + 64 * 4 * 2 + 50 * 8 * 4 // 128 * 4
