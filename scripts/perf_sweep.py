@@ -87,8 +87,12 @@ def run_enc(iters: int):
 
 
 def run_dec(iters: int):
+    """Sweep the decode kernel knobs (KB blocks/step x i16 output x
+    windowed fetch) over the pipelined 8K device decode — the A/B matrix
+    for the round-2 kernel variants that landed while the chip was
+    unreachable. Uses the bench.py capture trick to time the jitted
+    pipeline with device-resident args."""
     import jax
-    import jax.numpy as jnp
     from gpujpeg_tpu.models.encoder import Encoder
     from gpujpeg_tpu.models.decoder import Decoder
     from gpujpeg_tpu.params import ImageParameters, Parameters, \
@@ -105,14 +109,70 @@ def run_dec(iters: int):
     data = Encoder(backend="jax").encode(img, params, image)
     print(f"stream: {len(data)/1e6:.2f} MB", flush=True)
 
-    dec = Decoder(backend="jax")
-    dec.output_to_device = True
-    raw, _ = dec.decode(data)            # compile/warm
-    t0 = time.perf_counter()
-    raw, _ = dec.decode(data)
-    np.asarray(jax.lax.slice(raw.reshape(-1), (0,), (1,)))
-    print(f"dec single-call wall: {(time.perf_counter()-t0)*1e3:.1f} ms",
-          flush=True)
+    def dsync(r):
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+
+    golden = None
+    combos = [(kb, i16, win)
+              for kb in (1, 2, 4, 8)
+              for i16 in ("", "1")
+              for win in ("", "64", "128")]
+    if os.environ.get("SWEEP_ONE"):
+        combos = [(int(os.environ.get("GPUJPEG_TPU_DEC_KB", "1") or 1),
+                   os.environ.get("GPUJPEG_TPU_DEC_I16", ""),
+                   os.environ.get("GPUJPEG_TPU_DEC_WINDOW", ""))]
+    for kb, i16, win in combos:
+        os.environ["GPUJPEG_TPU_DEC_KB"] = str(kb)
+        for k, v in (("GPUJPEG_TPU_DEC_I16", i16),
+                     ("GPUJPEG_TPU_DEC_WINDOW", win)):
+            if v:
+                os.environ[k] = v
+            else:
+                os.environ.pop(k, None)
+        label = f"KB={kb} i16={i16 or 0} win={win or 0}"
+        jp._DEC_V2_CACHE.clear()
+        dec = Decoder(backend="jax")
+        dec.output_to_device = True
+        try:
+            t0 = time.perf_counter()
+            raw, _ = dec.decode(data)               # compile/warm
+            dsync(raw)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            raw, _ = dec.decode(data)
+            dsync(raw)
+            wall_ms = (time.perf_counter() - t0) * 1e3
+            # pipelined device decode via the capture trick
+            key, dfn = next(iter(jp._DEC_V2_CACHE.items()))
+            cap = {}
+
+            def spy(*a, dfn=dfn, cap=cap):
+                cap["a"] = a
+                return dfn(*a)
+            jp._DEC_V2_CACHE[key] = spy
+            raw, _ = dec.decode(data)
+            jp._DEC_V2_CACHE[key] = dfn
+            dargs = jax.tree_util.tree_map(
+                lambda x: (jax.device_put(np.asarray(x))
+                           if hasattr(x, "shape") else x), cap["a"])
+            dsync(dargs)
+            dsync(dfn(*dargs))
+            t0 = time.perf_counter()
+            rs = [dfn(*dargs) for _ in range(iters)]
+            dsync(rs[-1])
+            ms = (time.perf_counter() - t0) * 1e3 / iters
+            out = np.asarray(raw)
+            if golden is None:
+                golden = out
+                ok = "ref"
+            else:
+                ok = "ok" if np.array_equal(out, golden) else "MISMATCH"
+            print(f"dec {label}: {ms:8.2f} ms dev, wall {wall_ms:6.1f} ms "
+                  f"(compile {compile_s:.0f} s) {ok}", flush=True)
+        except Exception as e:
+            print(f"dec {label}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:140]}", flush=True)
 
 
 def main():
