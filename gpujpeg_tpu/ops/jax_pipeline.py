@@ -154,13 +154,16 @@ class _EncContext:
             [np.concatenate([qdiv_h[i], qdiv_h[j]])
              for i in range(n_q) for j in range(n_q)]))
 
-        def dct_quant_packed(pb2, qidx):
-            """pb2 (M, 128) u8 two blocks per row -> (M, 128) i32."""
+        def dct_quant_packed(pb2, qidx, q2t):
+            """pb2 (M, 128) u8 two blocks per row -> (M, 128) i32.
+            q2t is a runtime ARGUMENT: quantization divides by embedded
+            constants get strength-reduced by XLA, changing float
+            rounding and breaking byte-identity (CLAUDE.md invariant)."""
             y = jax.lax.dot_general(
                 pb2.astype(jnp.float32), D2, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32) - bias2
-            return jnp.rint(y / q2tab[qidx]).astype(jnp.int32)
+            return jnp.rint(y / q2t[qidx]).astype(jnp.int32)
 
         # uniform rows gather straight from plane-order blocks
         NB = plan.n_blocks
@@ -212,11 +215,12 @@ class _EncContext:
             qidx_arg = (qidx_all if packed_dct and CR % 2 == 0
                         else jnp.zeros((1,), jnp.int32))
 
-            # geometry tensors are jit ARGUMENTS, not closed-over
+            # geometry tensors (and the quant divisors — see
+            # dct_quant_packed) are jit ARGUMENTS, not closed-over
             # constants: constants serialize into the lowered module and
             # cost minutes of host-side lowering at 8K+ (measured 250 s)
             @jax.jit
-            def fn_chunked(raw, chunks, qidx_all):
+            def fn_chunked(raw, chunks, qidx_all, qdiv_a, q2tab_a):
                 planes = preprocess(raw, plan.image, plan, jnp)
                 planes = jax.lax.optimization_barrier(tuple(planes))
                 pblocks = jnp.concatenate(
@@ -227,7 +231,7 @@ class _EncContext:
                         x, D, (((1,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32) - bias
-                    rows = jnp.rint(y / qdiv[clsc]).astype(jnp.int32)
+                    rows = jnp.rint(y / qdiv_a[clsc]).astype(jnp.int32)
                     return encode_rows_arrays(
                         rows, clsc, valc, dcdc, rstc, hrstc, distances,
                         bps, csw, cob, W, tabs, use_pallas, mstuff)
@@ -242,7 +246,8 @@ class _EncContext:
 
                     def body(c):
                         pbc, qic, clsc, valc, dcdc, rstc, hrstc = c
-                        rows = dct_quant_packed(pbc, qic).reshape(-1, 64)
+                        rows = dct_quant_packed(pbc, qic,
+                                                q2tab_a).reshape(-1, 64)
                         return encode_rows_arrays(
                             rows, clsc, valc, dcdc, rstc, hrstc, distances,
                             bps, csw, cob, W, tabs, use_pallas, mstuff)
@@ -270,7 +275,7 @@ class _EncContext:
                         seg_bits.reshape(-1), n_ff.reshape(-1))
 
             self._stage_fns = None      # no staged timing for huge plans
-            self._fn_args = (chunks, qidx_arg)
+            self._fn_args = (chunks, qidx_arg, qdiv, q2tab)
             wrapped = lambda raw: fn_chunked(raw, *self._fn_args)
             wrapped.kind = "chunked"
             return wrapped
@@ -282,24 +287,26 @@ class _EncContext:
             planes = jax.lax.optimization_barrier(tuple(planes))
             return jnp.concatenate([plane_to_blocks(p, jnp) for p in planes])
 
-        # geometry tensors are jit ARGUMENTS (see fn_chunked note): the
-        # staged fns receive them per call from the arrays held here
-        dct_args = ((qidx_all,) if packed_dct else
-                    (cls_rows,) if identity_gather else
-                    (idx_plane_j, cls_rows))
+        # geometry tensors AND quant divisors are jit ARGUMENTS (see
+        # fn_chunked note / dct_quant_packed): the staged fns receive
+        # them per call from the arrays held here
+        dct_args = ((qidx_all, q2tab) if packed_dct else
+                    (cls_rows, qdiv) if identity_gather else
+                    (idx_plane_j, cls_rows, qdiv))
         ent_args = (jnp.asarray(geo.block_cls), jnp.asarray(geo.block_valid),
                     jnp.asarray(geo.dc_dist), jnp.asarray(geo.seg_rst_marker),
                     jnp.asarray(geo.seg_has_rst))
 
         def stage_dct(pblocks, *args):
             if packed_dct:
+                qidx_a, q2t = args
                 return dct_quant_packed(
-                    pblocks.reshape(-1, 128), args[0]).reshape(-1, 64)
+                    pblocks.reshape(-1, 128), qidx_a, q2t).reshape(-1, 64)
             if identity_gather:
-                (cls_r,) = args
+                cls_r, qd = args
                 x = pblocks.astype(jnp.float32)              # (n_rows, 64)
             else:
-                idx_j, cls_r = args
+                idx_j, cls_r, qd = args
                 pblocks = jnp.concatenate(
                     [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
                 x = pblocks[idx_j].astype(jnp.float32)
@@ -307,7 +314,7 @@ class _EncContext:
                 x, D, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32) - bias
-            return jnp.rint(y / qdiv[cls_r]).astype(jnp.int32)
+            return jnp.rint(y / qd[cls_r]).astype(jnp.int32)
 
         def stage_entropy(rows, cls, valid, dcd, rst, hrst):
             return encode_rows_arrays(
@@ -841,7 +848,9 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         decoder.stats.duration_postprocessor = (t3 - t2) * 1e3
     else:
         raw = fn(*args_dev, Ws)
-        jax.block_until_ready(raw)
+        # sync() both blocks and fetches one element — block_until_ready
+        # alone is unreliable over the tunneled backend (BENCHMARKS.md),
+        # and running both would add a redundant RTT per call
         sync(raw)
     decoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
     if not getattr(decoder, "output_to_device", False):

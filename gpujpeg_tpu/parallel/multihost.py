@@ -139,18 +139,44 @@ class MultiHostEncoder:
         has_j = multihost_utils.broadcast_one_to_all(b.has_np) \
             if n_proc > 1 else jnp.asarray(b.has_np)
 
-        out, out_len, seg_bits, n_ff = b.fn1(garr, jnp.asarray(rst_j),
-                                             jnp.asarray(has_j))
-        # each process owns its frames' shards: gather only local data
+        # tier loop mirroring ShardedEncoder.encode_batch: tier-1 uses
+        # typical-content capacity; overflow (busy frames) reruns on the
+        # tier-2 worst-case geometry. The rerun decision must be GLOBAL
+        # (fn1/fn2 are collective shard_maps every process must enter),
+        # so each process's local overflow flag is OR-reduced cluster-wide.
         my = jax.process_index()
-        results = []
-        for fr in range(n_my):
-            gf = my * frames_per_proc + fr
-            out_f = _bytes_view(_local_frame(out, gf))
-            len_f = _local_frame(out_len, gf)
-            results.append(self._inner._assemble(
-                layout, b.quant_zz, b.huff, out_f, len_f, params, image))
-        return results
+        for tier in (1, 2):
+            geo, fn = (b.geo1, b.fn1) if tier == 1 else b.tier2()
+            out, out_len, seg_bits, n_ff = fn(garr, jnp.asarray(rst_j),
+                                              jnp.asarray(has_j))
+            loc = False
+            for fr in range(n_my):
+                gf = my * frames_per_proc + fr
+                loc = loc or _tier_overflow(geo, _local_frame(seg_bits, gf),
+                                            _local_frame(n_ff, gf))
+            if n_proc > 1:
+                anyflow = bool(multihost_utils.process_allgather(
+                    np.asarray([loc], np.int32)).any())
+            else:
+                anyflow = loc
+            if not anyflow:
+                # each process owns its frames' shards: gather local data
+                results = []
+                for fr in range(n_my):
+                    gf = my * frames_per_proc + fr
+                    out_f = _bytes_view(_local_frame(out, gf))
+                    len_f = _local_frame(out_len, gf)
+                    results.append(self._inner._assemble(
+                        layout, b.quant_zz, b.huff, out_f, len_f, params,
+                        image))
+                return results
+
+        # beyond worst-case caps: host golden coder per frame (local-only,
+        # no collectives — safe to run on the overflowing process alone,
+        # but every process lands here together via the global decision)
+        from ..models.encoder import Encoder
+        enc = Encoder(backend="golden")
+        return [enc.encode(np.asarray(f), params, image) for f in frames]
 
 
 class MultiHostSingleImageEncoder:
@@ -187,25 +213,39 @@ class MultiHostSingleImageEncoder:
         garr = jax.make_array_from_single_device_arrays(
             bands.shape, sh, dev_arrays)
 
-        out, out_len, seg_bits, n_ff = b.fn1(
-            garr, jnp.asarray(b.rst_np), jnp.asarray(b.has_np))
-        # gather this process's band shards, then allgather across hosts
-        my_out = [np.asarray(s.data)[0] for s in sorted(
-            out.addressable_shards, key=lambda s: s.index[1].start)]
-        my_len = [np.asarray(s.data)[0] for s in sorted(
-            out_len.addressable_shards, key=lambda s: s.index[1].start)]
-        local_out = np.concatenate(my_out, axis=0)
-        local_len = np.concatenate(my_len, axis=0)
-        if jax.process_count() > 1:
-            all_out = multihost_utils.process_allgather(local_out)
-            all_len = multihost_utils.process_allgather(local_len)
-            out_f = all_out.reshape(-1, *local_out.shape[1:])
-            len_f = all_len.reshape(-1, *local_len.shape[1:])
-        else:
-            out_f, len_f = local_out, local_len
-        return self._inner._assemble(layout, b.quant_zz, b.huff,
-                                     _bytes_view(out_f), len_f,
-                                     params, image)
+        def gather(g):
+            """This process's band shards -> the full global array (by
+            allgather); symmetric, so every process decides/assembles
+            identically."""
+            mine = [np.asarray(s.data)[0] for s in sorted(
+                g.addressable_shards, key=lambda s: s.index[1].start)]
+            local = np.concatenate(mine, axis=0)
+            if jax.process_count() > 1:
+                allv = multihost_utils.process_allgather(local)
+                return allv.reshape(-1, *local.shape[1:])
+            return local
+
+        # tier loop mirroring ShardedEncoder.encode_batch; the gathered
+        # seg_bits/n_ff are identical everywhere, so the tier-2 decision
+        # is symmetric by construction (all processes re-enter fn2)
+        for tier in (1, 2):
+            geo, fn = (b.geo1, b.fn1) if tier == 1 else b.tier2()
+            out, out_len, seg_bits, n_ff = fn(
+                garr, jnp.asarray(b.rst_np), jnp.asarray(b.has_np))
+            bits_f = gather(seg_bits)
+            nff_f = gather(n_ff)
+            if not _tier_overflow(geo, bits_f, nff_f):
+                out_f = gather(out)
+                len_f = gather(out_len)
+                return self._inner._assemble(layout, b.quant_zz, b.huff,
+                                             _bytes_view(out_f), len_f,
+                                             params, image)
+
+        # beyond worst-case caps: host golden coder (identical result on
+        # every process; raw is fully replicated here by contract)
+        from ..models.encoder import Encoder
+        return Encoder(backend="golden").encode(
+            np.asarray(raw), params, image)
 
 
 class MultiHostDecoder:
@@ -229,6 +269,17 @@ class MultiHostDecoder:
         return [self._inner.decode(s) for s in streams]
 
 
+def _tier_overflow(geo, bits_h, nff_h) -> bool:
+    """Per-segment capacity overflow under a tier's geometry caps —
+    the same predicate as ShardedEncoder.encode_batch's tier loop."""
+    bits_h = np.asarray(bits_h)
+    nff_h = np.asarray(nff_h)
+    stuffed = ((bits_h + 7) >> 3) + nff_h
+    return bool((bits_h > geo.cap_seg_words * 4 * 8).any()
+                or (stuffed + 2 > geo.cap_out_bytes).any()
+                or (nff_h > geo.max_stuff).any())
+
+
 def _bytes_view(a: np.ndarray) -> np.ndarray:
     """Pallas stuffing emits packed u32 words; view as bytes."""
     if a.dtype == np.uint32:
@@ -238,11 +289,19 @@ def _bytes_view(a: np.ndarray) -> np.ndarray:
 
 def _local_frame(garr, frame_idx: int) -> np.ndarray:
     """Materialize one frame's row of a ('frame','seg')-sharded global
-    array from this process's addressable shards."""
-    shards = [s for s in garr.addressable_shards
-              if s.index[0].start <= frame_idx < s.index[0].stop]
-    shards.sort(key=lambda s: s.index[1].start if isinstance(
-        s.index[1], slice) else 0)
-    parts = [np.asarray(s.data)[frame_idx - s.index[0].start]
-             for s in shards]
+    array from this process's addressable shards. Shard index slices of
+    an unsharded dimension can be ``slice(None)`` — normalize bounds."""
+    def span(sl, size):
+        if not isinstance(sl, slice):
+            return 0, size
+        return (sl.start or 0,
+                size if sl.stop is None else sl.stop)
+
+    shards = []
+    for s in garr.addressable_shards:
+        lo, hi = span(s.index[0], garr.shape[0])
+        if lo <= frame_idx < hi:
+            shards.append((s, lo))
+    shards.sort(key=lambda t: span(t[0].index[1], garr.shape[1])[0])
+    parts = [np.asarray(s.data)[frame_idx - lo] for s, lo in shards]
     return np.concatenate(parts, axis=0)

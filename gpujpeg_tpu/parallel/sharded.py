@@ -193,6 +193,12 @@ def _global_rst_arrays(layout: BandLayout) -> tuple[np.ndarray, np.ndarray]:
     return rst, has
 
 
+class _V3Unroutable(Exception):
+    """The stream's geometry is outside the v3 decode kernel's regime
+    (wcap beyond V3_WCAP_MAX) — route to the XLA formulation; this is
+    expected routing, not kernel breakage, so STRICT must not raise."""
+
+
 class ShardedDecoder:
     """Decoder that deals restart segments to devices band by band.
 
@@ -287,7 +293,14 @@ class ShardedDecoder:
             try:
                 return self._decode_bands_v3(info, layout, band_out,
                                              dc_by_comp, ac_by_comp)
+            except _V3Unroutable:
+                pass   # legitimate routing (wcap beyond the v3 regime),
+                       # not kernel breakage: XLA fallback even under STRICT
             except Exception as e:  # pragma: no cover - kernel gaps
+                import os
+                if os.environ.get("GPUJPEG_TPU_STRICT"):
+                    raise   # tests set this: a silent fallback would mask
+                            # sharded kernel breakage behind the slow path
                 import logging
                 logging.getLogger(__name__).warning(
                     "sharded pallas decode failed (%s); XLA fallback", e)
@@ -425,9 +438,20 @@ class ShardedDecoder:
             band_rows.append(rows_b)
             wcap = max(wcap, w_b)
         if wcap > V3_WCAP_MAX:   # single source: the v2/v3 route threshold
-            raise ValueError("per-segment stream too large for v3 kernel")
+            raise _V3Unroutable("per-segment stream too large for v3 kernel")
 
-        per_seg = wcap * 4 * 2 + 64 * 4 * 2 + 50 * 8 * 4 // 128 * 4
+        if plan.params.interleaved and plan.image.comp_count > 1:
+            tpl0 = np.asarray([plan.block_comp[i] for i in range(bps)],
+                              np.int32)
+        else:
+            tpl0 = np.full(bps, -1, np.int32)
+        # same VMEM-budget sizing as jax_pipeline._decode_device_v2:
+        # the effective KB/out-bytes flags must be visible to the tile
+        # choice or GPUJPEG_TPU_DEC_KB/_DEC_I16 blow the scoped budget
+        from ..ops.pallas_decode_v3 import v3_step_flags
+        kb, out_bytes = v3_step_flags(bps, tpl0)
+        per_seg = (wcap * 4 * 2 + kb * 64 * out_bytes * 2
+                   + 50 * 8 * 4 // 128 * 4 + 160)
         seg_tile = max(128, min(2048, (8 << 20) // max(per_seg, 1)))
         seg_tile = 1 << (seg_tile.bit_length() - 1)
         S_pad = -(-S // seg_tile) * seg_tile
@@ -439,14 +463,10 @@ class ShardedDecoder:
 
         seg_comp = np.zeros((S_pad, 1), np.int32)
         seg_nblk = np.zeros((S_pad, 1), np.int32)
-        if plan.params.interleaved and plan.image.comp_count > 1:
-            tpl = np.asarray([plan.block_comp[i] for i in range(bps)],
-                             np.int32)
-            seg_nblk[:S, 0] = plan.seg_block_count
-        else:
-            tpl = np.full(bps, -1, np.int32)
+        tpl = tpl0
+        seg_nblk[:S, 0] = plan.seg_block_count
+        if not (plan.params.interleaved and plan.image.comp_count > 1):
             seg_comp[:S, 0] = plan.seg_scan
-            seg_nblk[:S, 0] = plan.seg_block_count
         sc_in = np.broadcast_to(
             seg_comp.reshape(1, S_pad // 128, 128), (n, S_pad // 128, 128))
         sn_in = np.broadcast_to(

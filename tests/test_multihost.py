@@ -55,6 +55,19 @@ enc1 = MultiHostSingleImageEncoder()
 data = enc1.encode(img, params, image)
 with open(os.path.join(outdir, f"single_p{pid}.jpg"), "wb") as f:
     f.write(data)
+
+# tier-2 capacity fallback with a GLOBAL rerun decision: a tiny forced
+# tier-1 budget makes noisy frames overflow; both processes must agree
+# to re-enter the collective tier-2 fn together (a one-sided rerun
+# would deadlock the shard_map) and still produce the standard stream
+import gpujpeg_tpu.ops.entropy_v2 as _ev2
+_ev2.seg_budget_for_quality = lambda q, bps: 8
+rng = np.random.default_rng(100 + pid)
+noisy = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+enc2 = MultiHostEncoder()
+streams2 = enc2.encode_my_frames([noisy], params, image)
+with open(os.path.join(outdir, f"noisy_p{pid}.jpg"), "wb") as f:
+    f.write(streams2[0])
 print("WORKER_OK", pid)
 """
 
@@ -100,6 +113,50 @@ def test_two_process_distributed_encode(tmp_path):
     b = (tmp_path / "single_p1.jpg").read_bytes()
     assert a == b
     assert a == want
+
+    # tier-2 fallback frames: capacity tiers change internal buffers,
+    # never bytes — the overflow rerun must equal the standard encode
+    for pid in range(2):
+        rng = np.random.default_rng(100 + pid)
+        noisy = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+        want = Encoder(backend="jax").encode(noisy, params, image)
+        got = (tmp_path / f"noisy_p{pid}.jpg").read_bytes()
+        assert got == want, f"tier-2 stream of process {pid} differs"
+
+
+def test_multihost_tier2_fallback_single_process(monkeypatch):
+    """Single-process MultiHost encoders must detect tier-1 capacity
+    overflow (seg_bits/n_ff were previously ignored — silently corrupt
+    streams on busy frames) and rerun on the tier-2 geometry, staying
+    byte-identical to the single-chip encoder."""
+    import jax
+    import gpujpeg_tpu.ops.entropy_v2 as ev2
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    from gpujpeg_tpu.parallel.multihost import (
+        MultiHostEncoder, MultiHostSingleImageEncoder)
+
+    monkeypatch.setattr(ev2, "seg_budget_for_quality", lambda q, bps: 8)
+    rng = np.random.default_rng(7)
+    H, W = 64, 64
+    noisy = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+    image = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(quality=90, restart_interval=2)
+
+    jp._ENC_CACHE.clear()     # cached contexts were built with real budgets
+    want = Encoder(backend="jax").encode(noisy, params, image)
+    jp._ENC_CACHE.clear()
+
+    enc = MultiHostEncoder()
+    got = enc.encode_my_frames([noisy], params, image)
+    assert got[0] == want
+    assert next(iter(enc._inner._cache.values())).fn2 is not None, \
+        "expected tier-2 rerun to have engaged"
+
+    enc1 = MultiHostSingleImageEncoder()
+    got1 = enc1.encode(noisy, params, image)
+    assert got1 == want
+    assert next(iter(enc1._inner._cache.values())).fn2 is not None
 
 
 def test_multihost_decoder_local_frames():
