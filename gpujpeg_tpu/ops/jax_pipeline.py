@@ -808,7 +808,15 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         for c in plan.components
     )
     if use_v3:
-        data_in = build_segment_rows_t(concat, lo_r, hi_r, plan, wcap, S_pad)
+        if os.environ.get("GPUJPEG_TPU_DEC_DEVICE_ROWS"):
+            # upload the RAW scan body and destuff/relayout on-chip:
+            # ~half the H2D bytes of the padded rows, no host row build
+            from .pallas_decode import build_rows_t_device
+            data_in = build_rows_t_device(concat, lo_r, hi_r, S, S_pad,
+                                          wcap)
+        else:
+            data_in = build_segment_rows_t(concat, lo_r, hi_r, plan, wcap,
+                                           S_pad)
         if data_in is None:  # no native lib: NumPy rows + transpose
             rows = build_segment_rows_from_ranges(concat, lo_r, hi_r, S,
                                                   wcap)

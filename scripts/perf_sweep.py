@@ -174,6 +174,38 @@ def run_dec(iters: int):
             print(f"dec {label}: FAIL {type(e).__name__}: "
                   f"{str(e)[:140]}", flush=True)
 
+    # single-call wall A/B of the on-chip row builder (raw-bytes upload +
+    # device destuff vs host rows + bigger H2D) at default kernel flags
+    for k in ("GPUJPEG_TPU_DEC_KB", "GPUJPEG_TPU_DEC_I16",
+              "GPUJPEG_TPU_DEC_WINDOW"):
+        os.environ.pop(k, None)
+    for dr in ("", "1"):
+        if dr:
+            os.environ["GPUJPEG_TPU_DEC_DEVICE_ROWS"] = dr
+        else:
+            os.environ.pop("GPUJPEG_TPU_DEC_DEVICE_ROWS", None)
+        jp._DEC_V2_CACHE.clear()
+        dec = Decoder(backend="jax")
+        dec.output_to_device = True
+        try:
+            raw, _ = dec.decode(data)                # compile/warm
+            dsync(raw)
+            walls = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                raw, _ = dec.decode(data)
+                dsync(raw)
+                walls.append((time.perf_counter() - t0) * 1e3)
+            out = np.asarray(raw)
+            ok = "ok" if (golden is None or np.array_equal(out, golden)) \
+                else "MISMATCH"
+            print(f"dec device_rows={dr or 0}: wall min "
+                  f"{min(walls):6.1f} ms mean {np.mean(walls):6.1f} ms {ok}",
+                  flush=True)
+        except Exception as e:
+            print(f"dec device_rows={dr or 0}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:140]}", flush=True)
+
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "enc"
