@@ -668,8 +668,9 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     # guarantees past the same threshold
     from .pallas_decode import V3_WCAP_MAX
     use_v3 = wcap <= V3_WCAP_MAX
+    device_rows = bool(os.environ.get("GPUJPEG_TPU_DEC_DEVICE_ROWS"))
     rows = None
-    if not use_v3:
+    if not use_v3 and not device_rows:
         rows = build_segment_rows_from_ranges(concat, lo_r, hi_r, S, wcap)
     if plan.params.interleaved and plan.image.comp_count > 1:
         tpl = np.asarray([plan.block_comp[i] for i in range(bps)], np.int32)
@@ -808,7 +809,7 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         for c in plan.components
     )
     if use_v3:
-        if os.environ.get("GPUJPEG_TPU_DEC_DEVICE_ROWS"):
+        if device_rows:
             # upload the RAW scan body and destuff/relayout on-chip:
             # ~half the H2D bytes of the padded rows, no host row build
             from .pallas_decode import build_rows_t_device
@@ -826,6 +827,10 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         sc_in = seg_comp.reshape(S_pad // 128, 128)
         sn_in = seg_nblk.reshape(S_pad // 128, 128)
     else:
+        if device_rows:
+            from .pallas_decode import build_rows_t_device
+            rows_pad = build_rows_t_device(concat, lo_r, hi_r, S, S_pad,
+                                           wcap, transposed=False)
         data_in, sc_in, sn_in = rows_pad, seg_comp, seg_nblk
     args_dev = (jnp.asarray(data_in), jnp.asarray(sc_in),
                 jnp.asarray(sn_in), jnp.asarray(tabs.quick),

@@ -217,7 +217,8 @@ _DEV_ROWS_CACHE: dict = {}
 
 
 def build_rows_t_device(concat: np.ndarray, lo: np.ndarray, hi: np.ndarray,
-                        S: int, S_pad: int, wcap: int):
+                        S: int, S_pad: int, wcap: int,
+                        transposed: bool = True):
     """Device-side destuffed (wcap, S_pad) int32 word rows from the raw
     concatenated scan body + per-segment [lo, hi) byte ranges.
 
@@ -241,7 +242,7 @@ def build_rows_t_device(concat: np.ndarray, lo: np.ndarray, hi: np.ndarray,
     # bucket the concat length so one compile serves a stream-size family
     n = max(int(concat.size), 1)
     n_pad = 1 << (n - 1).bit_length()
-    key = (S, S_pad, wcap, n_pad)
+    key = (S, S_pad, wcap, n_pad, transposed)
     fn = _DEV_ROWS_CACHE.get(key)
     if fn is None:
         @jax.jit
@@ -264,7 +265,11 @@ def build_rows_t_device(concat: np.ndarray, lo: np.ndarray, hi: np.ndarray,
             if S_pad > S:
                 words = jnp.concatenate(
                     [words, jnp.zeros((S_pad - S, wcap), jnp.int32)])
-            return words.T                              # (wcap, S_pad)
+            # v3 kernels consume the (wcap, S_pad) column-major layout in
+            # int32; the v2 kernel takes (S_pad, wcap) uint32 rows
+            if transposed:
+                return words.T
+            return jax.lax.bitcast_convert_type(words, jnp.uint32)
         _DEV_ROWS_CACHE[key] = fn
     cat = np.zeros(n_pad, np.uint8)
     cat[:concat.size] = concat

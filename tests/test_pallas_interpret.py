@@ -438,3 +438,8 @@ def test_decode_v2_large_wcap_kernel(monkeypatch):
     monkeypatch.setattr(pd, "V3_WCAP_MAX", 0)
     v2 = run()
     assert np.array_equal(v3, v2)
+    # v2 regime with the on-chip row builder (raw-bytes upload + device
+    # destuff into row-major uint32 rows) must stay bit-identical
+    monkeypatch.setenv("GPUJPEG_TPU_DEC_DEVICE_ROWS", "1")
+    v2d = run()
+    assert np.array_equal(v3, v2d)
