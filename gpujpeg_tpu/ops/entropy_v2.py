@@ -35,7 +35,6 @@ compaction -> host-side prefix-sum slice (unchanged).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 
 import numpy as np
@@ -340,19 +339,9 @@ def block_chunks_xla(coeff, diff, cls, valid, tabs: PackedTables, W: int):
 # ---- Pallas TPU implementation ----
 
 def _pallas_helpers(ac512_ref, dc128_ref, tabs: PackedTables):
-    from jax.experimental import pallas as pl  # noqa: F401
-
-    def lane_gather128(table_row, idx):
-        """idx (T, L) values in [0,128) -> per-lane dynamic gather."""
-        T = idx.shape[0]
-        tbl = jnp.broadcast_to(table_row.reshape(1, 128), (T, idx.shape[1]) if idx.shape[1] == 128 else (T, 128))
-        if idx.shape[1] != 128:
-            pad = jnp.zeros((T, 128 - idx.shape[1]), idx.dtype)
-            idx_p = jnp.concatenate([idx, pad], axis=1)
-            out = jnp.take_along_axis(jnp.broadcast_to(
-                table_row.reshape(1, 128), (T, 128)), idx_p, axis=1)
-            return out[:, :idx.shape[1]]
-        return jnp.take_along_axis(tbl, idx, axis=1)
+    # per-lane dynamic gather in a broadcast 128-entry table row — the
+    # same helper the decode kernels use
+    from .pallas_decode import _gather128 as lane_gather128
 
     def lookup512(idx):
         lo = idx & 127
@@ -1121,8 +1110,7 @@ def _merge_level_packed(x, blen, R: int, lane):
     rb = jnp.where(is_r, blen, bl_l)
     sh = (lb & 31).astype(U32)
     o = lb >> 5
-    is_right = loc >= R
-    v = jnp.where(is_right, x, 0)
+    v = jnp.where(is_r, x, 0)
     prev = jnp.concatenate([jnp.zeros((x.shape[0], 1), x.dtype),
                             v[:, :-1]], axis=1)
     lo = jnp.where(sh > 0, v >> sh, v)
@@ -1137,7 +1125,7 @@ def _merge_level_packed(x, blen, R: int, lane):
     spill = jnp.where(sh > 0, tail << ((32 - sh) & 31).astype(U32), 0)
     rolled = jnp.where((loc >= o) & (loc - o < R), rolled,
                        jnp.where(loc - o == R, spill, 0))
-    return jnp.where(is_right, 0, x) | rolled, lb + rb
+    return jnp.where(is_r, 0, x) | rolled, lb + rb
 
 
 def _merge_level_cross(x, blen, R: int):
@@ -1257,35 +1245,24 @@ def merge_segments_packed(words, bits, bps: int, W: int, cap_words: int,
     return jnp.pad(segs, ((0, 0), (0, cap_words - P))), segb
 
 
-def _merge_stuff_core(x, b2, rmark, hrst, W: int, cap_words: int,
-                      WO: int, max_stuff: int):
-    """In-kernel core of the packed merge + byte stuffing + RST append
-    (P = bps*W == 128 geometry). x (T, 128) uint32 — 128/W block strings
-    per row (whole segments); b2 (T, 128//W) i32 per-block bit lengths;
-    rmark/hrst (T, 1) i32. Returns (out_words (T, WO) u32 LE-packed,
-    meta (T, 8) i32 = [seg_bits, n_ff, out_len, 0...])."""
-    T = x.shape[0]
-    bpr = 128 // W
-    log2W = W.bit_length() - 1
-    b0 = max(0, min(max_stuff, 255).bit_length() - 1)
-    lane = jax.lax.broadcasted_iota(I32, (T, 128), 1)
-    bpad = jnp.pad(b2, ((0, 0), (0, 128 - bpr)))
-    blen = jnp.take_along_axis(bpad, lane >> log2W, axis=1)
-    R = W
-    while R < 128:
-        x, blen = _merge_level_packed(x, blen, R, lane)
-        R *= 2
+def _stuff_core(w, bits, rmark, hrst, WO: int, max_stuff: int):
+    """Shared in-VMEM byte-plane stuffing + RST append — the SINGLE
+    implementation both stuffing kernels call (they must stay bit-exact
+    in lockstep for stream byte-identity).
 
-    # ---- stuffing on the merged segment strings (in VMEM) ----
-    # strings physically cap at P = 128 words even when the logical
-    # cap_words is larger (tier-2 worst-case caps)
-    cw = min(cap_words, 128)
-    bits_c = blen[:, 0:1]
-    w = jnp.pad(x[:, :cw].astype(I32), ((0, 0), (0, WO - cw)))
+    w (T, WO) i32 big-endian segment words zero-padded past the string;
+    bits (T, 1) i32 segment bit lengths; rmark/hrst (T, 1) i32. The
+    whole segment stays in VMEM as four byte-plane arrays (plane p =
+    bytes ≡ p mod 4), so a byte shift by 2^b decomposes into a static
+    plane permutation plus a word-lane shift (collision-free MSB-first
+    butterfly: see :func:`stuff_and_rst`). Returns (out_words (T, WO)
+    u32 LE-packed, n_ff (T, 1), out_len (T, 1))."""
+    T = w.shape[0]
+    b0 = max(0, min(max_stuff, 255).bit_length() - 1)
     lane_o = jax.lax.broadcasted_iota(I32, (T, WO), 1)
-    pad_bits = (-bits_c) & 7
-    seg_len = (bits_c + pad_bits) >> 3
-    last = bits_c >> 3
+    pad_bits = (-bits) & 7
+    seg_len = (bits + pad_bits) >> 3
+    last = bits >> 3
     fill = (1 << pad_bits) - 1
 
     planes = []
@@ -1298,6 +1275,7 @@ def _merge_stuff_core(x, b2, rmark, hrst, W: int, cap_words: int,
 
     is_ff = [(planes[p] == 0xFF).astype(I32) for p in range(4)]
     cnt = is_ff[0] + is_ff[1] + is_ff[2] + is_ff[3]
+    # exclusive word-prefix of FF counts over lanes
     cum = cnt
     s = 1
     while s < WO:
@@ -1348,7 +1326,35 @@ def _merge_stuff_core(x, b2, rmark, hrst, W: int, cap_words: int,
 
     out_w = (planes[0] | (planes[1] << 8) | (planes[2] << 16) |
              (planes[3] << 24)).astype(U32)
-    out_len = stuffed + 2 * hrst
+    return out_w, nff, stuffed + 2 * hrst
+
+
+def _merge_stuff_core(x, b2, rmark, hrst, W: int, cap_words: int,
+                      WO: int, max_stuff: int):
+    """In-kernel core of the packed merge + byte stuffing + RST append
+    (P = bps*W == 128 geometry). x (T, 128) uint32 — 128/W block strings
+    per row (whole segments); b2 (T, 128//W) i32 per-block bit lengths;
+    rmark/hrst (T, 1) i32. Returns (out_words (T, WO) u32 LE-packed,
+    meta (T, 8) i32 = [seg_bits, n_ff, out_len, 0...])."""
+    T = x.shape[0]
+    bpr = 128 // W
+    log2W = W.bit_length() - 1
+    lane = jax.lax.broadcasted_iota(I32, (T, 128), 1)
+    bpad = jnp.pad(b2, ((0, 0), (0, 128 - bpr)))
+    blen = jnp.take_along_axis(bpad, lane >> log2W, axis=1)
+    R = W
+    while R < 128:
+        x, blen = _merge_level_packed(x, blen, R, lane)
+        R *= 2
+
+    # ---- stuffing on the merged segment strings (in VMEM) ----
+    # strings physically cap at P = 128 words even when the logical
+    # cap_words is larger (tier-2 worst-case caps)
+    cw = min(cap_words, 128)
+    bits_c = blen[:, 0:1]
+    w = jnp.pad(x[:, :cw].astype(I32), ((0, 0), (0, WO - cw)))
+    out_w, nff, out_len = _stuff_core(w, bits_c, rmark, hrst, WO,
+                                      max_stuff)
     meta = jnp.concatenate(
         [bits_c, nff, out_len, jnp.zeros((T, 5), I32)], axis=1)
     return out_w, meta
@@ -1471,82 +1477,12 @@ def stuff_and_rst_pallas(seg_words, seg_bits, rst_marker, has_rst,
         seg_bits = jnp.pad(seg_bits, (0, S_pad - S))
         rst_marker = jnp.pad(rst_marker, (0, S_pad - S))
         has_rst = jnp.pad(has_rst, (0, S_pad - S))
-    b0 = max(0, min(max_stuff, 255).bit_length() - 1)
 
     def kernel(w_ref, b_ref, r_ref, h_ref, out_ref, nff_ref):
-        T = w_ref.shape[0]
         w = jnp.pad(w_ref[:], ((0, 0), (0, WO - CW))).astype(I32)
-        lane = jax.lax.broadcasted_iota(I32, (T, WO), 1)
-        bits = b_ref[:]
-        pad_bits = (-bits) & 7
-        seg_len = (bits + pad_bits) >> 3
-        last = bits >> 3
-        fill = (1 << pad_bits) - 1
-
-        planes = []
-        for p in range(4):
-            x = _srl(w, 8 * (3 - p)) & 255
-            g = lane * 4 + p
-            x = jnp.where(g == last, x | fill, x)
-            x = jnp.where(g < seg_len, x, 0)
-            planes.append(x)
-
-        is_ff = [(planes[p] == 0xFF).astype(I32) for p in range(4)]
-        cnt = is_ff[0] + is_ff[1] + is_ff[2] + is_ff[3]
-        # exclusive word-prefix of FF counts over lanes
-        cum = cnt
-        s = 1
-        while s < WO:
-            sh = jnp.concatenate(
-                [jnp.zeros((T, s), I32), cum[:, :-s]], axis=1)
-            cum = cum + sh
-            s <<= 1
-        cum_ex = cum - cnt
-        nff = cum[:, WO - 1:WO]
-
-        disp = []
-        acc = cum_ex
-        for p in range(4):
-            g = lane * 4 + p
-            disp.append(jnp.where(g < seg_len,
-                                  jnp.minimum(acc, max_stuff), 0))
-            acc = acc + is_ff[p]
-
-        # MSB-first butterfly; byte shift 2^b = plane permutation + lane
-        # shift (collision-free: see stuff_and_rst)
-        for b in range(b0, -1, -1):
-            step = 1 << b
-            np_, nd_ = [], []
-            for p in range(4):
-                ps = (p - step) % 4
-                sh = (step + ps - p) // 4
-                if sh:
-                    src_a = jnp.concatenate(
-                        [jnp.zeros((T, sh), I32), planes[ps][:, :-sh]],
-                        axis=1)
-                    src_d = jnp.concatenate(
-                        [jnp.zeros((T, sh), I32), disp[ps][:, :-sh]],
-                        axis=1)
-                else:
-                    src_a, src_d = planes[ps], disp[ps]
-                smv = (_srl(src_d, b) & 1) > 0
-                mmv = (_srl(disp[p], b) & 1) > 0
-                np_.append(jnp.where(smv, src_a,
-                                     jnp.where(mmv, 0, planes[p])))
-                nd_.append(jnp.where(smv, src_d - step,
-                                     jnp.where(mmv, 0, disp[p])))
-            planes, disp = np_, nd_
-
-        stuffed = seg_len + jnp.minimum(nff, max_stuff)
-        hr = h_ref[:] > 0
-        rmark = r_ref[:]
-        for p in range(4):
-            g = lane * 4 + p
-            planes[p] = jnp.where(hr & (g == stuffed), 0xFF, planes[p])
-            planes[p] = jnp.where(hr & (g == stuffed + 1), rmark, planes[p])
-
-        out_ref[:] = (planes[0] | (planes[1] << 8) | (planes[2] << 16) |
-                      (planes[3] << 24)).astype(U32)
+        out_w, nff, _ = _stuff_core(w, b_ref[:], r_ref[:], h_ref[:], WO,
+                                    max_stuff)
+        out_ref[:] = out_w
         nff_ref[:] = nff
 
     out_w, nff = _pcall(
@@ -1663,22 +1599,6 @@ def dc_diff(dc, dc_dist, distances):
     return dc - prev
 
 
-def dc_diff_rows(dc_rows, geo: UniformGeometry):
-    """DC differences computed in row space via static shifts (no gather).
-
-    Within a segment, consecutive scan-order blocks occupy consecutive
-    rows (padding only at segment tails, and DC prediction resets at
-    segment starts), so the scan-order predecessor distance equals the
-    row distance."""
-    dist = jnp.asarray(geo.dc_dist)
-    prev = jnp.zeros_like(dc_rows)
-    for d in geo.dc_distances:
-        sh = jnp.concatenate(
-            [jnp.zeros((d,), dc_rows.dtype), dc_rows[:-d]])
-        prev = jnp.where(dist == d, sh, prev)
-    return dc_rows - prev
-
-
 def encode_rows_arrays(rows, cls, valid, dc_dist, rst_marker, has_rst,
                        distances: tuple, bps: int, cap_seg_words: int,
                        cap_out_bytes: int, W: int,
@@ -1686,12 +1606,7 @@ def encode_rows_arrays(rows, cls, valid, dc_dist, rst_marker, has_rst,
                        max_stuff: int = MAX_STUFF):
     """Traced-array core of :func:`encode_rows` (geometry as tensors so
     large plans can ``lax.map`` over segment chunks)."""
-    prev = jnp.zeros_like(rows[:, 0])
-    for d in distances:
-        sh = jnp.concatenate(
-            [jnp.zeros((d,), rows.dtype), rows[:-d, 0]])
-        prev = jnp.where(dc_dist == d, sh, prev)
-    diff_rows = (rows[:, 0] - prev)[:, None]
+    diff_rows = dc_diff(rows[:, 0], dc_dist, distances)[:, None]
 
     if use_pallas:
         words, bits = block_chunks_pallas(rows, diff_rows, cls, valid, tabs, W)

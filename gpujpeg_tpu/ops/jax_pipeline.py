@@ -688,6 +688,9 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         # lane utilization saturates; smaller ones pay launch overhead)
         seg_tile = max(128, min(2048, (8 << 20) // max(per_seg, 1)))
         seg_tile = 1 << (seg_tile.bit_length() - 1)
+        tile_env = int(os.environ.get("GPUJPEG_TPU_DEC_SEG_TILE", "0") or 0)
+        if tile_env >= 128 and tile_env % 128 == 0:
+            seg_tile = tile_env     # tuning/test override
     else:
         # v2: ~9 KB/segment of live (T,128) intermediates at wcap=128
         per_seg = wcap * 4 * 2 + (8 << 10)

@@ -32,24 +32,11 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 
-def _bcast_lookup(flat_table, idx, n_entries: int):
-    """(G,128) lookup in a flat table via broadcast halves + lane gather."""
-    G = idx.shape[0]
-    n_half = n_entries // 128
-    lo = idx & 127
-    out = None
-    for h in range(n_half):
-        tbl = jnp.broadcast_to(
-            flat_table[h * 128:(h + 1) * 128].reshape(1, 128), (G, 128))
-        part = _lane_gather(tbl, lo)
-        out = part if out is None else jnp.where((idx >> 7) == h, part, out)
-    return out
-
-
 def _bcast_lookup16(packed_table, idx, n_entries: int):
-    """Lookup in a 16-bit-packed flat table (two entries per i32 word):
-    halves to scan drop 2x vs :func:`_bcast_lookup`, the dominant
-    per-iteration cost of the decode loop."""
+    """(G, 128) lookup in a 16-bit-packed flat table (two entries per
+    i32 word) via broadcast halves + lane gather: packing halves the
+    broadcast-halves scan, the dominant per-iteration cost of the
+    decode loop."""
     G = idx.shape[0]
     n_half = n_entries // 256
     p = idx >> 1
@@ -115,16 +102,22 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     use_window = 0 < WF < wcap
     # int16 coefficient output halves the kernel-output + transpose HBM
     # traffic (quantized baseline coefficients are < 2^11; i16 is safe).
-    # G >= 2 keeps row slices aligned to the (16, 128) i16 tile. Off by
-    # default until measured on real hardware.
-    OUT_DT = (jnp.int16 if (_os.environ.get("GPUJPEG_TPU_DEC_I16")
-                            and G >= 2) else jnp.int32)
+    # Off by default until measured on real hardware.
+    OUT_DT = (jnp.int16 if _os.environ.get("GPUJPEG_TPU_DEC_I16")
+              else jnp.int32)
     # KB blocks per grid step: amortizes the per-step prologue (three
     # init fetches, slot/table setup, output zero-init) and the
     # per-block lane-skew barrier over KB blocks. KB=1 reproduces the
     # one-block-per-step structure. Off (1) by default until measured.
     KB, _ = v3_step_flags(bps, interleaved_tpl)
-    RW = 8 if KB == 1 else 16      # coefficient rows per gated write range
+    # coefficient rows per gated write range; RW*G must stay a multiple
+    # of 16 sublanes under i16 output so the out_ref row slices align to
+    # the (16, 128) tile (the G==1 seg_tile floor would otherwise slice
+    # at 8-row offsets) — v3_step_flags' 2-byte accounting stays exact
+    # for every G this way
+    RW = 8 if KB == 1 else 16
+    if OUT_DT == jnp.int16 and RW * G % 16:
+        RW = 16
 
     def kernel(dataT_ref, segcomp_ref, segnblk_ref,
                quick_ref, maxcode_ref, delta_ref, huffval_ref,

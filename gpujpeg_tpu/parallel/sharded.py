@@ -381,6 +381,7 @@ class ShardedDecoder:
             local_fn, mesh=self.mesh,
             in_specs=(P("seg", None), P("seg", None)),
             out_specs=P("seg", None),
+            check_vma=False,   # see the encoder shard_map note
         ))
         out = fn(jnp.asarray(datab), jnp.asarray(startsb))
         return np.asarray(jax.device_get(out))
@@ -454,6 +455,10 @@ class ShardedDecoder:
                    + 50 * 8 * 4 // 128 * 4 + 160)
         seg_tile = max(128, min(2048, (8 << 20) // max(per_seg, 1)))
         seg_tile = 1 << (seg_tile.bit_length() - 1)
+        import os
+        tile_env = int(os.environ.get("GPUJPEG_TPU_DEC_SEG_TILE", "0") or 0)
+        if tile_env >= 128 and tile_env % 128 == 0:
+            seg_tile = tile_env     # tuning/test override
         S_pad = -(-S // seg_tile) * seg_tile
         dataT = np.zeros((n, wcap, S_pad), np.int32)
         for b in range(n):
@@ -683,6 +688,11 @@ class ShardedEncoder:
                           P(None), P(None, None)),
                 out_specs=(P(fspec, "seg", None), P(fspec, "seg", None),
                            P(fspec, "seg", None), P(fspec, "seg", None)),
+                check_vma=False,   # pallas_call out_shapes carry no vma:
+                                   # the Pallas entropy kernels inside
+                                   # otherwise fail shard_map's vma check
+                                   # (the on-chip multi-device path; the
+                                   # CPU suite's XLA fallback hid this)
             ))
             return lambda bands, rst, has: jfn(bands, rst, has, *geo_args)
 

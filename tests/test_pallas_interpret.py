@@ -319,6 +319,10 @@ def test_decode_i16_coefficients_match(monkeypatch):
     base = run()
     monkeypatch.setenv("GPUJPEG_TPU_DEC_I16", "1")
     assert np.array_equal(base, run())
+    # G == 1 (seg_tile at the 128 floor): i16 row slices must realign
+    # to the (16, 128) tile via the widened write range (RW = 16)
+    monkeypatch.setenv("GPUJPEG_TPU_DEC_SEG_TILE", "128")
+    assert np.array_equal(base, run())
 
 
 def test_pallas_decode_corrupt_entropy_no_crash(monkeypatch, rng):
@@ -443,3 +447,34 @@ def test_decode_v2_large_wcap_kernel(monkeypatch):
     monkeypatch.setenv("GPUJPEG_TPU_DEC_DEVICE_ROWS", "1")
     v2d = run()
     assert np.array_equal(v3, v2d)
+
+
+def test_sharded_pallas_encode_decode_bit_identical():
+    """Sharded encode/decode with the REAL Pallas kernels inside
+    shard_map (the path multi-chip TPU hardware takes — the CPU suite's
+    XLA fallback hid a shard_map vma-check failure here): streams must
+    stay byte-identical to the single-chip encoder, decode bit-identical
+    to the plain decoder."""
+    import jax
+    from jax.sharding import Mesh
+    from gpujpeg_tpu.parallel import ShardedDecoder, ShardedEncoder
+
+    h, w = 64, 80
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=2)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    want = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs.reshape(1, -1), ("frame", "seg"))
+    enc = ShardedEncoder(mesh)
+    got = enc.encode(img, params, image)
+    assert got == want
+
+    dec = Decoder(backend="jax")
+    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    ref, _ = dec.decode(want)
+    raw, _ = ShardedDecoder(mesh).decode(want)
+    assert np.array_equal(np.asarray(raw).reshape(-1),
+                          np.asarray(ref).reshape(-1))
