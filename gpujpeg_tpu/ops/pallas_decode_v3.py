@@ -437,8 +437,13 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
         bitpos[:] = bp_f
         dcpred[:] = dcp_f
 
-    def run(dataT, seg_comp, seg_nblk, tabs: DecTables,
-            dc_slot: np.ndarray, ac_slot: np.ndarray):
+    def run_raw(dataT, seg_comp, seg_nblk, tabs: DecTables,
+                dc_slot: np.ndarray, ac_slot: np.ndarray):
+        """Kernel-native coefficient output: (bps//KB, n_tiles, KB, 64,
+        G, 128) with the k (coefficient) axis third-from-minor — segment
+        s = (t*G + g)*128 + l, block slot = bO*KB + kb. The NATIVE_IDCT
+        decode tail contracts k in this layout directly (the scan-order
+        relayout then runs on 4x smaller packed-u32 pixels)."""
         S = dataT.shape[1]
         n_tiles = S // seg_tile
         grid = (n_tiles, bps // KB)
@@ -481,11 +486,18 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
           _pack16(tabs.quick), jnp.asarray(tabs.maxcode),
           jnp.asarray(tabs.delta), _pack16(tabs.huffval),
           jnp.asarray(dc_slot), jnp.asarray(ac_slot))
+        return out.reshape(bps // KB, n_tiles, KB, 64, G, 128)
+
+    def run(dataT, seg_comp, seg_nblk, tabs: DecTables,
+            dc_slot: np.ndarray, ac_slot: np.ndarray):
+        S = dataT.shape[1]
+        o = run_raw(dataT, seg_comp, seg_nblk, tabs, dc_slot, ac_slot)
         # reorder to scan rows: tile-local row (kb*64 + k)*G + g, so
         # out[bo, t*(64*KB*G) + (kb*64+k)*G + g, l]
         #   -> row ((t*G+g)*128 + l)*bps + bo*KB + kb, k
-        o = out.reshape(bps // KB, n_tiles, KB, 64, G, 128)
         o = jnp.transpose(o, (1, 4, 5, 0, 2, 3))   # (t, g, l, bO, kb, 64)
         return o.reshape(S * bps, 64)
 
+    run.raw = run_raw
+    run.dims = (KB, G)
     return run
