@@ -57,33 +57,55 @@ def run_enc(iters: int):
     def sync(o):
         np.asarray(jax.lax.slice(o[1], (0,), (1,)))
 
+    def measure(label):
+        jp._ENC_CACHE.clear()
+        try:
+            ctx = jp._enc_context(plan, quant_zz, huff)
+            t0 = time.perf_counter()
+            sync(ctx.fn(raw_dev))
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            outs = [ctx.fn(raw_dev) for _ in range(iters)]
+            sync(outs[-1])
+            ms = (time.perf_counter() - t0) * 1e3 / iters
+            print(f"enc {label} [{getattr(ctx.fn, 'kind', '?')}]: "
+                  f"{ms:8.2f} ms  "
+                  f"(compile {compile_s:.0f} s)", flush=True)
+        except Exception as e:
+            print(f"enc {label}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:140]}", flush=True)
+
+    def set_knobs(tile, vmem):
+        os.environ["GPUJPEG_TPU_FUSED_TILE"] = str(tile)
+        if vmem is None:
+            os.environ.pop("GPUJPEG_TPU_VMEM_LIMIT", None)
+        else:
+            os.environ["GPUJPEG_TPU_VMEM_LIMIT"] = str(vmem)
+
     base_t = int(os.environ.get("GPUJPEG_TPU_FUSED_TILE", "768"))
     tiles = [base_t] if os.environ.get("SWEEP_ONE") else \
         [512, 768, 1024, 1536, 2048, 3072, 4096]
     vmems = [None, 32 << 20, 64 << 20, 100 << 20]
     for tile in tiles:
         for vmem in vmems:
-            os.environ["GPUJPEG_TPU_FUSED_TILE"] = str(tile)
-            if vmem is None:
-                os.environ.pop("GPUJPEG_TPU_VMEM_LIMIT", None)
-            else:
-                os.environ["GPUJPEG_TPU_VMEM_LIMIT"] = str(vmem)
-            jp._ENC_CACHE.clear()
-            label = f"tile={tile} vmem={vmem and vmem >> 20 or 'dflt'}M"
-            try:
-                ctx = jp._enc_context(plan, quant_zz, huff)
-                t0 = time.perf_counter()
-                sync(ctx.fn(raw_dev))
-                compile_s = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                outs = [ctx.fn(raw_dev) for _ in range(iters)]
-                sync(outs[-1])
-                ms = (time.perf_counter() - t0) * 1e3 / iters
-                print(f"enc {label}: {ms:8.2f} ms  "
-                      f"(compile {compile_s:.0f} s)", flush=True)
-            except Exception as e:
-                print(f"enc {label}: FAIL {type(e).__name__}: "
-                      f"{str(e)[:140]}", flush=True)
+            set_knobs(tile, vmem)
+            measure(f"tile={tile} vmem={vmem and vmem >> 20 or 'dflt'}M")
+
+    # kernel-variant axis at a trimmed tile set: the single-kernel
+    # fused_full is the default; "fused" (separate merge+stuff kernels)
+    # and "staged" (separate DCT) have SMALLER per-kernel live sets, so
+    # a larger tile may double-buffer where fused_full's cannot — the
+    # round-1 calibration's other branch
+    if not os.environ.get("SWEEP_ONE"):
+        for var_env, var_name in (("GPUJPEG_TPU_NO_FULL_FUSED", "fused"),
+                                  ("GPUJPEG_TPU_NO_FUSED_DCT", "staged")):
+            os.environ[var_env] = "1"
+            for tile in (768, 1536, 3072):
+                for vmem in (None, 64 << 20):
+                    set_knobs(tile, vmem)
+                    measure(f"variant={var_name} tile={tile} "
+                            f"vmem={vmem and vmem >> 20 or 'dflt'}M")
+            os.environ.pop(var_env, None)
 
 
 def run_dec(iters: int):
