@@ -149,6 +149,21 @@ def bench_video(iters=100):
     dt = time.perf_counter() - t0
     row = dict(config=f"video_{iters}xHD", fps=round(iters / dt, 1),
                mpix_s=round(iters * W * H / 1e6 / dt))
+
+    # decode mirror: Decoder.decode_batch pipelines host parse/row-build
+    # of frame i+1 under frame i's device work (wall numbers INCLUDE
+    # host prep + tunnel H2D, unlike the device-pipeline rows above)
+    streams = [enc.encode(f, params, image) for f in frames]
+    dec = Decoder(backend="jax")
+    dec.output_to_device = True     # skip the raw-frame D2H (tunnel)
+    dec.decode(streams[0])          # compile/warm
+    n_dec = max(10, iters // 4)
+    t0 = time.perf_counter()
+    outs_d = dec.decode_batch([streams[i % 4] for i in range(n_dec)])
+    np.asarray(outs_d[-1][0].reshape(-1)[:1])   # final sync
+    dt_d = time.perf_counter() - t0
+    row.update(decode_fps=round(n_dec / dt_d, 1),
+               decode_mpix_s=round(n_dec * W * H / 1e6 / dt_d))
     print(json.dumps(row), file=sys.stderr, flush=True)
     return row
 

@@ -80,6 +80,41 @@ class Decoder:
         finally:
             self.output_to_device = False
 
+    def decode_batch(self, datas) -> list:
+        """Pipelined decode of a frame sequence (the decode mirror of the
+        encoder's async-dispatch video pipelining; reference users run
+        ``gpujpegtool -d`` over image lists, src/main.c:626-810).
+
+        Each frame's device work is launched without a sync, so the host
+        parse + segment-row build of frame i+1 overlaps frame i's device
+        decode. Frames sharing one geometry reuse one cached executable.
+        Per-phase stats are not recorded (a per-stage sync would
+        serialize the pipeline). Returns ``[(raw, ImageParameters), ...]``
+        like :meth:`decode` per frame."""
+        launched = []
+        self._defer_sync = True
+        try:
+            for d in datas:
+                launched.append((self.decode(d), d))
+        finally:
+            self._defer_sync = False
+        out = []
+        for (raw, oi), d in launched:
+            if isinstance(raw, np.ndarray):
+                out.append((raw, oi))
+                continue
+            try:
+                arr = raw if getattr(self, "output_to_device", False) \
+                    else np.asarray(raw)
+            except Exception:
+                # a deferred kernel failure surfaces at sync time, after
+                # the launch-time fallback in decode_device has already
+                # passed — re-decode this frame on the synchronous path
+                # (which applies the normal downgrade/fallback chain)
+                arr, oi = self.decode(d)
+            out.append((arr, oi))
+        return out
+
     def set_output_format(self, color_space: ColorSpace,
                           pixel_format: PixelFormat) -> None:
         """(reference: gpujpeg_decoder_set_output_format,
@@ -139,6 +174,8 @@ class Decoder:
             from ..ops.jax_pipeline import decode_device
             raw = decode_device(self, plan, info, scan_data, segments_by_scan,
                                 dc_by_comp, ac_by_comp, out_image)
+        if getattr(self, "_defer_sync", False):
+            return raw, out_image     # device array; decode_batch syncs
         if getattr(self, "output_to_device", False) and \
                 not isinstance(raw, np.ndarray):
             return raw, out_image

@@ -933,6 +933,13 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
 
     t0 = time.perf_counter()
+    if getattr(decoder, "_defer_sync", False):
+        # pipelined batch decode (Decoder.decode_batch): launch only —
+        # the caller syncs after queueing the following frames, so the
+        # host parse/row-build of frame i+1 overlaps this frame's device
+        # work via async dispatch (perf_stats staging would sync here
+        # and serialize the pipeline, so it is bypassed)
+        return fn(*args_dev, Ws)
     if getattr(decoder, "perf_stats", False):
         s_huff, s_idct, s_post = fn.stages
         coeff_plane = s_huff(*args_dev)

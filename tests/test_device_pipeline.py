@@ -281,3 +281,36 @@ def test_device_rows_builder_matches_host(monkeypatch):
     flagged, _ = dec2.decode(data)
     jp._DEC_V2_CACHE.clear()
     assert np.array_equal(np.asarray(base), np.asarray(flagged))
+
+
+def test_decode_batch_matches_per_frame():
+    """Pipelined batch decode (deferred sync) must match per-frame
+    decode exactly — three frames of one geometry share one executable;
+    a fourth of a different geometry re-routes without cross-talk."""
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 64, 80
+    params = Parameters(quality=85, restart_interval=1)
+    frames = [make_test_rgb(h, w, seed=s) for s in (1, 2, 3)]
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    enc = Encoder(backend="golden")
+    datas = [enc.encode(f.reshape(-1), params, image) for f in frames]
+    img2 = make_test_rgb(48, 48, seed=9)
+    image2 = ImageParameters(width=48, height=48,
+                             color_space=ColorSpace.RGB,
+                             pixel_format=PixelFormat.PF_444_U8_P012)
+    datas.append(enc.encode(img2.reshape(-1), params, image2))
+
+    old = dmod.CPU_SEGMENT_THRESHOLD
+    dmod.CPU_SEGMENT_THRESHOLD = 0
+    try:
+        dec = Decoder(backend="jax")
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        want = [dec.decode(d)[0] for d in datas]
+        got = dec.decode_batch(datas)
+    finally:
+        dmod.CPU_SEGMENT_THRESHOLD = old
+    assert len(got) == len(datas)
+    for (g, oi), w_ in zip(got, want):
+        assert isinstance(g, np.ndarray)
+        assert np.array_equal(g, w_)

@@ -535,3 +535,24 @@ def test_decode_native_idct_interleaved_falls_back(monkeypatch):
     raw, _ = dec.decode(data)
     jp._DEC_V2_CACHE.clear()
     assert psnr(np.asarray(raw).reshape(h, w, 3), img) > 30.0
+
+
+def test_decode_batch_pipelined_device_path(monkeypatch):
+    """decode_batch's deferred-sync launches through the Pallas v3
+    pipeline must match per-frame synchronous decodes exactly."""
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 64, 80
+    params = Parameters(quality=85, restart_interval=1)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    enc = Encoder(backend="golden")
+    datas = [enc.encode(make_test_rgb(h, w, seed=s).reshape(-1), params,
+                        image) for s in (1, 2, 3)]
+    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
+    dec = Decoder(backend="jax")
+    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    want = [dec.decode(d)[0] for d in datas]
+    got = dec.decode_batch(datas)
+    for (g, _), w_ in zip(got, want):
+        assert isinstance(g, np.ndarray)
+        assert np.array_equal(g, w_)
