@@ -301,8 +301,9 @@ def main(argv=None) -> int:
                 print(f"{src} ({img.width}x{img.height}) -> {dst} "
                       f"({len(jpeg)} bytes)")
         elif decode:
-            with open(src, "rb") as f:
-                jpeg = f.read()
+            if "%" not in src:
+                with open(src, "rb") as f:
+                    jpeg = f.read()
             if decoder is None:
                 decoder = Decoder(backend=args.backend,
                                   perf_stats=bool(args.verbose))
@@ -318,6 +319,30 @@ def main(argv=None) -> int:
                     else (out_probe.color_space or ColorSpace.RGB),
                     image.pixel_format if image.pixel_format != PixelFormat.NONE
                     else out_probe.pixel_format)
+            # frame-sequence batch: with a %d input pattern, decode every
+            # existing frame through the pipelined batch path (host parse
+            # of frame i+1 overlaps frame i's device decode)
+            if "%" in src:
+                import os as _os
+                streams = []
+                fi = 0
+                while _os.path.exists(src % fi):
+                    with open(src % fi, "rb") as f:
+                        streams.append(f.read())
+                    fi += 1
+                if not streams:
+                    print(f"no frames match {src}", file=sys.stderr)
+                    rc = 1
+                    continue
+                t0 = time.perf_counter()
+                outs = decoder.decode_batch(streams)
+                ms = (time.perf_counter() - t0) * 1e3
+                for fj, (raw, out_img) in enumerate(outs):
+                    image_io.save_image(dst % fj if "%" in dst else dst,
+                                        raw, out_img)
+                print(f"{src}: decoded {len(outs)} frames -> {dst} "
+                      f"({ms / len(outs):.2f} ms/frame)")
+                continue
             for it in range(args.iterate):
                 t0 = time.perf_counter()
                 raw, out_img = decoder.decode(jpeg)

@@ -119,3 +119,21 @@ def test_cli_y4m_video_batch(tmp_path):
         p = tmp_path / ("frame_%02d.jpg" % i)
         assert p.exists() and p.stat().st_size > 100
         Image.open(p)   # parseable by an independent decoder
+
+
+def test_cli_decode_frame_sequence(tmp_path):
+    """%d input pattern decodes a frame sequence through the pipelined
+    batch path (mirror of the Y4M encode batch)."""
+    H, W = 32, 48
+    frames = [make_test_rgb(H, W, seed=s) for s in range(3)]
+    for i, f in enumerate(frames):
+        src = tmp_path / f"in_{i}.ppm"
+        _write_ppm(src, f)
+        assert cli.main(["-b", "golden", str(src),
+                         str(tmp_path / ("f_%02d.jpg" % i))]) == 0
+    out = tmp_path / "back_%02d.ppm"
+    assert cli.main(["-b", "golden", str(tmp_path / "f_%02d.jpg"),
+                     str(out)]) == 0
+    for i, f in enumerate(frames):
+        back, info = image_io.load_image(str(tmp_path / ("back_%02d.ppm" % i)))
+        assert psnr(f, back.reshape(H, W, 3)) > 30
