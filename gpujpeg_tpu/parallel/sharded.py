@@ -395,8 +395,7 @@ class ShardedDecoder:
         from ..ops.blocks import blocks_to_plane
         from ..ops.dct import dequant_idct_device, idct_operator_f32
         from ..ops.preprocess import postprocess
-        from ..ops.pallas_decode import (
-            V3_WCAP_MAX, build_dec_tables_v2, build_segment_rows)
+        from ..ops.pallas_decode import V3_WCAP_MAX, build_dec_tables_v2
         from ..ops.pallas_decode_v3 import make_decode_kernel_v3
 
         plan = layout.plan
@@ -422,8 +421,9 @@ class ShardedDecoder:
         tabs = build_dec_tables_v2(uniq)
 
         # per-band destuffed word rows; common Wcap across bands
+        from ..ops.pallas_decode import segment_ranges_wcap
         spb = {s.index: s.segment_count for s in plan.scans}
-        band_rows = []
+        band_ranges = []
         wcap = 0
         for b in range(n):
             scan_data_b, segs_b = [], []
@@ -435,8 +435,9 @@ class ShardedDecoder:
                 segs_b.append(stream_scan.segments[
                     lo_seg:lo_seg + spb[scan.index]])
                 scan_data_b.append(stream_scan.data)
-            rows_b, w_b = build_segment_rows(scan_data_b, segs_b, plan)
-            band_rows.append(rows_b)
+            concat_b, lo_b, hi_b, w_b = segment_ranges_wcap(
+                scan_data_b, segs_b, plan)
+            band_ranges.append((concat_b, lo_b, hi_b))
             wcap = max(wcap, w_b)
         if wcap > V3_WCAP_MAX:   # single source: the v2/v3 route threshold
             raise _V3Unroutable("per-segment stream too large for v3 kernel")
@@ -460,11 +461,22 @@ class ShardedDecoder:
         if tile_env >= 128 and tile_env % 128 == 0:
             seg_tile = tile_env     # tuning/test override
         S_pad = -(-S // seg_tile) * seg_tile
+        # native column-major builder per band (no NumPy destuff loop or
+        # (S, wcap) transpose — the single-chip path's host-prep win
+        # applied per band); NumPy fallback without the native lib
+        from ..ops.pallas_decode import (
+            build_segment_rows_from_ranges, build_segment_rows_t)
         dataT = np.zeros((n, wcap, S_pad), np.int32)
-        for b in range(n):
-            r = np.zeros((S_pad, wcap), np.uint32)
-            r[:S, :band_rows[b].shape[1]] = band_rows[b]
-            dataT[b] = np.ascontiguousarray(r.T).view(np.int32)
+        for b, (concat_b, lo_b, hi_b) in enumerate(band_ranges):
+            rT = build_segment_rows_t(concat_b, lo_b, hi_b, plan, wcap,
+                                      S_pad)
+            if rT is None:
+                rows_b = build_segment_rows_from_ranges(
+                    concat_b, lo_b, hi_b, S, wcap)
+                r = np.zeros((S_pad, wcap), np.uint32)
+                r[:S] = rows_b
+                rT = np.ascontiguousarray(r.T).view(np.int32)
+            dataT[b] = rT
 
         seg_comp = np.zeros((S_pad, 1), np.int32)
         seg_nblk = np.zeros((S_pad, 1), np.int32)
