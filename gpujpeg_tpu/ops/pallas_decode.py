@@ -136,18 +136,6 @@ def _segment_ranges(scan_data, segments_by_scan, plan):
     return concat, lo, hi
 
 
-def build_segment_rows(scan_data, segments_by_scan, plan) -> tuple[np.ndarray, int]:
-    """Per plan-segment destuffed big-endian u32 word rows (S, Wcap).
-
-    Uses the native C++ row builder when available (~5 ms at 8K vs ~1.8 s
-    for the per-segment NumPy loop — the decode-side analog of the
-    reference's host scan split hot loop, FAQ.md:53-68)."""
-    concat, lo, hi, Wcap = segment_ranges_wcap(
-        scan_data, segments_by_scan, plan)
-    return build_segment_rows_from_ranges(
-        concat, lo, hi, plan.n_segments, Wcap), Wcap
-
-
 def build_segment_rows_from_ranges(concat, lo, hi, S: int,
                                    Wcap: int) -> np.ndarray:
     """Destuffed (S, Wcap) word rows from precomputed segment ranges —
