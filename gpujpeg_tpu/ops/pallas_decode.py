@@ -189,7 +189,7 @@ def build_segment_rows_t(concat, lo, hi, plan, Wcap: int,
     """Destuffed words directly in the transposed (Wcap, S_pad)
     column-major layout the v3 kernel consumes (no 8 MB host transpose).
     Returns int32 (Wcap, S_pad), or None when the native library is
-    unavailable (caller falls back to build_segment_rows + transpose)."""
+    unavailable (caller falls back to build_segment_rows_from_ranges + transpose)."""
     from ..native import lib as native_lib
     L = native_lib()
     if L is None or not hasattr(L, "gj_build_rows_t"):
