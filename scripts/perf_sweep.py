@@ -91,6 +91,15 @@ def run_enc(iters: int):
             set_knobs(tile, vmem)
             measure(f"tile={tile} vmem={vmem and vmem >> 20 or 'dflt'}M")
 
+    # preprocess fusion-fence A/B at default knobs: where the XLA fence
+    # between the pixel chain and the blockify transpose sits
+    if not os.environ.get("SWEEP_ONE"):
+        set_knobs(base_t, None)
+        for bm in ("packed", "none"):
+            os.environ["GPUJPEG_TPU_PRE_BARRIER"] = bm
+            measure(f"pre_barrier={bm} tile={base_t}")
+        os.environ.pop("GPUJPEG_TPU_PRE_BARRIER", None)
+
     # kernel-variant axis at a trimmed tile set: the single-kernel
     # fused_full is the default; "fused" (separate merge+stuff kernels)
     # and "staged" (separate DCT) have SMALLER per-kernel live sets, so
