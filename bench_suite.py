@@ -150,9 +150,19 @@ def bench_video(iters=100):
     row = dict(config=f"video_{iters}xHD", fps=round(iters / dt, 1),
                mpix_s=round(iters * W * H / 1e6 / dt))
 
-    # decode mirror: Decoder.decode_batch pipelines host parse/row-build
-    # of frame i+1 under frame i's device work (wall numbers INCLUDE
-    # host prep + tunnel H2D, unlike the device-pipeline rows above)
+    # end-to-end batch walls: encode_batch / decode_batch pipeline host
+    # prep + stream formatting under neighboring frames' device work
+    # (these INCLUDE host work + tunnel transfers, unlike the
+    # device-pipeline rows above)
+    n_enc = max(10, iters // 4)
+    enc.encode(frames[0], params, image)     # warm
+    t0 = time.perf_counter()
+    streams_n = enc.encode_batch([frames[i % 4] for i in range(n_enc)],
+                                 params, image)
+    dt_e = time.perf_counter() - t0
+    row.update(encode_e2e_fps=round(n_enc / dt_e, 1),
+               encode_e2e_mpix_s=round(n_enc * W * H / 1e6 / dt_e))
+    del streams_n
     streams = [enc.encode(f, params, image) for f in frames]
     dec = Decoder(backend="jax")
     dec.output_to_device = True     # skip the raw-frame D2H (tunnel)

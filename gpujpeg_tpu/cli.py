@@ -279,14 +279,27 @@ def main(argv=None) -> int:
             if in_fmt == FileFormat.Y4M and "%" in dst:
                 with open(src, "rb") as f:
                     y4m_info, frames = image_io.y4m_read_frames(f.read())
-                for fi, frame in enumerate(frames):
+                if args.verbose:
+                    # per-frame stats need per-frame syncs
+                    for fi, frame in enumerate(frames):
+                        t0 = time.perf_counter()
+                        jpeg = encoder.encode(frame, p, img)
+                        ms = (time.perf_counter() - t0) * 1e3
+                        _print_stats(f"Encode frame {fi}", encoder.stats,
+                                     ms, args.verbose)
+                        with open(dst % fi, "wb") as f:
+                            f.write(jpeg)
+                else:
                     t0 = time.perf_counter()
-                    jpeg = encoder.encode(frame, p, img)
-                    ms = (time.perf_counter() - t0) * 1e3
-                    _print_stats(f"Encode frame {fi}", encoder.stats, ms,
-                                 args.verbose)
-                    with open(dst % fi, "wb") as f:
-                        f.write(jpeg)
+                    jpegs = encoder.encode_batch(frames, p, img)
+                    ms = (time.perf_counter() - t0) * 1e3 / max(
+                        len(frames), 1)
+                    for fi, jpeg in enumerate(jpegs):
+                        with open(dst % fi, "wb") as f:
+                            f.write(jpeg)
+                    print(f"{src}: encoded {len(frames)} frames -> {dst} "
+                          f"({ms:.2f} ms/frame)")
+                    continue
                 print(f"{src}: encoded {len(frames)} frames -> {dst}")
                 continue
             data, _ = image_io.load_image(src)

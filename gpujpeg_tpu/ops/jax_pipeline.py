@@ -546,22 +546,18 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
                 return None         # host golden coder
             out_flat, out_len, seg_bits, n_ff = res
         out_len_h = np.asarray(out_len)
-        seg_bits_h = np.asarray(seg_bits)[:plan.n_segments]
-        n_ff_h = np.asarray(n_ff)[:plan.n_segments]
-        stuffed = ((seg_bits_h + 7) >> 3) + n_ff_h
-        overflow = (seg_bits_h > ctx.cap_seg_bytes * 8).any() or \
-            (stuffed + 2 > ctx.cap_out_bytes).any() or \
-            (n_ff_h > ctx.geo.max_stuff).any()
-        if not overflow:
+        if not _seg_overflow(ctx, plan, out_len_h, seg_bits, n_ff):
             break
         if tier == 1:
             ctx = ctx.tier2()   # busier content than the typical budget
         else:
             return None         # beyond worst-case caps: host golden coder
     encoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
+    return _split_scan_bodies(plan, ctx, out_flat, out_len_h)
 
+
+def _split_scan_bodies(plan: CoderPlan, ctx, out_flat, out_len_h):
     flat, starts = compact_segments(out_flat, out_len_h, ctx.cap_out_bytes)
-
     scan_bodies = []
     seg_sizes_by_scan = []
     seg = 0
@@ -573,6 +569,64 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
         seg_sizes_by_scan.append(sizes)
         seg += n
     return scan_bodies, seg_sizes_by_scan
+
+
+def _seg_overflow(ctx, plan: CoderPlan, out_len_h, seg_bits, n_ff):
+    seg_bits_h = np.asarray(seg_bits)[:plan.n_segments]
+    n_ff_h = np.asarray(n_ff)[:plan.n_segments]
+    stuffed = ((seg_bits_h + 7) >> 3) + n_ff_h
+    return bool((seg_bits_h > ctx.cap_seg_bytes * 8).any() or
+                (stuffed + 2 > ctx.cap_out_bytes).any() or
+                (n_ff_h > ctx.geo.max_stuff).any())
+
+
+def encode_batch_device(encoder, raws, plan: CoderPlan, quant_zz, huff,
+                        depth: int = 3):
+    """Pipelined batch encode: device work for up to ``depth`` frames is
+    queued ahead, so frame i's D2H + host compaction/stream formatting
+    overlap frames i+1..i+depth's device compute (the encode mirror of
+    Decoder.decode_batch; the reference pipelines frames the same way
+    via per-stream async launches, gpujpeg_encoder.h:106). Yields one
+    encode_segments_device-shaped result per frame — or None for frames
+    that must take the host golden coder. Rare anomalies (capacity
+    overflow, deferred kernel failure) re-run that frame synchronously
+    through encode_segments_device's tier/downgrade chain."""
+    ctx = _enc_context(plan, quant_zz, huff)
+
+    def launch(raw):
+        if isinstance(raw, jax.Array):
+            raw_j = raw.reshape(-1).astype(jnp.uint8)
+        else:
+            raw_j = jnp.asarray(np.asarray(raw, dtype=np.uint8).reshape(-1))
+        try:
+            return ctx.fn(raw_j)
+        except Exception:
+            if os.environ.get("GPUJPEG_TPU_STRICT"):
+                raise
+            return None
+
+    n = len(raws)
+    pending: list = []
+    i = 0
+    while i < n or pending:
+        while i < n and len(pending) < depth:
+            pending.append((raws[i], launch(raws[i])))
+            i += 1
+        raw, res = pending.pop(0)
+        ok = res is not None
+        if ok:
+            try:
+                out_flat, out_len, seg_bits, n_ff = res
+                out_len_h = np.asarray(out_len)      # blocks on this frame
+                ok = not _seg_overflow(ctx, plan, out_len_h, seg_bits, n_ff)
+            except Exception:
+                if os.environ.get("GPUJPEG_TPU_STRICT"):
+                    raise
+                ok = False
+        if ok:
+            yield _split_scan_bodies(plan, ctx, out_flat, out_len_h)
+        else:
+            yield encode_segments_device(encoder, raw, plan, quant_zz, huff)
 
 
 # ---------------------------------------------------------------------------

@@ -314,3 +314,17 @@ def test_decode_batch_matches_per_frame():
     for (g, oi), w_ in zip(got, want):
         assert isinstance(g, np.ndarray)
         assert np.array_equal(g, w_)
+
+
+def test_encode_batch_matches_per_frame():
+    """Pipelined batch encode must be byte-identical to per-frame
+    encode (same geometry, one executable, deferred D2H)."""
+    h, w = 64, 80
+    params = Parameters(quality=85, restart_interval=4)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    frames = [make_test_rgb(h, w, seed=s).reshape(-1) for s in (1, 2, 3)]
+    enc = Encoder(backend="jax")
+    want = [enc.encode(f, params, image) for f in frames]
+    got = enc.encode_batch(frames, params, image)
+    assert got == want

@@ -556,3 +556,21 @@ def test_decode_batch_pipelined_device_path(monkeypatch):
     for (g, _), w_ in zip(got, want):
         assert isinstance(g, np.ndarray)
         assert np.array_equal(g, w_)
+
+
+def test_encode_batch_pipelined_device_path(rng):
+    """Batch encode through the Pallas kernels: byte-identical to
+    per-frame encodes, including a noise frame that overflows the
+    tier-1 capacity mid-batch (re-run synchronously through the tier
+    chain without disturbing its neighbors)."""
+    h, w = 64, 80
+    params = Parameters(quality=98, restart_interval=4)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    frames = [make_test_rgb(h, w, seed=1).reshape(-1),
+              rng.integers(0, 256, h * w * 3, dtype=np.uint8),
+              make_test_rgb(h, w, seed=2).reshape(-1)]
+    enc = Encoder(backend="jax")
+    want = [enc.encode(f, params, image) for f in frames]
+    got = enc.encode_batch(frames, params, image)
+    assert got == want
