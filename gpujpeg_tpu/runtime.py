@@ -53,6 +53,17 @@ def enable_compilation_cache() -> None:
     _CACHE_WIRED = True
     try:
         import jax
+        # Honor JAX_PLATFORMS even when a site hook (e.g. a hosted-TPU
+        # plugin) pre-imported jax and pinned another platform — the
+        # env var is the user's explicit choice for this process. (The
+        # CLI re-asserts it too; doing it here covers library imports,
+        # examples and scripts/smoke.sh uniformly.)
+        env_platforms = os.environ.get("JAX_PLATFORMS")
+        if env_platforms:
+            try:
+                jax.config.update("jax_platforms", env_platforms)
+            except Exception:
+                pass
         if (os.environ.get("JAX_COMPILATION_CACHE_DIR")
                 or jax.config.jax_compilation_cache_dir):
             return  # user/test harness already configured a cache
