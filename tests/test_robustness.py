@@ -179,3 +179,29 @@ def test_restart_interval_zero_device_backend():
     assert not any(scan.find(bytes((0xFF, 0xD0 + i))) >= 0 for i in range(8))
     pil = np.asarray(_Image.open(io.BytesIO(data)).convert("RGB"))
     assert psnr(img, pil) > 30
+
+
+def test_decode_batch_corrupt_frame_raises_and_recovers():
+    """A corrupt stream mid-batch raises JpegParseError (parse happens
+    at launch time) and must leave the decoder usable: the deferred-sync
+    flag is restored so later decodes run normally."""
+    from gpujpeg_tpu.models.decoder import Decoder
+    from gpujpeg_tpu.models.encoder import Encoder
+    from gpujpeg_tpu.params import ImageParameters, Parameters
+    from gpujpeg_tpu.stream.reader import JpegParseError
+    from gpujpeg_tpu.types import ColorSpace, PixelFormat
+    from conftest import make_test_rgb
+
+    h, w = 32, 48
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=4)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+    dec = Decoder(backend="golden")
+    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    with pytest.raises(JpegParseError):
+        dec.decode_batch([data, b"\xff\xd8garbage", data])
+    assert not getattr(dec, "_defer_sync", False)
+    raw, _ = dec.decode(data)        # decoder still works
+    assert raw.size == h * w * 3
