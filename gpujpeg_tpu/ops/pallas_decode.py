@@ -166,6 +166,29 @@ def build_segment_rows_from_ranges(concat, lo, hi, S: int,
     return words.astype(np.uint32)
 
 
+def bucket_wcap(w: int) -> int:
+    """Round a per-segment word capacity up to a ~1.25x geometric bucket.
+
+    Wcap is CONTENT-dependent (max segment bytes), and it keys the
+    decode executable cache — without bucketing, every video frame
+    whose busiest segment grew past the last frame's capacity would
+    recompile the kernel (tens of seconds on TPU). Buckets are
+    8-word-aligned in the v3 regime and capped at V3_WCAP_MAX so
+    bucketing never flips the v3/v2 kernel route; past the threshold
+    (the v2 kernel's 128-multiple window refill) they are 128-aligned.
+    Worst-case padding overshoot is ~25% of the row upload (zero words
+    past the stream are by-design harmless to both kernels)."""
+    b = 8
+    while b < w and b < V3_WCAP_MAX:
+        b = -(-int(b * 1.25) // 8) * 8
+    if b >= w:
+        return min(b, V3_WCAP_MAX) if w <= V3_WCAP_MAX else b
+    b = 512                      # v2 regime ladder, 128-aligned
+    while b < w:
+        b = -(-int(b * 1.25) // 128) * 128
+    return b
+
+
 def segment_ranges_wcap(scan_data, segments_by_scan, plan):
     """(concat bytes, lo, hi, Wcap) for the v2/v3 row builders.
 
@@ -173,7 +196,9 @@ def segment_ranges_wcap(scan_data, segments_by_scan, plan):
     (Mosaic sublane tile), NOT 128 — the v3 per-iteration stream fetch
     reduces over all Wcap word rows, and a 13-word HD segment must not
     pay for a 128-row scan. The v2 kernel's lane-chunked window refill
-    needs the 128-multiple rounding past the threshold."""
+    needs the 128-multiple rounding past the threshold. The result is
+    then bucketed (:func:`bucket_wcap`) so one compiled kernel serves a
+    content-size family across a video stream."""
     S = plan.n_segments
     concat, lo, hi = _segment_ranges(scan_data, segments_by_scan, plan)
     max_raw = int(np.maximum(hi - lo, 1).max()) if S else 1
@@ -181,7 +206,7 @@ def segment_ranges_wcap(scan_data, segments_by_scan, plan):
     Wcap = -(-Wcap // 8) * 8
     if Wcap > V3_WCAP_MAX:
         Wcap = -(-Wcap // 128) * 128
-    return concat, lo, hi, Wcap
+    return concat, lo, hi, bucket_wcap(Wcap)
 
 
 def build_segment_rows_t(concat, lo, hi, plan, Wcap: int,

@@ -574,3 +574,37 @@ def test_encode_batch_pipelined_device_path(rng):
     want = [enc.encode(f, params, image) for f in frames]
     got = enc.encode_batch(frames, params, image)
     assert got == want
+
+
+def test_decode_wcap_bucketing_reuses_executable(monkeypatch):
+    """Two frames of one geometry whose busiest segments differ in size
+    must land in one wcap bucket and reuse ONE compiled decode pipeline
+    (without bucketing, every video frame whose max segment grew would
+    recompile); a drastically busier stream may open a second bucket but
+    must still decode correctly."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 64, 80
+    params = Parameters(quality=85, restart_interval=4)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    enc = Encoder(backend="golden")
+    d1 = enc.encode(make_test_rgb(h, w, seed=1).reshape(-1), params, image)
+    d2 = enc.encode(make_test_rgb(h, w, seed=2).reshape(-1), params, image)
+    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
+    jp._DEC_V2_CACHE.clear()
+    dec = Decoder(backend="jax")
+    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    r1, _ = dec.decode(d1)
+    assert len(jp._DEC_V2_CACHE) == 1
+    r2, _ = dec.decode(d2)
+    assert len(jp._DEC_V2_CACHE) == 1, "same-family frame recompiled"
+    # noise at Q98 blows far past the smooth frames' bucket
+    import dataclasses
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, h * w * 3, dtype=np.uint8)
+    d3 = enc.encode(noisy, dataclasses.replace(params, quality=98), image)
+    r3, _ = dec.decode(d3)
+    assert psnr(np.asarray(r1).reshape(h, w, 3),
+                make_test_rgb(h, w, seed=1)) > 30
+    jp._DEC_V2_CACHE.clear()
