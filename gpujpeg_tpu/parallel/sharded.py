@@ -489,56 +489,77 @@ class ShardedDecoder:
         sn_in = np.broadcast_to(
             seg_nblk.reshape(1, S_pad // 128, 128), (n, S_pad // 128, 128))
 
-        run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl)
-        nb = plan.n_blocks
-        slot_in_seg = np.arange(nb, dtype=np.int32) - \
-            plan.seg_block_start[plan.block_segment]
-        out_row = plan.block_segment.astype(np.int64) * bps + slot_in_seg
-        out_row_identity = bool(
-            np.array_equal(out_row, np.arange(nb, dtype=np.int64)))
-        inv = np.empty(nb, dtype=np.int32)
-        inv[plan.block_plane_idx] = np.arange(nb, dtype=np.int32)
-        inv_identity = bool(np.array_equal(inv, np.arange(nb, dtype=np.int32)))
-        out_row_j = None if out_row_identity else jnp.asarray(out_row)
-        inv_j = None if inv_identity else jnp.asarray(inv)
-
-        Ws = tuple(
-            jnp.asarray(idct_operator_f32(
-                tuple(int(x) for x in info.quant_tables[
-                    info.components[c.index].quant_table_index])))
+        # cache the jitted shard_map per (geometry, stream tables): a
+        # fresh jit(closure) per call would miss jit's identity-keyed
+        # cache and retrace/recompile EVERY frame of a video stream
+        import hashlib
+        qts = tuple(
+            tuple(int(x) for x in info.quant_tables[
+                info.components[c.index].quant_table_index])
             for c in plan.components)
-        comp_slices = []
-        pos = 0
-        for c in plan.components:
-            comp_slices.append((pos, c.block_count, c.data_height,
-                                c.data_width))
-            pos += c.block_count
-        # small decode tables ride as captured constants (replicated)
-        def local_fn(dT, sc, sn):
-            def one(d, c_, n_):
-                out3 = run(d, c_, n_, tabs, dc_slot, ac_slot)
-                flat = out3.reshape(-1, 64)
-                coeff = flat[:nb] if out_row_identity else flat[out_row_j]
-                coeff = coeff if inv_identity else coeff[inv_j]
-                planes = []
-                from ..ops.blocks import blocks_u32_to_plane, pack_blocks_u32
-                for (start, count, dh, dw), W in zip(comp_slices, Ws):
-                    blocks = dequant_idct_device(
-                        coeff[start:start + count], W)
-                    blocks = jax.lax.optimization_barrier(blocks)
-                    planes.append(blocks_u32_to_plane(
-                        pack_blocks_u32(blocks, jnp), dh, dw, jnp))
-                planes = list(jax.lax.optimization_barrier(tuple(planes)))
-                return postprocess(planes, band_out, plan, jnp)
-            return jax.vmap(one)(dT, sc, sn)
+        th = hashlib.sha1(b"".join(
+            (tabs.quick.tobytes(), tabs.maxcode.tobytes(),
+             tabs.delta.tobytes(), tabs.huffval.tobytes()))).hexdigest()
+        key = ("dec_v3", plan.params, plan.image, band_out, n, wcap,
+               S_pad, seg_tile, n_slots, tuple(int(v) for v in dc_slot),
+               tuple(int(v) for v in ac_slot), th, qts,
+               # kernel-variant env knobs baked into make_decode_kernel_v3
+               kb, out_bytes, os.environ.get("GPUJPEG_TPU_DEC_WINDOW", ""))
+        fn = self._cache.get(key)
+        if fn is None:
+            run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl)
+            nb = plan.n_blocks
+            slot_in_seg = np.arange(nb, dtype=np.int32) - \
+                plan.seg_block_start[plan.block_segment]
+            out_row = plan.block_segment.astype(np.int64) * bps + \
+                slot_in_seg
+            out_row_identity = bool(
+                np.array_equal(out_row, np.arange(nb, dtype=np.int64)))
+            inv = np.empty(nb, dtype=np.int32)
+            inv[plan.block_plane_idx] = np.arange(nb, dtype=np.int32)
+            inv_identity = bool(
+                np.array_equal(inv, np.arange(nb, dtype=np.int32)))
+            out_row_j = None if out_row_identity else jnp.asarray(out_row)
+            inv_j = None if inv_identity else jnp.asarray(inv)
 
-        fn = jax.jit(_shard_map(
-            local_fn, mesh=self.mesh,
-            in_specs=(P("seg", None, None), P("seg", None, None),
-                      P("seg", None, None)),
-            out_specs=P("seg", None),
-            check_vma=False,   # pallas_call out_shapes carry no vma
-        ))
+            Ws = tuple(jnp.asarray(idct_operator_f32(q)) for q in qts)
+            comp_slices = []
+            pos = 0
+            for c in plan.components:
+                comp_slices.append((pos, c.block_count, c.data_height,
+                                    c.data_width))
+                pos += c.block_count
+
+            # small decode tables ride as captured constants (replicated)
+            def local_fn(dT, sc, sn):
+                def one(d, c_, n_):
+                    out3 = run(d, c_, n_, tabs, dc_slot, ac_slot)
+                    flat = out3.reshape(-1, 64)
+                    coeff = (flat[:nb] if out_row_identity
+                             else flat[out_row_j])
+                    coeff = coeff if inv_identity else coeff[inv_j]
+                    planes = []
+                    from ..ops.blocks import (blocks_u32_to_plane,
+                                              pack_blocks_u32)
+                    for (start, count, dh, dw), W in zip(comp_slices, Ws):
+                        blocks = dequant_idct_device(
+                            coeff[start:start + count], W)
+                        blocks = jax.lax.optimization_barrier(blocks)
+                        planes.append(blocks_u32_to_plane(
+                            pack_blocks_u32(blocks, jnp), dh, dw, jnp))
+                    planes = list(
+                        jax.lax.optimization_barrier(tuple(planes)))
+                    return postprocess(planes, band_out, plan, jnp)
+                return jax.vmap(one)(dT, sc, sn)
+
+            fn = jax.jit(_shard_map(
+                local_fn, mesh=self.mesh,
+                in_specs=(P("seg", None, None), P("seg", None, None),
+                          P("seg", None, None)),
+                out_specs=P("seg", None),
+                check_vma=False,   # pallas_call out_shapes carry no vma
+            ))
+            self._cache[key] = fn
         out = fn(jnp.asarray(dataT),
                  jnp.asarray(np.ascontiguousarray(sc_in)),
                  jnp.asarray(np.ascontiguousarray(sn_in)))

@@ -136,3 +136,24 @@ def test_sharded_tier2_fallback_high_entropy(monkeypatch):
     assert sharded == single
     assert enc._cache and next(iter(enc._cache.values())).fn2 is not None, \
         "expected tier-2 rerun to have engaged"
+
+
+def test_sharded_decode_reuses_executable():
+    """Repeat sharded decodes of same-geometry streams must reuse ONE
+    cached jitted shard_map — a fresh jit(closure) per call misses
+    jit's identity-keyed cache and recompiles every frame."""
+    from gpujpeg_tpu.parallel import ShardedDecoder
+
+    h, w = 64, 96
+    params = Parameters(quality=85, restart_interval=2)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    enc = Encoder(backend="golden")
+    d1 = enc.encode(make_test_rgb(h, w, seed=1).reshape(-1), params, image)
+    d2 = enc.encode(make_test_rgb(h, w, seed=2).reshape(-1), params, image)
+    dec = ShardedDecoder(_mesh(1, 4))
+    r1, _ = dec.decode(d1)
+    assert len(dec._cache) == 1, "decode executable not cached at all"
+    r2, _ = dec.decode(d2)
+    assert len(dec._cache) == 1, "same-family frame rebuilt the jit"
+    assert r1.size == r2.size
