@@ -340,49 +340,64 @@ class ShardedDecoder:
             datab[b, :bb.size] = bb
         startsb = np.stack(band_starts).astype(np.int32)
 
-        Ws = tuple(
-            jnp.asarray(idct_operator_f32(
-                tuple(int(x) for x in info.quant_tables[
-                    info.components[c.index].quant_table_index])))
-            for c in plan.components
-        )
-        inv = np.empty(plan.n_blocks, dtype=np.int32)
-        inv[plan.block_plane_idx] = np.arange(plan.n_blocks, dtype=np.int32)
-        inv_j = jnp.asarray(inv)
-        gd = {
-            "block_comp": jnp.asarray(g.block_comp),
-            "seg_block_start": jnp.asarray(g.seg_block_start),
-            "seg_block_count": jnp.asarray(g.seg_block_count),
-        }
-        luts_j = jnp.asarray(luts)
-        dc_j, ac_j = jnp.asarray(dc_tab), jnp.asarray(ac_tab)
-        comp_slices = []
-        pos = 0
-        for c in plan.components:
-            comp_slices.append((pos, c.block_count, c.data_height, c.data_width))
-            pos += c.block_count
-        n_blocks, max_iters = plan.n_blocks, g.max_iters
+        # cache the jitted shard_map per (geometry, stream tables) — the
+        # same per-call jit(closure) retrace bug as the v3 path
+        import hashlib
+        qts = tuple(
+            tuple(int(x) for x in info.quant_tables[
+                info.components[c.index].quant_table_index])
+            for c in plan.components)
+        th = hashlib.sha1(b"".join(
+            (np.ascontiguousarray(luts).tobytes(),
+             np.ascontiguousarray(dc_tab).tobytes(),
+             np.ascontiguousarray(ac_tab).tobytes()))).hexdigest()
+        key = ("dec_v1", plan.params, plan.image, band_out, n, L_pad,
+               th, qts)
+        fn = self._cache.get(key)
+        if fn is None:
+            Ws = tuple(jnp.asarray(idct_operator_f32(q)) for q in qts)
+            inv = np.empty(plan.n_blocks, dtype=np.int32)
+            inv[plan.block_plane_idx] = np.arange(plan.n_blocks,
+                                                  dtype=np.int32)
+            inv_j = jnp.asarray(inv)
+            gd = {
+                "block_comp": jnp.asarray(g.block_comp),
+                "seg_block_start": jnp.asarray(g.seg_block_start),
+                "seg_block_count": jnp.asarray(g.seg_block_count),
+            }
+            luts_j = jnp.asarray(luts)
+            dc_j, ac_j = jnp.asarray(dc_tab), jnp.asarray(ac_tab)
+            comp_slices = []
+            pos = 0
+            for c in plan.components:
+                comp_slices.append((pos, c.block_count, c.data_height,
+                                    c.data_width))
+                pos += c.block_count
+            n_blocks, max_iters = plan.n_blocks, g.max_iters
 
-        from ..ops.dct import dequant_idct_device
+            from ..ops.dct import dequant_idct_device
 
-        def local_fn(db, sb):
-            def one(dbb, sbb):
-                coeff = huffman_decode_kernel(
-                    dbb, sbb, gd, luts_j, dc_j, ac_j, n_blocks, max_iters)
-                coeff = coeff[inv_j]
-                planes = []
-                for (start, count, dh, dw), W in zip(comp_slices, Ws):
-                    blocks = dequant_idct_device(coeff[start:start + count], W)
-                    planes.append(blocks_to_plane(blocks, dh, dw, jnp))
-                return postprocess(planes, band_out, plan, jnp)
-            return jax.vmap(one)(db, sb)
+            def local_fn(db, sb):
+                def one(dbb, sbb):
+                    coeff = huffman_decode_kernel(
+                        dbb, sbb, gd, luts_j, dc_j, ac_j, n_blocks,
+                        max_iters)
+                    coeff = coeff[inv_j]
+                    planes = []
+                    for (start, count, dh, dw), W in zip(comp_slices, Ws):
+                        blocks = dequant_idct_device(
+                            coeff[start:start + count], W)
+                        planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+                    return postprocess(planes, band_out, plan, jnp)
+                return jax.vmap(one)(db, sb)
 
-        fn = jax.jit(_shard_map(
-            local_fn, mesh=self.mesh,
-            in_specs=(P("seg", None), P("seg", None)),
-            out_specs=P("seg", None),
-            check_vma=False,   # see the encoder shard_map note
-        ))
+            fn = jax.jit(_shard_map(
+                local_fn, mesh=self.mesh,
+                in_specs=(P("seg", None), P("seg", None)),
+                out_specs=P("seg", None),
+                check_vma=False,   # see the encoder shard_map note
+            ))
+            self._cache[key] = fn
         out = fn(jnp.asarray(datab), jnp.asarray(startsb))
         return np.asarray(jax.device_get(out))
 
