@@ -72,7 +72,6 @@ print("WORKER_OK", pid)
 """
 
 
-@pytest.mark.timeout(600)
 def test_two_process_distributed_encode(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
