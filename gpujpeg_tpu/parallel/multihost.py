@@ -265,8 +265,10 @@ class MultiHostDecoder:
 
     def decode_my_frames(self, streams) -> list:
         """``streams``: the JPEG byte streams this process owns. Returns
-        ``[(raw, ImageParameters), ...]`` in the same order."""
-        return [self._inner.decode(s) for s in streams]
+        ``[(raw, ImageParameters), ...]`` in the same order. Pipelined:
+        frame i+1's parse + band row build overlap frame i's device
+        decode (ShardedDecoder.decode_batch)."""
+        return self._inner.decode_batch(streams)
 
 
 def _tier_overflow(geo, bits_h, nff_h) -> bool:

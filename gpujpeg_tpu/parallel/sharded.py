@@ -199,6 +199,15 @@ class _V3Unroutable(Exception):
     expected routing, not kernel breakage, so STRICT must not raise."""
 
 
+@dataclasses.dataclass
+class _DeferredBands:
+    """Un-fetched per-band device output (ShardedDecoder.decode_batch
+    pipelining): the device_get + stitch run at collect time."""
+    out: object
+    out_image: ImageParameters
+    layout: "BandLayout"
+
+
 class ShardedDecoder:
     """Decoder that deals restart segments to devices band by band.
 
@@ -248,8 +257,42 @@ class ShardedDecoder:
             color_space=ColorSpace.RGB,
             pixel_format=info.deduce_pixel_format())
         raw_bands = self._decode_bands(info, layout, out_image)
+        if not isinstance(raw_bands, np.ndarray):
+            # deferred device fetch (decode_batch pipelining)
+            return _DeferredBands(raw_bands, out_image, layout)
         raw = self._stitch(raw_bands, out_image, layout)
         return raw, out_image
+
+    def decode_batch(self, streams) -> list:
+        """Pipelined decode of a frame sequence: each frame's host work
+        (parse, per-band row build) runs while earlier frames' bands
+        decode on the devices; band fetch + stitch happen at collect
+        time (the sharded mirror of Decoder.decode_batch)."""
+        launched = []
+        self._defer_get = True
+        try:
+            for s in streams:
+                launched.append((self.decode(s), s))
+        finally:
+            self._defer_get = False
+        outs = []
+        for item, s in launched:
+            if isinstance(item, _DeferredBands):
+                try:
+                    bands = np.asarray(jax.device_get(item.out))
+                except Exception:
+                    import os
+                    if os.environ.get("GPUJPEG_TPU_STRICT"):
+                        raise
+                    # deferred kernel failure: re-decode synchronously
+                    # (normal fallback chain applies)
+                    outs.append(self.decode(s))
+                    continue
+                outs.append((self._stitch(bands, item.out_image,
+                                          item.layout), item.out_image))
+            else:
+                outs.append(item)
+        return outs
 
     # ------------------------------------------------------------------
     def _plan_params(self, info):
@@ -399,6 +442,8 @@ class ShardedDecoder:
             ))
             self._cache[key] = fn
         out = fn(jnp.asarray(datab), jnp.asarray(startsb))
+        if getattr(self, "_defer_get", False):
+            return out          # decode_batch fetches at collect time
         return np.asarray(jax.device_get(out))
 
     def _decode_bands_v3(self, info, layout: BandLayout, band_out,
@@ -578,6 +623,8 @@ class ShardedDecoder:
         out = fn(jnp.asarray(dataT),
                  jnp.asarray(np.ascontiguousarray(sc_in)),
                  jnp.asarray(np.ascontiguousarray(sn_in)))
+        if getattr(self, "_defer_get", False):
+            return out          # decode_batch fetches at collect time
         return np.asarray(jax.device_get(out))
 
     @staticmethod

@@ -157,3 +157,33 @@ def test_sharded_decode_reuses_executable():
     r2, _ = dec.decode(d2)
     assert len(dec._cache) == 1, "same-family frame rebuilt the jit"
     assert r1.size == r2.size
+
+
+def test_sharded_decode_batch_matches_per_frame():
+    """ShardedDecoder.decode_batch (deferred band fetch) must match
+    per-frame decodes exactly, including an infeasible-geometry frame
+    that falls back to the single-chip decoder mid-batch."""
+    from gpujpeg_tpu.parallel import ShardedDecoder
+
+    h, w = 64, 96
+    params = Parameters(quality=85, restart_interval=2)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    enc = Encoder(backend="golden")
+    streams = [enc.encode(make_test_rgb(h, w, seed=s).reshape(-1), params,
+                          image) for s in (1, 2)]
+    # 40-row height does not divide into 4 whole-MCU-row bands ->
+    # single-chip fallback inside the batch
+    img3 = make_test_rgb(40, 48, seed=3)
+    image3 = ImageParameters(width=48, height=40,
+                             color_space=ColorSpace.RGB,
+                             pixel_format=PixelFormat.PF_444_U8_P012)
+    streams.append(enc.encode(img3.reshape(-1), params, image3))
+
+    dec = ShardedDecoder(_mesh(1, 4))
+    want = [dec.decode(s) for s in streams]
+    got = dec.decode_batch(streams)
+    assert len(got) == len(want)
+    for (g, gi), (w_, wi) in zip(got, want):
+        assert gi == wi
+        assert np.array_equal(g, w_)
