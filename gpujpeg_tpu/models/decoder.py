@@ -27,6 +27,36 @@ from ..types import ColorSpace, PixelFormat, SamplingFactor
 CPU_SEGMENT_THRESHOLD = 32
 
 
+def huffman_maps(info) -> tuple[list, list]:
+    """Per-component DC/AC Huffman tables from the parsed scans.
+
+    Raises :class:`JpegParseError` for scans referencing undefined
+    tables or components left without any scan — corrupt streams must
+    surface as parse errors, not internal KeyError/None crashes
+    (reference rejects unknown table mappings in its SOS parser,
+    gpujpeg_reader.c:1136-1252)."""
+    from ..stream.reader import JpegParseError
+    dc: list = [None] * info.comp_count
+    ac: list = [None] * info.comp_count
+    for scan in info.scans:
+        for sc in scan.components:
+            if not (0 <= sc.comp_index < info.comp_count):
+                raise JpegParseError(
+                    f"scan references component {sc.comp_index} "
+                    f"of {info.comp_count}")
+            try:
+                dc[sc.comp_index] = info.huffman_tables[(0, sc.dc_table)]
+                ac[sc.comp_index] = info.huffman_tables[(1, sc.ac_table)]
+            except KeyError:
+                raise JpegParseError(
+                    f"scan references undefined Huffman table "
+                    f"(dc={sc.dc_table}, ac={sc.ac_table})") from None
+    for c in range(info.comp_count):
+        if dc[c] is None or ac[c] is None:
+            raise JpegParseError(f"component {c} has no scan")
+    return dc, ac
+
+
 class DecoderStats:
     def __init__(self) -> None:
         self.duration_stream = 0.0
@@ -130,12 +160,7 @@ class Decoder:
 
         plan, scan_data, segments_by_scan = self._plan_from_info(info)
 
-        dc_by_comp: list[HuffmanTable] = [None] * info.comp_count
-        ac_by_comp: list[HuffmanTable] = [None] * info.comp_count
-        for scan in info.scans:
-            for sc in scan.components:
-                dc_by_comp[sc.comp_index] = info.huffman_tables[(0, sc.dc_table)]
-                ac_by_comp[sc.comp_index] = info.huffman_tables[(1, sc.ac_table)]
+        dc_by_comp, ac_by_comp = huffman_maps(info)
 
         out_image = ImageParameters(
             width=info.width, height=info.height,

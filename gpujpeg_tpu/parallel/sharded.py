@@ -324,12 +324,8 @@ class ShardedDecoder:
         n = layout.n_bands
         band_out = dataclasses.replace(out_image, height=layout.rows_per_band)
 
-        dc_by_comp: list[HuffmanTable] = [None] * info.comp_count
-        ac_by_comp: list[HuffmanTable] = [None] * info.comp_count
-        for scan in info.scans:
-            for sc in scan.components:
-                dc_by_comp[sc.comp_index] = info.huffman_tables[(0, sc.dc_table)]
-                ac_by_comp[sc.comp_index] = info.huffman_tables[(1, sc.ac_table)]
+        from ..models.decoder import huffman_maps
+        dc_by_comp, ac_by_comp = huffman_maps(info)
 
         from ..runtime import use_pallas_default
         if use_pallas_default():

@@ -219,6 +219,9 @@ def _parse_dqt(info: JpegInfo, payload: bytes) -> None:
         pq, tq = pq_tq >> 4, pq_tq & 0xF
         if pq not in (0, 1) or tq > 3:
             raise JpegParseError(f"bad DQT Pq/Tq 0x{pq_tq:02x}")
+        need = 64 if pq == 0 else 128
+        if pos + need > len(payload):
+            raise JpegParseError("truncated DQT table")
         if pq == 0:
             table = np.frombuffer(payload[pos:pos + 64], dtype=np.uint8).astype(np.int32)
             pos += 64
@@ -231,12 +234,21 @@ def _parse_dqt(info: JpegInfo, payload: bytes) -> None:
 def _parse_sof0(info: JpegInfo, payload: bytes) -> None:
     """SOF0/SOF1 with component-ID color-space deduction
     (reference: gpujpeg_reader.c:702-807)."""
+    if len(payload) < 6:
+        raise JpegParseError("truncated SOF0 payload")
     precision = payload[0]
     if precision != 8:
         raise JpegParseError(f"unsupported sample precision {precision}")
     info.height = (payload[1] << 8) | payload[2]
     info.width = (payload[3] << 8) | payload[4]
     info.comp_count = payload[5]
+    # 2-component streams are legal T.81 but have no pixel format here
+    # or in the reference (1/3/4-component registry, gpujpeg_common.c:105)
+    if info.comp_count not in (1, 3, 4):
+        raise JpegParseError(
+            f"unsupported SOF component count {info.comp_count}")
+    if 6 + 3 * info.comp_count > len(payload):
+        raise JpegParseError("truncated SOF0 payload")
     pos = 6
     ids = []
     info.components = []
@@ -245,6 +257,10 @@ def _parse_sof0(info: JpegInfo, payload: bytes) -> None:
         samp = payload[pos + 1]
         tq = payload[pos + 2]
         pos += 3
+        # T.81 B.2.2: sampling factors are 1..4 (0 would plan empty
+        # component planes and crash downstream instead of erroring)
+        if not (1 <= samp >> 4 <= 4 and 1 <= (samp & 0xF) <= 4):
+            raise JpegParseError(f"bad SOF sampling factor 0x{samp:02x}")
         ids.append(comp_id)
         info.components.append(ComponentInfo(
             comp_id=comp_id,
@@ -265,9 +281,18 @@ def _parse_dht(info: JpegInfo, payload: bytes) -> None:
         tc, th = tc_th >> 4, tc_th & 0xF
         if tc > 1 or th > 3:
             raise JpegParseError(f"bad DHT Tc/Th 0x{tc_th:02x}")
+        if pos + 16 > len(payload):
+            raise JpegParseError("truncated DHT bits array")
         bits = np.frombuffer(payload[pos:pos + 16], dtype=np.uint8).astype(np.int32)
         pos += 16
         n = int(bits.sum())
+        # T.81 B.2.4.2: at most 256 values, and they must all be present
+        # in the payload (a corrupt count would otherwise trip internal
+        # shape checks instead of a parse error)
+        if n > 256 or pos + n > len(payload):
+            raise JpegParseError(
+                f"corrupt DHT: {n} values declared, "
+                f"{len(payload) - pos} bytes remain")
         values = np.frombuffer(payload[pos:pos + n], dtype=np.uint8).astype(np.int32)
         pos += n
         info.huffman_tables[(tc, th)] = build_huffman_table(bits, values)
@@ -275,6 +300,8 @@ def _parse_dht(info: JpegInfo, payload: bytes) -> None:
 
 def _parse_dri(info: JpegInfo, payload: bytes) -> None:
     """(reference: gpujpeg_reader.c:888-918)"""
+    if len(payload) < 2:
+        raise JpegParseError("truncated DRI payload")
     value = (payload[0] << 8) | payload[1]
     if info.restart_interval and value != info.restart_interval:
         # reference errors on redefinition; we accept the last value but warn
@@ -466,10 +493,12 @@ def read_image(data: bytes) -> JpegInfo:
             _parse_dri(info, payload)
         elif m == Marker.SOS:
             scan = _parse_sos(info, payload)
+            pos = None
             if seginfo_payloads:
-                pos = _split_scan_seginfo(info, scan, data, c.pos, seginfo_payloads)
+                pos = _split_scan_seginfo(info, scan, data, c.pos,
+                                          seginfo_payloads)
                 seginfo_payloads = []
-            else:
+            if pos is None:   # no/corrupt segment info: byte parse
                 scan.data, scan.segments, pos = _split_scan(data, c.pos)
             c.pos = pos
             info.scans.append(scan)
@@ -479,12 +508,28 @@ def read_image(data: bytes) -> JpegInfo:
     if info.color_space == ColorSpace.NONE:
         info.color_space = ColorSpace.YCBCR_BT601_256LVLS
     info.interleaved = len(info.scans) == 1 and info.comp_count > 1
+    if not info.components or info.width <= 0 or info.height <= 0:
+        raise JpegParseError("missing or empty SOF0")
+    # every component's quantization table must have been defined by a
+    # DQT — consumers index info.quant_tables and must see a parse
+    # error for corrupt references, not a KeyError (reference errors
+    # in gpujpeg_reader.c's DQT/SOF cross-checks)
+    for comp in info.components:
+        if comp.quant_table_index not in info.quant_tables:
+            raise JpegParseError(
+                f"component references undefined quantization table "
+                f"{comp.quant_table_index}")
     return info
 
 
 def _parse_sos(info: JpegInfo, payload: bytes) -> ScanInfo:
     """(reference: gpujpeg_reader.c:1136-1252)"""
+    if not payload:
+        raise JpegParseError("truncated SOS payload")
     ns = payload[0]
+    if ns < 1 or ns > 4 or 1 + 2 * ns > len(payload):
+        raise JpegParseError(f"corrupt SOS header (ns={ns}, "
+                             f"{len(payload)} bytes)")
     comps = []
     id_to_index = {comp.comp_id: i for i, comp in enumerate(info.components)}
     pos = 1
@@ -503,11 +548,17 @@ def _parse_sos(info: JpegInfo, payload: bytes) -> ScanInfo:
 
 
 def _split_scan_seginfo(info: JpegInfo, scan: ScanInfo, data: bytes,
-                        start: int, payloads: list[bytes]) -> int:
+                        start: int, payloads: list[bytes]):
     """O(1) segment split using APP13 segment-info offsets
-    (reference: gpujpeg_reader.c:1058-1126)."""
+    (reference: gpujpeg_reader.c:1058-1126). Returns None for a corrupt
+    segment-info payload (caller falls back to the byte-parse split)."""
     blob = b"".join(p[1:] for p in payloads)  # strip scan_index byte
+    if len(blob) < 8 or len(blob) % 4:
+        return None
     offsets = np.frombuffer(blob, dtype=">u4").astype(np.int64)
+    if (np.diff(offsets) < 0).any() or \
+            start + int(offsets[-1]) > len(data):
+        return None
     end = int(offsets[-1])
     buf = np.frombuffer(data, dtype=np.uint8, offset=start)[:end]
     # Segment i spans [offsets[i], offsets[i+1]); every segment but the

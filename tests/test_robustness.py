@@ -205,3 +205,42 @@ def test_decode_batch_corrupt_frame_raises_and_recovers():
     assert not getattr(dec, "_defer_sync", False)
     raw, _ = dec.decode(data)        # decoder still works
     assert raw.size == h * w * 3
+
+
+def test_fuzz_mutated_streams_never_crash():
+    """Seeded mini-fuzz: byte flips/drops/inserts anywhere in a valid
+    stream must produce a successful decode or JpegParseError — never an
+    internal IndexError/KeyError/assert. (The full fuzz campaign that
+    drove the reader's validation hardening ran 16k+ mutations; this
+    keeps a fast regression tripwire.)"""
+    from gpujpeg_tpu.models.decoder import Decoder
+    from gpujpeg_tpu.models.encoder import Encoder
+    from gpujpeg_tpu.params import ImageParameters, Parameters
+    from gpujpeg_tpu.stream.reader import JpegParseError
+    from gpujpeg_tpu.types import ColorSpace, PixelFormat
+    from conftest import make_test_rgb
+
+    h, w = 48, 64
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=4)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+    dec = Decoder(backend="golden")
+    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    rng = np.random.default_rng(20260818)
+    for _ in range(200):
+        buf = bytearray(data)
+        for _ in range(rng.integers(1, 6)):
+            kind = rng.integers(0, 3)
+            pos = int(rng.integers(2, len(buf)))
+            if kind == 0:
+                buf[pos] = int(rng.integers(0, 256))
+            elif kind == 1:
+                del buf[pos]
+            else:
+                buf.insert(pos, int(rng.integers(0, 256)))
+        try:
+            dec.decode(bytes(buf))
+        except JpegParseError:
+            pass
