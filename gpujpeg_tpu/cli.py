@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import re
 import sys
 import time
 
@@ -47,6 +48,35 @@ _CS_BY_NAME = {
 def _parse_size(s: str) -> tuple[int, int]:
     w, _, h = s.lower().partition("x")
     return int(w), int(h)
+
+
+_FRAME_PATTERN_RE = re.compile(r"%0?\d*d")
+
+
+def _is_frame_pattern(path: str) -> bool:
+    """True only for printf-style integer frame patterns (``%d``/``%03d``),
+    not for any filename that merely contains a '%'."""
+    return bool(_FRAME_PATTERN_RE.search(path))
+
+
+def _collect_frames(src: str) -> tuple[list[str], str | None]:
+    """Existing frame files for a %d pattern, 0- or 1-based, contiguous.
+
+    Returns (paths, warning). Stops at the first gap; if a file exists
+    just past the gap the warning says where the sequence was truncated
+    so a missing middle frame can't silently drop the tail.
+    """
+    start = 0 if os.path.exists(src % 0) else 1
+    paths = []
+    fi = start
+    while os.path.exists(src % fi):
+        paths.append(src % fi)
+        fi += 1
+    warn = None
+    if paths and any(os.path.exists(src % (fi + k)) for k in range(1, 4)):
+        warn = (f"frame sequence has a gap at {src % fi}; "
+                f"stopping after {len(paths)} frames")
+    return paths, warn
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -276,7 +306,7 @@ def main(argv=None) -> int:
             if encoder is None:
                 encoder = Encoder(backend=args.backend)
             # Y4M video batch: with a %d output pattern, encode every frame
-            if in_fmt == FileFormat.Y4M and "%" in dst:
+            if in_fmt == FileFormat.Y4M and _is_frame_pattern(dst):
                 with open(src, "rb") as f:
                     y4m_info, frames = image_io.y4m_read_frames(f.read())
                 if args.verbose:
@@ -314,7 +344,7 @@ def main(argv=None) -> int:
                 print(f"{src} ({img.width}x{img.height}) -> {dst} "
                       f"({len(jpeg)} bytes)")
         elif decode:
-            if "%" not in src:
+            if not _is_frame_pattern(src):
                 with open(src, "rb") as f:
                     jpeg = f.read()
             if decoder is None:
@@ -335,24 +365,31 @@ def main(argv=None) -> int:
             # frame-sequence batch: with a %d input pattern, decode every
             # existing frame through the pipelined batch path (host parse
             # of frame i+1 overlaps frame i's device decode)
-            if "%" in src:
-                import os as _os
-                streams = []
-                fi = 0
-                while _os.path.exists(src % fi):
-                    with open(src % fi, "rb") as f:
-                        streams.append(f.read())
-                    fi += 1
-                if not streams:
+            if _is_frame_pattern(src):
+                frame_paths, warn = _collect_frames(src)
+                if not frame_paths:
                     print(f"no frames match {src}", file=sys.stderr)
                     rc = 1
                     continue
+                if warn:
+                    print(warn, file=sys.stderr)
+                if len(frame_paths) > 1 and not _is_frame_pattern(dst):
+                    print(f"{len(frame_paths)} frames match {src} but "
+                          f"destination {dst} has no %d pattern; outputs "
+                          "would overwrite each other", file=sys.stderr)
+                    rc = 1
+                    continue
+                streams = []
+                for path in frame_paths:
+                    with open(path, "rb") as f:
+                        streams.append(f.read())
                 t0 = time.perf_counter()
                 outs = decoder.decode_batch(streams)
                 ms = (time.perf_counter() - t0) * 1e3
                 for fj, (raw, out_img) in enumerate(outs):
-                    image_io.save_image(dst % fj if "%" in dst else dst,
-                                        raw, out_img)
+                    image_io.save_image(
+                        dst % fj if _is_frame_pattern(dst) else dst,
+                        raw, out_img)
                 print(f"{src}: decoded {len(outs)} frames -> {dst} "
                       f"({ms / len(outs):.2f} ms/frame)")
                 continue

@@ -110,39 +110,63 @@ class Decoder:
         finally:
             self.output_to_device = False
 
-    def decode_batch(self, datas) -> list:
+    def decode_batch(self, datas, window: int = 3) -> list:
         """Pipelined decode of a frame sequence (the decode mirror of the
         encoder's async-dispatch video pipelining; reference users run
         ``gpujpegtool -d`` over image lists, src/main.c:626-810).
 
         Each frame's device work is launched without a sync, so the host
         parse + segment-row build of frame i+1 overlaps frame i's device
-        decode. Frames sharing one geometry reuse one cached executable.
-        Per-phase stats are not recorded (a per-stage sync would
-        serialize the pipeline). Returns ``[(raw, ImageParameters), ...]``
-        like :meth:`decode` per frame."""
-        launched = []
-        self._defer_sync = True
-        try:
-            for d in datas:
-                launched.append((self.decode(d), d))
-        finally:
-            self._defer_sync = False
+        decode. The launch window is bounded (``window`` frames in
+        flight) so a long sequence never holds every frame's upload and
+        decoded output on device at once — the mirror of
+        encode_batch_device's bounded depth. Frames sharing one geometry
+        reuse one cached executable. Per-phase stats are not recorded (a
+        per-stage sync would serialize the pipeline). Returns
+        ``[(raw, ImageParameters), ...]`` like :meth:`decode` per
+        frame."""
         out = []
-        for (raw, oi), d in launched:
+        pending = []   # (raw, out_image, jpeg_bytes) in launch order
+
+        def collect_one():
+            raw, oi, d = pending.pop(0)
             if isinstance(raw, np.ndarray):
                 out.append((raw, oi))
-                continue
+                return
             try:
-                arr = raw if getattr(self, "output_to_device", False) \
-                    else np.asarray(raw)
+                if getattr(self, "output_to_device", False):
+                    # materialize one element: surfaces a deferred kernel
+                    # failure now (so the fallback below can run) without
+                    # a full-frame D2H; later frames' queued device work
+                    # proceeds under this tiny transfer
+                    np.asarray(raw.reshape(-1)[:1])
+                    arr = raw
+                else:
+                    arr = np.asarray(raw)
             except Exception:
                 # a deferred kernel failure surfaces at sync time, after
                 # the launch-time fallback in decode_device has already
                 # passed — re-decode this frame on the synchronous path
                 # (which applies the normal downgrade/fallback chain)
-                arr, oi = self.decode(d)
+                defer = self._defer_sync
+                self._defer_sync = False
+                try:
+                    arr, oi = self.decode(d)
+                finally:
+                    self._defer_sync = defer
             out.append((arr, oi))
+
+        self._defer_sync = True
+        try:
+            for d in datas:
+                raw, oi = self.decode(d)
+                pending.append((raw, oi, d))
+                if len(pending) > window:
+                    collect_one()
+        finally:
+            self._defer_sync = False
+        while pending:
+            collect_one()
         return out
 
     def set_output_format(self, color_space: ColorSpace,

@@ -780,7 +780,7 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         out_row = slot_in_seg.astype(np.int64) * S_pad + plan.block_segment
 
     key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad, use_v3,
-           native_idct)
+           native_idct, seg_tile)
     fn = _DEC_V2_CACHE.get(key)
     if fn is None:
         if use_v3:

@@ -263,35 +263,49 @@ class ShardedDecoder:
         raw = self._stitch(raw_bands, out_image, layout)
         return raw, out_image
 
-    def decode_batch(self, streams) -> list:
+    def decode_batch(self, streams, window: int = 3) -> list:
         """Pipelined decode of a frame sequence: each frame's host work
         (parse, per-band row build) runs while earlier frames' bands
         decode on the devices; band fetch + stitch happen at collect
-        time (the sharded mirror of Decoder.decode_batch)."""
-        launched = []
+        time (the sharded mirror of Decoder.decode_batch). At most
+        ``window`` frames' band outputs are in flight at once so long
+        sequences run in bounded device memory."""
+        outs = []
+        pending = []   # (decode() result, stream bytes) in launch order
+
+        def collect_one():
+            item, s = pending.pop(0)
+            if not isinstance(item, _DeferredBands):
+                outs.append(item)
+                return
+            try:
+                bands = np.asarray(jax.device_get(item.out))
+            except Exception:
+                import os
+                if os.environ.get("GPUJPEG_TPU_STRICT"):
+                    raise
+                # deferred kernel failure: re-decode synchronously
+                # (normal fallback chain applies)
+                defer = self._defer_get
+                self._defer_get = False
+                try:
+                    outs.append(self.decode(s))
+                finally:
+                    self._defer_get = defer
+                return
+            outs.append((self._stitch(bands, item.out_image,
+                                       item.layout), item.out_image))
+
         self._defer_get = True
         try:
             for s in streams:
-                launched.append((self.decode(s), s))
+                pending.append((self.decode(s), s))
+                if len(pending) > window:
+                    collect_one()
         finally:
             self._defer_get = False
-        outs = []
-        for item, s in launched:
-            if isinstance(item, _DeferredBands):
-                try:
-                    bands = np.asarray(jax.device_get(item.out))
-                except Exception:
-                    import os
-                    if os.environ.get("GPUJPEG_TPU_STRICT"):
-                        raise
-                    # deferred kernel failure: re-decode synchronously
-                    # (normal fallback chain applies)
-                    outs.append(self.decode(s))
-                    continue
-                outs.append((self._stitch(bands, item.out_image,
-                                          item.layout), item.out_image))
-            else:
-                outs.append(item)
+        while pending:
+            collect_one()
         return outs
 
     # ------------------------------------------------------------------
@@ -381,31 +395,19 @@ class ShardedDecoder:
 
         # cache the jitted shard_map per (geometry, stream tables) — the
         # same per-call jit(closure) retrace bug as the v3 path
-        import hashlib
         qts = tuple(
             tuple(int(x) for x in info.quant_tables[
                 info.components[c.index].quant_table_index])
             for c in plan.components)
-        th = hashlib.sha1(b"".join(
-            (np.ascontiguousarray(luts).tobytes(),
-             np.ascontiguousarray(dc_tab).tobytes(),
-             np.ascontiguousarray(ac_tab).tobytes()))).hexdigest()
+        # geometry tensors and decode tables are runtime ARGUMENTS
+        # (CLAUDE.md invariant), so the cache key only needs their shapes
         key = ("dec_v1", plan.params, plan.image, band_out, n, L_pad,
-               th, qts)
+               np.asarray(luts).shape, qts)
+        inv = np.empty(plan.n_blocks, dtype=np.int32)
+        inv[plan.block_plane_idx] = np.arange(plan.n_blocks, dtype=np.int32)
         fn = self._cache.get(key)
         if fn is None:
             Ws = tuple(jnp.asarray(idct_operator_f32(q)) for q in qts)
-            inv = np.empty(plan.n_blocks, dtype=np.int32)
-            inv[plan.block_plane_idx] = np.arange(plan.n_blocks,
-                                                  dtype=np.int32)
-            inv_j = jnp.asarray(inv)
-            gd = {
-                "block_comp": jnp.asarray(g.block_comp),
-                "seg_block_start": jnp.asarray(g.seg_block_start),
-                "seg_block_count": jnp.asarray(g.seg_block_count),
-            }
-            luts_j = jnp.asarray(luts)
-            dc_j, ac_j = jnp.asarray(dc_tab), jnp.asarray(ac_tab)
             comp_slices = []
             pos = 0
             for c in plan.components:
@@ -416,12 +418,16 @@ class ShardedDecoder:
 
             from ..ops.dct import dequant_idct_device
 
-            def local_fn(db, sb):
+            def local_fn(db, sb, inv_a, bc_a, sbs_a, sbc_a, luts_a,
+                         dc_a, ac_a):
+                gd2 = {"block_comp": bc_a, "seg_block_start": sbs_a,
+                       "seg_block_count": sbc_a}
+
                 def one(dbb, sbb):
                     coeff = huffman_decode_kernel(
-                        dbb, sbb, gd, luts_j, dc_j, ac_j, n_blocks,
+                        dbb, sbb, gd2, luts_a, dc_a, ac_a, n_blocks,
                         max_iters)
-                    coeff = coeff[inv_j]
+                    coeff = coeff[inv_a]
                     planes = []
                     for (start, count, dh, dw), W in zip(comp_slices, Ws):
                         blocks = dequant_idct_device(
@@ -432,12 +438,15 @@ class ShardedDecoder:
 
             fn = jax.jit(_shard_map(
                 local_fn, mesh=self.mesh,
-                in_specs=(P("seg", None), P("seg", None)),
+                in_specs=(P("seg", None), P("seg", None)) + (P(),) * 7,
                 out_specs=P("seg", None),
                 check_vma=False,   # see the encoder shard_map note
             ))
             self._cache[key] = fn
-        out = fn(jnp.asarray(datab), jnp.asarray(startsb))
+        out = fn(jnp.asarray(datab), jnp.asarray(startsb), jnp.asarray(inv),
+                 jnp.asarray(g.block_comp), jnp.asarray(g.seg_block_start),
+                 jnp.asarray(g.seg_block_count), jnp.asarray(luts),
+                 jnp.asarray(dc_tab), jnp.asarray(ac_tab))
         if getattr(self, "_defer_get", False):
             return out          # decode_batch fetches at collect time
         return np.asarray(jax.device_get(out))
@@ -561,22 +570,25 @@ class ShardedDecoder:
                tuple(int(v) for v in ac_slot), th, qts,
                # kernel-variant env knobs baked into make_decode_kernel_v3
                kb, out_bytes, os.environ.get("GPUJPEG_TPU_DEC_WINDOW", ""))
+        nb = plan.n_blocks
+        slot_in_seg = np.arange(nb, dtype=np.int32) - \
+            plan.seg_block_start[plan.block_segment]
+        out_row = (plan.block_segment.astype(np.int64) * bps
+                   + slot_in_seg).astype(np.int32)
+        out_row_identity = bool(
+            np.array_equal(out_row, np.arange(nb, dtype=np.int32)))
+        inv = np.empty(nb, dtype=np.int32)
+        inv[plan.block_plane_idx] = np.arange(nb, dtype=np.int32)
+        inv_identity = bool(
+            np.array_equal(inv, np.arange(nb, dtype=np.int32)))
+        # geometry-sized reorder maps ride as replicated runtime ARGUMENTS
+        # (CLAUDE.md invariant: embedded million-element constants
+        # serialize into the lowered module — minutes of lowering at 8K+)
+        geo_args = ([] if out_row_identity else [out_row]) + \
+            ([] if inv_identity else [inv])
         fn = self._cache.get(key)
         if fn is None:
             run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl)
-            nb = plan.n_blocks
-            slot_in_seg = np.arange(nb, dtype=np.int32) - \
-                plan.seg_block_start[plan.block_segment]
-            out_row = plan.block_segment.astype(np.int64) * bps + \
-                slot_in_seg
-            out_row_identity = bool(
-                np.array_equal(out_row, np.arange(nb, dtype=np.int64)))
-            inv = np.empty(nb, dtype=np.int32)
-            inv[plan.block_plane_idx] = np.arange(nb, dtype=np.int32)
-            inv_identity = bool(
-                np.array_equal(inv, np.arange(nb, dtype=np.int32)))
-            out_row_j = None if out_row_identity else jnp.asarray(out_row)
-            inv_j = None if inv_identity else jnp.asarray(inv)
 
             Ws = tuple(jnp.asarray(idct_operator_f32(q)) for q in qts)
             comp_slices = []
@@ -587,13 +599,17 @@ class ShardedDecoder:
                 pos += c.block_count
 
             # small decode tables ride as captured constants (replicated)
-            def local_fn(dT, sc, sn):
+            def local_fn(dT, sc, sn, *geo):
+                gi = iter(geo)
+                out_row_a = None if out_row_identity else next(gi)
+                inv_a = None if inv_identity else next(gi)
+
                 def one(d, c_, n_):
                     out3 = run(d, c_, n_, tabs, dc_slot, ac_slot)
                     flat = out3.reshape(-1, 64)
                     coeff = (flat[:nb] if out_row_identity
-                             else flat[out_row_j])
-                    coeff = coeff if inv_identity else coeff[inv_j]
+                             else flat[out_row_a])
+                    coeff = coeff if inv_identity else coeff[inv_a]
                     planes = []
                     from ..ops.blocks import (blocks_u32_to_plane,
                                               pack_blocks_u32)
@@ -611,14 +627,15 @@ class ShardedDecoder:
             fn = jax.jit(_shard_map(
                 local_fn, mesh=self.mesh,
                 in_specs=(P("seg", None, None), P("seg", None, None),
-                          P("seg", None, None)),
+                          P("seg", None, None)) + (P(),) * len(geo_args),
                 out_specs=P("seg", None),
                 check_vma=False,   # pallas_call out_shapes carry no vma
             ))
             self._cache[key] = fn
         out = fn(jnp.asarray(dataT),
                  jnp.asarray(np.ascontiguousarray(sc_in)),
-                 jnp.asarray(np.ascontiguousarray(sn_in)))
+                 jnp.asarray(np.ascontiguousarray(sn_in)),
+                 *(jnp.asarray(a) for a in geo_args))
         if getattr(self, "_defer_get", False):
             return out          # decode_batch fetches at collect time
         return np.asarray(jax.device_get(out))

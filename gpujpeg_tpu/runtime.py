@@ -42,28 +42,39 @@ def verify_private_dir(path: str) -> bool:
 
 
 _CACHE_WIRED = False
+_PLATFORMS_WIRED = False
+
+
+def honor_env_platforms() -> None:
+    """Honor JAX_PLATFORMS even when a site hook (e.g. a hosted-TPU
+    plugin) pre-imported jax and pinned another platform — the env var
+    is the user's explicit choice for this process. (The CLI re-asserts
+    it too; doing it here covers library imports, examples and
+    scripts/smoke.sh uniformly.) Independent of the compilation-cache
+    default so GPUJPEG_TPU_NO_COMPILE_CACHE=1 doesn't disable it."""
+    global _PLATFORMS_WIRED
+    if _PLATFORMS_WIRED:
+        return
+    _PLATFORMS_WIRED = True
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        try:
+            import jax
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:  # pragma: no cover - best effort
+            pass
 
 
 def enable_compilation_cache() -> None:
     """Idempotently point JAX's persistent compilation cache at the
     per-user cache dir (unless the user already configured one)."""
     global _CACHE_WIRED
+    honor_env_platforms()
     if _CACHE_WIRED or os.environ.get("GPUJPEG_TPU_NO_COMPILE_CACHE"):
         return
     _CACHE_WIRED = True
     try:
         import jax
-        # Honor JAX_PLATFORMS even when a site hook (e.g. a hosted-TPU
-        # plugin) pre-imported jax and pinned another platform — the
-        # env var is the user's explicit choice for this process. (The
-        # CLI re-asserts it too; doing it here covers library imports,
-        # examples and scripts/smoke.sh uniformly.)
-        env_platforms = os.environ.get("JAX_PLATFORMS")
-        if env_platforms:
-            try:
-                jax.config.update("jax_platforms", env_platforms)
-            except Exception:
-                pass
         if (os.environ.get("JAX_COMPILATION_CACHE_DIR")
                 or jax.config.jax_compilation_cache_dir):
             return  # user/test harness already configured a cache

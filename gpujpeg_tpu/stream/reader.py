@@ -556,7 +556,11 @@ def _split_scan_seginfo(info: JpegInfo, scan: ScanInfo, data: bytes,
     if len(blob) < 8 or len(blob) % 4:
         return None
     offsets = np.frombuffer(blob, dtype=">u4").astype(np.int64)
-    if (np.diff(offsets) < 0).any() or \
+    diffs = np.diff(offsets)
+    # every segment but the last ends 2 bytes (the RST marker) before the
+    # next offset, so intermediate gaps must be >= 2 or seg_end would land
+    # before seg_start; the final segment may be empty (diff == 0)
+    if (diffs[:-1] < 2).any() or (diffs.size and diffs[-1] < 0) or \
             start + int(offsets[-1]) > len(data):
         return None
     end = int(offsets[-1])

@@ -137,3 +137,47 @@ def test_cli_decode_frame_sequence(tmp_path):
     for i, f in enumerate(frames):
         back, info = image_io.load_image(str(tmp_path / ("back_%02d.ppm" % i)))
         assert psnr(f, back.reshape(H, W, 3)) > 30
+
+def test_cli_decode_percent_in_filename(tmp_path):
+    """A literal '%' in a filename is not a frame pattern — the file
+    must decode normally (only printf-style %d specifiers trigger the
+    batch path)."""
+    img = make_test_rgb(16, 16)
+    src = tmp_path / "in.ppm"
+    _write_ppm(src, img)
+    jpg = tmp_path / "photo%20b.jpg"
+    assert cli.main(["-b", "golden", str(src), str(jpg)]) == 0
+    dst = tmp_path / "out%20b.ppm"
+    assert cli.main(["-b", "golden", str(jpg), str(dst)]) == 0
+    back, info = image_io.load_image(str(dst))
+    assert psnr(img, back.reshape(16, 16, 3)) > 30
+
+
+def test_cli_decode_one_based_frame_sequence(tmp_path):
+    """ffmpeg-style 1-based %d sequences decode (discovery probes both
+    0- and 1-based starts)."""
+    frames = [make_test_rgb(16, 16, seed=s) for s in range(2)]
+    for i, f in enumerate(frames):
+        src = tmp_path / f"in{i}.ppm"
+        _write_ppm(src, f)
+        assert cli.main(["-b", "golden", str(src),
+                         str(tmp_path / ("g_%d.jpg" % (i + 1)))]) == 0
+    assert cli.main(["-b", "golden", str(tmp_path / "g_%d.jpg"),
+                     str(tmp_path / "h_%d.ppm")]) == 0
+    for i, f in enumerate(frames):
+        back, _ = image_io.load_image(str(tmp_path / ("h_%d.ppm" % i)))
+        assert psnr(f, back.reshape(16, 16, 3)) > 30
+
+
+def test_cli_decode_batch_needs_dst_pattern(tmp_path, capsys):
+    """Multiple input frames with a single (non-pattern) destination is
+    an error, not a silent last-frame-wins overwrite."""
+    for i in range(2):
+        src = tmp_path / f"i{i}.ppm"
+        _write_ppm(src, make_test_rgb(16, 16, seed=i))
+        assert cli.main(["-b", "golden", str(src),
+                         str(tmp_path / ("j_%d.jpg" % i))]) == 0
+    rc = cli.main(["-b", "golden", str(tmp_path / "j_%d.jpg"),
+                   str(tmp_path / "single.ppm")])
+    assert rc == 1
+    assert "no %d pattern" in capsys.readouterr().err

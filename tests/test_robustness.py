@@ -244,3 +244,29 @@ def test_fuzz_mutated_streams_never_crash():
             dec.decode(bytes(buf))
         except JpegParseError:
             pass
+
+def test_corrupt_seginfo_offsets_fall_back_to_byte_parse():
+    """APP13 segment-info whose offsets collide (diff < 2 where an RST
+    marker must sit) must be rejected so the byte-parse splitter runs —
+    not produce negative-length segments (reference validates seginfo
+    consistency the same way it validates RST sequences,
+    gpujpeg_reader.c:1058-1126)."""
+    img, _ = _sample_jpeg(H=64, W=64, ri=2)
+    from gpujpeg_tpu.models.encoder import Encoder
+    from gpujpeg_tpu.params import ImageParameters, Parameters
+    from gpujpeg_tpu.types import ColorSpace, PixelFormat
+    p = Parameters(quality=85, restart_interval=2, segment_info=True)
+    im = ImageParameters(width=64, height=64, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img, p, im)
+    ref, _ = Decoder(backend="golden").decode(data)
+
+    # corrupt the first APP13 seginfo payload: make offset[1] == offset[0]
+    buf = bytearray(data)
+    i = buf.find(bytes([0xFF, 0xED]))
+    assert i >= 0
+    # marker(2) + length(2) + scan_index(1), then big-endian u32 offsets
+    off0 = buf[i + 5:i + 9]
+    buf[i + 9:i + 13] = off0
+    raw, oi = Decoder(backend="golden").decode(bytes(buf))
+    np.testing.assert_array_equal(raw, ref)
