@@ -253,7 +253,8 @@ class Decoder:
         # Map stream scans onto plan scans (non-interleaved plan scans are
         # ordered by component index; foreign streams may order differently).
         scan_data = [np.zeros(0, np.uint8)] * len(plan.scans)
-        segments_by_scan: list[list[tuple[int, int]]] = [[] for _ in plan.scans]
+        # per scan: (n, 2) int64 [lo, hi) ranges (ScanInfo.segments)
+        segments_by_scan = [np.zeros((0, 2), np.int64) for _ in plan.scans]
         if info.interleaved:
             if info.scans:
                 scan_data[0] = info.scans[0].data
@@ -267,6 +268,7 @@ class Decoder:
         # When the stream has no restart markers, the whole scan is one
         # segment (reference: gpujpeg_common.c:640-650).
         for i, segs in enumerate(segments_by_scan):
-            if not segs and scan_data[i].size:
-                segments_by_scan[i] = [(0, int(scan_data[i].size))]
+            if len(segs) == 0 and scan_data[i].size:
+                segments_by_scan[i] = np.array(
+                    [(0, int(scan_data[i].size))], np.int64)
         return plan, scan_data, segments_by_scan

@@ -152,24 +152,29 @@ class Encoder:
             outs.append(self._assemble(plan, quant_zz, huff, *result))
         return outs
 
+    _RST = tuple(bytes((0xFF, 0xD0 + i)) for i in range(8))
+
     @staticmethod
     def _to_scan_bodies(plan: CoderPlan, seg_bytes: list[bytes]):
         """Join per-segment bytes into per-scan bodies with RST markers
-        (reference stream formatter: gpujpeg_encoder.c:479-537)."""
+        (reference stream formatter: gpujpeg_encoder.c:479-537). RST
+        markers ride as separate join parts so no per-segment bytes
+        concatenation happens (~2x on the 50k-segment 8K fallback path)."""
         scan_bodies, seg_sizes_by_scan = [], []
         seg = 0
         for scan in plan.scans:
-            parts, sizes = [], []
             n = scan.segment_count
-            for i in range(n):
-                data = seg_bytes[seg]
-                seg += 1
-                if i != n - 1:
-                    data = data + bytes((0xFF, 0xD0 + (i % 8)))
+            chunk = seg_bytes[seg:seg + n]
+            seg += n
+            sizes = np.fromiter(map(len, chunk), np.int64, n)
+            sizes[:-1] += 2
+            parts = []
+            for i, data in enumerate(chunk):
                 parts.append(data)
-                sizes.append(len(data))
+                if i != n - 1:
+                    parts.append(Encoder._RST[i & 7])
             scan_bodies.append(b"".join(parts))
-            seg_sizes_by_scan.append(np.array(sizes, dtype=np.int64))
+            seg_sizes_by_scan.append(sizes)
         return scan_bodies, seg_sizes_by_scan
 
     # ------------------------------------------------------------------

@@ -48,7 +48,7 @@ def _build() -> str | None:
         return so_path
     cxx = os.environ.get("CXX", "g++")
     tmp = so_path + f".tmp{os.getpid()}"
-    cmd = [cxx, "-O3", "-march=native", "-shared", "-fPIC",
+    cmd = [cxx, "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
            "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

@@ -14,6 +14,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -263,6 +265,45 @@ int64_t gj_scan_split(
 }
 
 // ---------------------------------------------------------------------------
+// Destuff one segment's bytes into contiguous big-endian u32 words.
+// A per-byte loop runs at ~1.4 ns/byte (6 ms over an 8K scan); 0xFF is
+// rare (~1 byte in 85 at Q75 incl. stuffing), so instead memchr to the
+// next 0xFF and memcpy the clean run, then pack words with bswap (both
+// loops vectorize). staging must hold cap_words*4 + 4 bytes.
+static inline int64_t destuff_words(
+    const uint8_t* data, int64_t a, int64_t b, int64_t cap_words,
+    uint8_t* staging, uint32_t* dst)
+{
+    const int64_t cap4 = cap_words * 4;
+    const uint8_t* p = data + a;
+    const uint8_t* endp = data + b;
+    int64_t n = 0;
+    while (p < endp && n < cap4) {
+        const uint8_t* ff =
+            (const uint8_t*)memchr(p, 0xFF, (size_t)(endp - p));
+        if (!ff) ff = endp;
+        int64_t run = ff - p;
+        if (run > cap4 - n) run = cap4 - n;
+        memcpy(staging + n, p, (size_t)run);
+        n += run;
+        p += run;
+        if (p < endp && p == ff && n < cap4) {
+            staging[n++] = 0xFF;
+            ++p;
+            if (p < endp && *p == 0x00)
+                ++p;  // skip stuffed zero
+        }
+    }
+    memset(staging + n, 0, (size_t)((-n) & 3));
+    const int64_t w_cnt = (n + 3) >> 2;
+    for (int64_t w = 0; w < w_cnt; ++w) {
+        uint32_t v;
+        memcpy(&v, staging + 4 * w, 4);
+        dst[w] = __builtin_bswap32(v);
+    }
+    return w_cnt;
+}
+
 // Decode-side row builder: destuff each segment's bytes into a fixed-pitch
 // row matrix of big-endian u32 words (the layout the TPU decode kernel
 // consumes). Replaces a per-segment Python loop (~1.8 s at 8K -> ~5 ms).
@@ -273,23 +314,12 @@ int64_t gj_build_rows(
     uint32_t* rows, int64_t pitch_words)
 {
     int64_t max_words = 0;
+    std::vector<uint8_t> staging((size_t)(pitch_words * 4 + 4));
     for (int64_t s = 0; s < n_segments; ++s) {
         int64_t a = lo[s], b = hi[s];
         if (a < 0 || b > data_len || a >= b) continue;
-        uint32_t* dst = rows + s * pitch_words;
-        int64_t n = 0;
-        const int64_t cap = pitch_words * 4;
-        uint32_t acc = 0;
-        for (int64_t i = a; i < b && n < cap; ++i) {
-            uint8_t byte = data[i];
-            acc = (acc << 8) | byte;
-            if ((n & 3) == 3) dst[n >> 2] = acc;
-            ++n;
-            if (byte == 0xFF && i + 1 < b && data[i + 1] == 0x00)
-                ++i;  // skip stuffed zero
-        }
-        if (n & 3) dst[n >> 2] = acc << (8 * (4 - (n & 3)));
-        int64_t w = (n + 3) >> 2;
+        int64_t w = destuff_words(data, a, b, pitch_words,
+                                  staging.data(), rows + s * pitch_words);
         if (w > max_words) max_words = w;
     }
     return max_words;
@@ -298,31 +328,79 @@ int64_t gj_build_rows(
 // Column-major variant: writes word w of segment s at rowsT[w*n_cols + s]
 // — the exact transposed (Wcap, S_pad) layout the TPU v3 decode kernel
 // consumes, so the host-side 8 MB transpose of the row matrix vanishes.
+// Column-major (transposed) destuffed row builder. Naively, each
+// segment's ~W words land n_cols*4 bytes apart — every write a cache
+// miss (measured 6 ms for 8 MB at 8K). Instead: destuff a tile of
+// TB=64 segments into a row-major scratch (sequential writes, fits L1),
+// then transpose the tile out — each output row gets a contiguous
+// 256 B run. Segment tiles are independent, so they also split across
+// threads. Fully writes rowsT (including zero padding and columns past
+// n_segments), so callers can pass uninitialized memory.
+static int64_t build_rows_t_range(
+    const uint8_t* data, int64_t data_len,
+    const int64_t* lo, const int64_t* hi, int64_t n_segments,
+    uint32_t* rowsT, int64_t n_words, int64_t n_cols,
+    int64_t c0, int64_t c1)
+{
+    constexpr int64_t TB = 64;
+    int64_t max_words = 0;
+    std::vector<uint32_t> tile((size_t)(TB * n_words));
+    std::vector<uint8_t> staging((size_t)(n_words * 4 + 4));
+    for (int64_t s0 = c0; s0 < c1; s0 += TB) {
+        const int64_t nb = (s0 + TB <= c1) ? TB : (c1 - s0);
+        memset(tile.data(), 0, (size_t)(nb * n_words) * sizeof(uint32_t));
+        for (int64_t t = 0; t < nb; ++t) {
+            const int64_t s = s0 + t;
+            if (s >= n_segments) continue;
+            int64_t a = lo[s], b = hi[s];
+            if (a < 0 || b > data_len || a >= b) continue;
+            int64_t w = destuff_words(data, a, b, n_words, staging.data(),
+                                      tile.data() + t * n_words);
+            if (w > max_words) max_words = w;
+        }
+        for (int64_t w = 0; w < n_words; ++w) {
+            uint32_t* out = rowsT + w * n_cols + s0;
+            const uint32_t* src = tile.data() + w;
+            for (int64_t t = 0; t < nb; ++t)
+                out[t] = src[t * n_words];
+        }
+    }
+    return max_words;
+}
+
 int64_t gj_build_rows_t(
     const uint8_t* data, int64_t data_len,
     const int64_t* lo, const int64_t* hi, int64_t n_segments,
     uint32_t* rowsT, int64_t n_words, int64_t n_cols)
 {
-    int64_t max_words = 0;
-    for (int64_t s = 0; s < n_segments; ++s) {
-        int64_t a = lo[s], b = hi[s];
-        if (a < 0 || b > data_len || a >= b) continue;
-        uint32_t* dst = rowsT + s;
-        int64_t n = 0;
-        const int64_t cap = n_words * 4;
-        uint32_t acc = 0;
-        for (int64_t i = a; i < b && n < cap; ++i) {
-            uint8_t byte = data[i];
-            acc = (acc << 8) | byte;
-            if ((n & 3) == 3) dst[(n >> 2) * n_cols] = acc;
-            ++n;
-            if (byte == 0xFF && i + 1 < b && data[i + 1] == 0x00)
-                ++i;  // skip stuffed zero
-        }
-        if (n & 3) dst[(n >> 2) * n_cols] = acc << (8 * (4 - (n & 3)));
-        int64_t w = (n + 3) >> 2;
-        if (w > max_words) max_words = w;
+    if (n_words <= 0 || n_cols <= 0) return 0;
+    // thread across 64-column tiles (disjoint, cache-line aligned for
+    // any 64-divisible split, so no false sharing)
+    const int64_t n_tiles = (n_cols + 63) / 64;
+    int64_t n_threads = (int64_t)std::thread::hardware_concurrency();
+    if (n_threads > 8) n_threads = 8;
+    if (n_threads > n_tiles) n_threads = n_tiles;
+    if (n_threads <= 1 || n_cols < (int64_t)16384) {
+        return build_rows_t_range(data, data_len, lo, hi, n_segments,
+                                  rowsT, n_words, n_cols, 0, n_cols);
     }
+    const int64_t tiles_per = (n_tiles + n_threads - 1) / n_threads;
+    std::vector<std::thread> threads;
+    std::vector<int64_t> maxes((size_t)n_threads, 0);
+    for (int64_t k = 0; k < n_threads; ++k) {
+        const int64_t c0 = k * tiles_per * 64;
+        int64_t c1 = (k + 1) * tiles_per * 64;
+        if (c1 > n_cols) c1 = n_cols;
+        if (c0 >= c1) break;
+        threads.emplace_back([=, &maxes]() {
+            maxes[(size_t)k] = build_rows_t_range(
+                data, data_len, lo, hi, n_segments,
+                rowsT, n_words, n_cols, c0, c1);
+        });
+    }
+    for (auto& th : threads) th.join();
+    int64_t max_words = 0;
+    for (int64_t m : maxes) if (m > max_words) max_words = m;
     return max_words;
 }
 

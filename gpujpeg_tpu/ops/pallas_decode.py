@@ -124,7 +124,7 @@ def _segment_ranges(scan_data, segments_by_scan, plan):
     lo = np.full(S, -1, np.int64)
     hi = np.full(S, -1, np.int64)
     for scan_id, seg_list in enumerate(segments_by_scan):
-        if not seg_list:
+        if len(seg_list) == 0:
             continue
         arr = np.asarray(seg_list, np.int64)            # (n, 2)
         sel = np.flatnonzero(plan.seg_scan == scan_id)
@@ -219,7 +219,8 @@ def build_segment_rows_t(concat, lo, hi, plan, Wcap: int,
     L = native_lib()
     if L is None or not hasattr(L, "gj_build_rows_t"):
         return None
-    rowsT = np.zeros((Wcap, s_pad), np.uint32)
+    # gj_build_rows_t fully writes the buffer (zero padding included)
+    rowsT = np.empty((Wcap, s_pad), np.uint32)
     L.gj_build_rows_t(np.ascontiguousarray(concat), concat.size,
                       np.ascontiguousarray(lo), np.ascontiguousarray(hi),
                       plan.n_segments, rowsT, Wcap, s_pad)

@@ -372,15 +372,14 @@ class ShardedDecoder:
                 stream_scan = info.scans[0] if info.interleaved \
                     else next(sc for sc in info.scans
                               if sc.components[0].comp_index == scan.index)
-                segs = stream_scan.segments
+                segs = np.asarray(stream_scan.segments, np.int64)
                 lo_seg = b * spb[scan.index]
                 hi_seg = lo_seg + spb[scan.index]
-                lo = segs[lo_seg][0]
-                hi = segs[hi_seg - 1][1]
+                lo = int(segs[lo_seg, 0])
+                hi = int(segs[hi_seg - 1, 1])
                 part = np.asarray(stream_scan.data[lo:hi], np.uint8)
                 sel = plan.seg_scan == scan.index
-                starts[sel] = base + np.array(
-                    [segs[i][0] - lo for i in range(lo_seg, hi_seg)])
+                starts[sel] = base + (segs[lo_seg:hi_seg, 0] - lo)
                 parts.append(part)
                 base += part.size
             band_blobs.append(np.concatenate(parts) if parts

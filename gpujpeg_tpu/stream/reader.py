@@ -47,9 +47,12 @@ class ScanInfo:
     #: raw scan-body view (entropy bytes WITH RST markers still present
     #: between segment ranges)
     data: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0, np.uint8))
-    #: per-segment [lo, hi) ranges into ``data``; bytes between ranges
-    #: are RST markers that consumers must not treat as entropy data
-    segments: list[tuple[int, int]] = dataclasses.field(default_factory=list)
+    #: per-segment [lo, hi) ranges into ``data`` as an (n, 2) int64
+    #: array (kept as an ndarray end-to-end: converting ~50k tuple
+    #: pairs per scan costs ~10 ms at 8K); bytes between ranges are RST
+    #: markers that consumers must not treat as entropy data
+    segments: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 2), np.int64))
 
 
 @dataclasses.dataclass
@@ -86,7 +89,7 @@ class JpegInfo:
         """Total restart segments: counted from parsed scans when present,
         else derived from geometry + DRI (reference prints this in info
         mode, src/main.c:133-136)."""
-        if self.scans and any(s.segments for s in self.scans):
+        if self.scans and any(len(s.segments) for s in self.scans):
             return sum(len(s.segments) for s in self.scans)
         if not self.width or not self.height or not self.components:
             return 0
@@ -360,7 +363,7 @@ def _split_scan(data: bytes, start: int) -> tuple[np.ndarray, list[tuple[int, in
     # zero-copy: segment ranges index straight into the scan body view
     # (the RST bytes simply lie between ranges — every consumer slices
     # [lo:hi], so no concatenation pass over 50k segments is needed)
-    segments = list(zip(seg_starts.tolist(), seg_ends.tolist()))
+    segments = np.stack([seg_starts, seg_ends], axis=1)
     return buf[:end], segments, start + end
 
 
@@ -392,7 +395,7 @@ def _split_scan_native(data: bytes, start: int, buf: np.ndarray):
         marks = buf[seg_ends[:-1] + 1].astype(np.int64) - 0xD0
         if not np.array_equal(marks, np.arange(n - 1) % 8):
             return None
-    segments = list(zip(seg_starts.tolist(), seg_ends.tolist()))
+    segments = np.stack([seg_starts, seg_ends], axis=1)
     return buf[:end], segments, start + end
 
 
@@ -571,7 +574,7 @@ def _split_scan_seginfo(info: JpegInfo, scan: ScanInfo, data: bytes,
     seg_ends = np.concatenate([offsets[1:-1] - 2, offsets[-1:]])
     # zero-copy ranges into the scan body view (see _split_scan)
     scan.data = buf
-    scan.segments = list(zip(seg_starts.tolist(), seg_ends.tolist()))
+    scan.segments = np.stack([seg_starts, seg_ends], axis=1)
     return start + end
 
 

@@ -297,9 +297,30 @@ class JpegWriter:
 
     def patch_segment_info(self, offsets) -> None:
         """Back-patch all segment boundary positions at once (used when the
-        whole scan body was emitted in one shot by the device encoder)."""
-        for off in offsets:
-            self.write_segment_info(int(off))
+        whole scan body was emitted in one shot by the device encoder).
+        Vectorized: one big-endian u32 payload written across the reserved
+        APP13 slices (a per-offset write_segment_info loop costs ~20 ms at
+        8K — 145k Python calls per frame)."""
+        if not self._seginfo_slices:
+            return
+        if self._seginfo_position == 0:
+            self._seginfo_position = len(self.buf)
+        n = len(offsets)
+        payload = np.ascontiguousarray(
+            np.asarray(offsets, np.int64).astype(">u4")).tobytes()
+        mv = memoryview(payload)
+        pos = self._seginfo_index * 4
+        for start, size in self._seginfo_slices:
+            if not len(mv):
+                break
+            if pos >= size:
+                pos -= size
+                continue
+            take = min(size - pos, len(mv))
+            self.buf[start + pos:start + pos + take] = mv[:take]
+            mv = mv[take:]
+            pos = 0
+        self._seginfo_index += n
 
     def tobytes(self) -> bytes:
         return bytes(self.buf)
