@@ -86,3 +86,62 @@ def test_native_decode_corrupt_stream_no_crash():
         plan, [garbage] * len(plan.scans), segs, dc, ac)
     assert out is not None
     assert out.shape == (plan.n_blocks, 64)
+
+
+def _ref_destuffed_rows(data, lo, hi, S, Wc):
+    """Per-byte reference of the destuff-to-words contract (the native
+    builders use memchr-run copies + bswap packing; this is the obvious
+    slow form both must match)."""
+    rows = np.zeros((S, Wc), np.uint32)
+    weights = np.array([1 << 24, 1 << 16, 1 << 8, 1], np.uint32)
+    for s in range(S):
+        a, b = int(lo[s]), int(hi[s])
+        if a < 0 or b > data.size or a >= b:
+            continue
+        out = []
+        i = a
+        while i < b and len(out) < Wc * 4:
+            byte = int(data[i])
+            out.append(byte)
+            if byte == 0xFF and i + 1 < b and data[i + 1] == 0:
+                i += 1
+            i += 1
+        buf = np.zeros(Wc * 4, np.uint8)
+        buf[:len(out)] = out
+        rows[s] = buf.reshape(Wc, 4).astype(np.uint32) @ weights
+    return rows
+
+
+@pytest.mark.parametrize("ff_density", [0.0, 0.05, 0.6])
+def test_native_row_builders_match_byte_reference(rng, ff_density):
+    """gj_build_rows / gj_build_rows_t against the per-byte destuff
+    reference, across 0xFF densities (clean runs, typical stuffing,
+    pathological marker-heavy data) incl. empty/missing/overlong
+    segments and tile-boundary segment counts."""
+    import ctypes
+    L = native.lib()
+    data = rng.integers(0, 256, 120000).astype(np.uint8)
+    if ff_density:
+        n_ff = int(data.size * ff_density)
+        data[rng.choice(data.size, n_ff, replace=False)] = 0xFF
+    for S in (1, 64, 65, 257):
+        W = int(rng.integers(3, 14))
+        lo = np.sort(rng.choice(data.size - 400, S, replace=False)).astype(np.int64)
+        hi = (lo + rng.integers(1, 380, S)).astype(np.int64)
+        if S > 2:
+            hi[1] = lo[1]        # empty
+            lo[2] = -1           # missing
+        ref = _ref_destuffed_rows(data, lo, hi, S, W)
+
+        rows = np.zeros((S, W), np.uint32)
+        L.gj_build_rows(np.ascontiguousarray(data), data.size,
+                        lo, hi, S, rows, W)
+        np.testing.assert_array_equal(rows, ref)
+
+        S_pad = -(-S // 128) * 128
+        rowsT = np.empty((W, S_pad), np.uint32)
+        L.gj_build_rows_t(np.ascontiguousarray(data), data.size,
+                          lo, hi, S, rowsT, W, S_pad)
+        exp = np.zeros((W, S_pad), np.uint32)
+        exp[:, :S] = ref.T
+        np.testing.assert_array_equal(rowsT, exp)
