@@ -115,6 +115,21 @@ class _EncContext:
             self._tier2 = ctx
         return self._tier2
 
+    def batched_fn(self):
+        """jit(vmap(fn)): B same-geometry frames in ONE device launch —
+        the leading-batch-dim form of the reference's per-stream frame
+        pipelining (SURVEY §2.2 row 5). Amortizes per-launch dispatch +
+        small-grid underutilization, which dominates at HD sizes.
+        Bit-identical per frame to fn (tested through the real kernels
+        in interpreter mode). Keyed on fn identity so a runtime kernel
+        downgrade that rebuilds fn invalidates the batched wrapper."""
+        cur = self.fn
+        ent = getattr(self, "_batched", None)
+        if ent is None or ent[0] is not cur:
+            ent = (cur, jax.jit(jax.vmap(cur)))
+            self._batched = ent
+        return ent[1]
+
     #: rows-per-chunk target for the lax.map-chunked encode of very large
     #: plans (16K plans otherwise materialize ~18 GB of (n_rows, ·) f32/u32
     #: intermediates at once and OOM a 16 GB chip)
@@ -580,53 +595,82 @@ def _seg_overflow(ctx, plan: CoderPlan, out_len_h, seg_bits, n_ff):
                 (n_ff_h > ctx.geo.max_stuff).any())
 
 
+def _batch_frames_auto(raw_bytes: int) -> int:
+    """Frames fused per launch: GPUJPEG_TPU_BATCH_FRAMES, or sized so a
+    chunk's HBM footprint (~4x raw per frame across planes/windows/out)
+    stays around 512 MB — HD gets 8 frames/launch, 4K ~5, 8K+ falls
+    back to 1 (the pipelined per-frame path)."""
+    env = os.environ.get("GPUJPEG_TPU_BATCH_FRAMES")
+    if env:
+        return max(1, int(env))
+    return int(max(1, min(8, (512 << 20) // max(4 * raw_bytes, 1))))
+
+
 def encode_batch_device(encoder, raws, plan: CoderPlan, quant_zz, huff,
                         depth: int = 3):
-    """Pipelined batch encode: device work for up to ``depth`` frames is
-    queued ahead, so frame i's D2H + host compaction/stream formatting
-    overlap frames i+1..i+depth's device compute (the encode mirror of
-    Decoder.decode_batch; the reference pipelines frames the same way
-    via per-stream async launches, gpujpeg_encoder.h:106). Yields one
+    """Pipelined batch encode: same-geometry frames are fused B-at-a-time
+    into one vmapped device launch (leading batch dim — the TPU form of
+    the reference's per-stream frame parallelism, gpujpeg_encoder.h:106),
+    and up to ``depth`` launches are queued ahead so each chunk's D2H +
+    host compaction/stream formatting overlap later chunks' device
+    compute (the encode mirror of Decoder.decode_batch). Yields one
     encode_segments_device-shaped result per frame — or None for frames
     that must take the host golden coder. Rare anomalies (capacity
     overflow, deferred kernel failure) re-run that frame synchronously
     through encode_segments_device's tier/downgrade chain."""
     ctx = _enc_context(plan, quant_zz, huff)
+    n = len(raws)
+    if not n:
+        return
+    B = min(_batch_frames_auto(int(np.asarray(raws[0]).size)), n)
 
-    def launch(raw):
+    def to_dev(raw):
         if isinstance(raw, jax.Array):
-            raw_j = raw.reshape(-1).astype(jnp.uint8)
-        else:
-            raw_j = jnp.asarray(np.asarray(raw, dtype=np.uint8).reshape(-1))
+            return raw.reshape(-1).astype(jnp.uint8)
+        return jnp.asarray(np.asarray(raw, dtype=np.uint8).reshape(-1))
+
+    def launch(chunk):
         try:
-            return ctx.fn(raw_j)
+            if B == 1:
+                return ctx.fn(to_dev(chunk[0]))
+            arrs = [to_dev(r) for r in chunk]
+            if len(arrs) < B:   # pad the tail chunk; outputs are dropped
+                arrs += [arrs[-1]] * (B - len(arrs))
+            return ctx.batched_fn()(jnp.stack(arrs))
         except Exception:
             if os.environ.get("GPUJPEG_TPU_STRICT"):
                 raise
             return None
 
-    n = len(raws)
+    chunks = [raws[i:i + B] for i in range(0, n, B)]
     pending: list = []
-    i = 0
-    while i < n or pending:
-        while i < n and len(pending) < depth:
-            pending.append((raws[i], launch(raws[i])))
-            i += 1
-        raw, res = pending.pop(0)
-        ok = res is not None
-        if ok:
-            try:
-                out_flat, out_len, seg_bits, n_ff = res
-                out_len_h = np.asarray(out_len)      # blocks on this frame
-                ok = not _seg_overflow(ctx, plan, out_len_h, seg_bits, n_ff)
-            except Exception:
-                if os.environ.get("GPUJPEG_TPU_STRICT"):
-                    raise
-                ok = False
-        if ok:
-            yield _split_scan_bodies(plan, ctx, out_flat, out_len_h)
-        else:
-            yield encode_segments_device(encoder, raw, plan, quant_zz, huff)
+    ci = 0
+    while ci < len(chunks) or pending:
+        while ci < len(chunks) and len(pending) < depth:
+            pending.append((chunks[ci], launch(chunks[ci])))
+            ci += 1
+        chunk, res = pending.pop(0)
+        for b, raw in enumerate(chunk):
+            ok = res is not None
+            if ok:
+                try:
+                    out_flat, out_len, seg_bits, n_ff = res
+                    if B > 1:
+                        fo, fl = out_flat[b], out_len[b]
+                        fb, fn_ = seg_bits[b], n_ff[b]
+                    else:
+                        fo, fl, fb, fn_ = out_flat, out_len, seg_bits, n_ff
+                    out_len_h = np.asarray(fl)   # blocks on this chunk
+                    ok = not _seg_overflow(ctx, plan, out_len_h, fb, fn_)
+                except Exception:
+                    if os.environ.get("GPUJPEG_TPU_STRICT"):
+                        raise
+                    ok = False
+            if ok:
+                yield _split_scan_bodies(plan, ctx, fo, out_len_h)
+            else:
+                yield encode_segments_device(encoder, raw, plan, quant_zz,
+                                             huff)
 
 
 # ---------------------------------------------------------------------------

@@ -608,3 +608,20 @@ def test_decode_wcap_bucketing_reuses_executable(monkeypatch):
     assert psnr(np.asarray(r1).reshape(h, w, 3),
                 make_test_rgb(h, w, seed=1)) > 30
     jp._DEC_V2_CACHE.clear()
+
+
+def test_encode_batch_fused_chunks(rng, monkeypatch):
+    """Fused B-frame launches (leading batch dim via vmap over the
+    encode context): multi-chunk, odd tail (padded, outputs dropped)
+    and an overflow frame mid-chunk — byte-identical to per-frame."""
+    monkeypatch.setenv("GPUJPEG_TPU_BATCH_FRAMES", "2")
+    h, w = 64, 80
+    params = Parameters(quality=95, restart_interval=4)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    frames = [make_test_rgb(h, w, seed=s).reshape(-1) for s in range(4)]
+    frames.insert(2, rng.integers(0, 256, h * w * 3, dtype=np.uint8))
+    enc = Encoder(backend="jax")
+    want = [enc.encode(f, params, image) for f in frames]
+    got = enc.encode_batch(frames, params, image)
+    assert got == want
