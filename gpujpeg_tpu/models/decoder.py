@@ -9,6 +9,7 @@ like the reference, tiny segment counts fall back to the host decoder
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import numpy as np
@@ -57,6 +58,20 @@ def huffman_maps(info) -> tuple[list, list]:
     return dc, ac
 
 
+def _fuse_compatible(p: dict, q: dict) -> bool:
+    """Two frame preps may share one fused launch: same executable-cache
+    key (geometry, wcap bucket, output) and identical decode/quant
+    tables (a video stream satisfies all of these)."""
+    return (p["key"] == q["key"]
+            and p["qts"] == q["qts"]
+            and np.array_equal(p["dc_slot"], q["dc_slot"])
+            and np.array_equal(p["ac_slot"], q["ac_slot"])
+            and np.array_equal(p["tabs"].quick, q["tabs"].quick)
+            and np.array_equal(p["tabs"].maxcode, q["tabs"].maxcode)
+            and np.array_equal(p["tabs"].delta, q["tabs"].delta)
+            and np.array_equal(p["tabs"].huffval, q["tabs"].huffval))
+
+
 class DecoderStats:
     def __init__(self) -> None:
         self.duration_stream = 0.0
@@ -82,6 +97,10 @@ class Decoder:
         self.output_color_space: ColorSpace | None = None
         self.output_to_device = False
         self._jax_ctx = None
+        self._defer_sync = False
+        #: fused batch decode: a list set by decode_batch makes the
+        #: device path hand back its host-side prep instead of launching
+        self._fuse_collect = None
 
     def init(self, params, image) -> None:
         """Pre-initialize for a known stream geometry so the first real
@@ -124,50 +143,145 @@ class Decoder:
         reuse one cached executable. Per-phase stats are not recorded (a
         per-stage sync would serialize the pipeline). Returns
         ``[(raw, ImageParameters), ...]`` like :meth:`decode` per
-        frame."""
+        On the Pallas device path, same-geometry/same-table frames are
+        additionally fused B at a time into ONE vmapped launch (rows
+        batched on a leading dim, tables broadcast) — the decode mirror
+        of the fused batch encode; GPUJPEG_TPU_DEC_BATCH_FRAMES
+        overrides the auto B (1 disables fusing)."""
+        from ..ops import jax_pipeline as _jp
         out = []
-        pending = []   # (raw, out_image, jpeg_bytes) in launch order
+        pending = []   # chunks: (launched | None, [(raw/prep, oi, d)])
+        group: list = []   # preps accumulating toward the next fused chunk
+        fuse_B = None      # decided from the first device frame's size
 
-        def collect_one():
-            raw, oi, d = pending.pop(0)
+        def redecode(d):
+            """Synchronous single-frame decode through the normal
+            downgrade/fallback chain (no defer, no fuse collection)."""
+            defer, fc = self._defer_sync, self._fuse_collect
+            self._defer_sync = False
+            self._fuse_collect = None
+            try:
+                return self.decode(d)
+            finally:
+                self._defer_sync, self._fuse_collect = defer, fc
+
+        def materialize(raw, oi, d):
+            if raw is None:             # failed launch marker
+                return redecode(d)
             if isinstance(raw, np.ndarray):
-                out.append((raw, oi))
-                return
+                return raw, oi
             try:
                 if getattr(self, "output_to_device", False):
                     # materialize one element: surfaces a deferred kernel
                     # failure now (so the fallback below can run) without
-                    # a full-frame D2H; later frames' queued device work
-                    # proceeds under this tiny transfer
+                    # a full-frame D2H
                     np.asarray(raw.reshape(-1)[:1])
-                    arr = raw
-                else:
-                    arr = np.asarray(raw)
+                    return raw, oi
+                return np.asarray(raw), oi
             except Exception:
-                # a deferred kernel failure surfaces at sync time, after
-                # the launch-time fallback in decode_device has already
-                # passed — re-decode this frame on the synchronous path
-                # (which applies the normal downgrade/fallback chain)
-                defer = self._defer_sync
-                self._defer_sync = False
+                # deferred kernel failure at sync time: re-decode this
+                # frame synchronously
+                return redecode(d)
+
+        def collect_chunk():
+            launched, grp = pending.pop(0)
+            if launched is None:        # direct (non-fused) frames
+                for raw, oi, d in grp:
+                    out.append(materialize(raw, oi, d))
+                return
+            for b, (_prep, oi, d) in enumerate(grp):
                 try:
-                    arr, oi = self.decode(d)
-                finally:
-                    self._defer_sync = defer
-            out.append((arr, oi))
+                    raw = launched[b]
+                except Exception:
+                    out.append(redecode(d))
+                    continue
+                out.append(materialize(raw, oi, d))
+
+        def flush_group():
+            nonlocal group
+            if not group:
+                return
+            launched = self._launch_fused([g[0] for g in group])
+            if launched is None:        # launch failed (non-STRICT):
+                # None raws route every frame through redecode at collect
+                pending.append((None, [(None, oi, d)
+                                       for _, oi, d in group]))
+            else:
+                pending.append((launched, group))
+            group = []
 
         self._defer_sync = True
+        self._fuse_collect = []
         try:
             for d in datas:
                 raw, oi = self.decode(d)
-                pending.append((raw, oi, d))
-                if len(pending) > window:
-                    collect_one()
+                if raw is _jp._FUSE_PENDING:
+                    prep = self._fuse_collect.pop()
+                    if fuse_B is None:
+                        fuse_B = self._fuse_frames(oi)
+                    if fuse_B <= 1:
+                        # launch unfused but still pipelined
+                        launched = self._launch_fused([prep], unbatched=True)
+                        pending.append((None, [(launched, oi, d)]))
+                    else:
+                        if group and not _fuse_compatible(group[-1][0],
+                                                          prep):
+                            flush_group()
+                        group.append((prep, oi, d))
+                        if len(group) >= fuse_B:
+                            flush_group()
+                else:
+                    # golden/XLA-fallback frame: ride as its own chunk so
+                    # output order is preserved
+                    flush_group()
+                    pending.append((None, [(raw, oi, d)]))
+                while len(pending) > window:
+                    collect_chunk()
         finally:
             self._defer_sync = False
+            self._fuse_collect = None
+        flush_group()
         while pending:
-            collect_one()
+            collect_chunk()
         return out
+
+    @staticmethod
+    def _fuse_frames(out_image) -> int:
+        """Frames fused per decode launch: GPUJPEG_TPU_DEC_BATCH_FRAMES,
+        or sized so a chunk's decoded output (~4x with intermediates)
+        stays around 512 MB (HD 8, 4K 5, 8K+ 1)."""
+        env = os.environ.get("GPUJPEG_TPU_DEC_BATCH_FRAMES")
+        if env:
+            return max(1, int(env))
+        raw_bytes = max(out_image.width * out_image.height * 3, 1)
+        return int(max(1, min(8, (512 << 20) // (4 * raw_bytes))))
+
+    def _launch_fused(self, preps, unbatched: bool = False):
+        """One (vmapped) device launch for a group of compatible frame
+        preps; None on launch failure outside STRICT mode."""
+        import jax.numpy as jnp
+        p0 = preps[0]
+        fn = p0["fn"]
+        tabs = p0["tabs"]
+        try:
+            if unbatched:
+                return fn(jnp.asarray(p0["data_in"]),
+                          jnp.asarray(p0["sc_in"]), jnp.asarray(p0["sn_in"]),
+                          jnp.asarray(tabs.quick), jnp.asarray(tabs.maxcode),
+                          jnp.asarray(tabs.delta), jnp.asarray(tabs.huffval),
+                          jnp.asarray(p0["dc_slot"]),
+                          jnp.asarray(p0["ac_slot"]), p0["Ws"])
+            rows = jnp.stack([jnp.asarray(p["data_in"]) for p in preps])
+            return fn.batched(
+                rows, jnp.asarray(p0["sc_in"]), jnp.asarray(p0["sn_in"]),
+                jnp.asarray(tabs.quick), jnp.asarray(tabs.maxcode),
+                jnp.asarray(tabs.delta), jnp.asarray(tabs.huffval),
+                jnp.asarray(p0["dc_slot"]), jnp.asarray(p0["ac_slot"]),
+                p0["Ws"], *fn.reorders)
+        except Exception:
+            if os.environ.get("GPUJPEG_TPU_STRICT"):
+                raise
+            return None
 
     def set_output_format(self, color_space: ColorSpace,
                           pixel_format: PixelFormat) -> None:

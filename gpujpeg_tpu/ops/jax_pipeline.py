@@ -728,6 +728,10 @@ def _dec_fn(plan: CoderPlan, out_image: ImageParameters, L_pad: int,
 
 _DEC_V2_CACHE: dict = {}
 
+#: sentinel returned by _decode_device_v2 in fused-batch collect mode
+#: (the prep was appended to decoder._fuse_collect; no launch happened)
+_FUSE_PENDING = object()
+
 
 def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                       segments_by_scan, dc_by_comp, ac_by_comp,
@@ -975,6 +979,11 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         # huffman/idct/postprocess splits (gpujpeg_common.h:315-325)
         fn.stages = (s_huff, jax.jit(stage_idct), jax.jit(stage_post))
         fn.native = use_native
+        # fused-batch form: B same-geometry frames in one launch (rows
+        # batched; tables/geometry broadcast) — see Decoder.decode_batch
+        fn.batched = jax.jit(jax.vmap(
+            fn_j, in_axes=(0,) + (None,) * 11))
+        fn.reorders = (out_row_j, inv_j)
         _DEC_V2_CACHE[key] = fn
 
     if getattr(fn, "native", False):
@@ -1018,6 +1027,21 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             rows_pad = build_rows_t_device(concat, lo_r, hi_r, S, S_pad,
                                            wcap, transposed=False)
         data_in, sc_in, sn_in = rows_pad, seg_comp, seg_nblk
+    fuse = getattr(decoder, "_fuse_collect", None)
+    if fuse is not None:
+        # fused batch decode (Decoder.decode_batch): hand the host-side
+        # prep to the caller, which stacks same-geometry frames' rows
+        # into ONE vmapped launch (shared tables ride once)
+        fuse.append({
+            "fn": fn, "data_in": data_in, "sc_in": sc_in, "sn_in": sn_in,
+            "tabs": tabs, "dc_slot": dc_slot, "ac_slot": ac_slot,
+            "Ws": Ws, "key": key,
+            "qts": tuple(tuple(int(x) for x in info.quant_tables[
+                info.components[c.index].quant_table_index])
+                for c in plan.components),
+        })
+        return _FUSE_PENDING
+
     args_dev = (jnp.asarray(data_in), jnp.asarray(sc_in),
                 jnp.asarray(sn_in), jnp.asarray(tabs.quick),
                 jnp.asarray(tabs.maxcode), jnp.asarray(tabs.delta),

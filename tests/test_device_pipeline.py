@@ -328,3 +328,51 @@ def test_encode_batch_matches_per_frame():
     want = [enc.encode(f, params, image) for f in frames]
     got = enc.encode_batch(frames, params, image)
     assert got == want
+
+
+def test_decode_batch_mixed_quality_flushes_fused_groups():
+    """Frames with the same geometry but different quant tables cannot
+    share a fused launch (tables ride broadcast) — the batch must flush
+    groups at each quality change and still match per-frame decode."""
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 64, 80
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    enc = Encoder(backend="golden")
+    datas = []
+    for s, q in ((1, 85), (2, 85), (3, 60), (4, 85)):
+        p = Parameters(quality=q, restart_interval=1)
+        datas.append(enc.encode(make_test_rgb(h, w, seed=s).reshape(-1),
+                                p, image))
+    old = dmod.CPU_SEGMENT_THRESHOLD
+    dmod.CPU_SEGMENT_THRESHOLD = 0
+    try:
+        dec = Decoder(backend="jax")
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        want = [dec.decode(d)[0] for d in datas]
+        got = dec.decode_batch(datas)
+    finally:
+        dmod.CPU_SEGMENT_THRESHOLD = old
+    for (g, _), w_ in zip(got, want):
+        assert np.array_equal(g, w_)
+
+
+def test_decode_batch_fuse_disabled_still_pipelines(monkeypatch):
+    """GPUJPEG_TPU_DEC_BATCH_FRAMES=1 disables vmapped fusing; the
+    unbatched-but-deferred launches must still match per-frame decode."""
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 64, 80
+    params = Parameters(quality=85, restart_interval=1)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    enc = Encoder(backend="golden")
+    datas = [enc.encode(make_test_rgb(h, w, seed=s).reshape(-1), params,
+                        image) for s in (1, 2, 3)]
+    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
+    monkeypatch.setenv("GPUJPEG_TPU_DEC_BATCH_FRAMES", "1")
+    dec = Decoder(backend="jax")
+    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    want = [dec.decode(d)[0] for d in datas]
+    got = dec.decode_batch(datas)
+    for (g, _), w_ in zip(got, want):
+        assert np.array_equal(g, w_)
