@@ -875,6 +875,28 @@ def block_chunks_dct_fused(pbw, spec: FusedSpec, D2_h, bias2_h, qrows_h,
     return out, Mp
 
 
+def _pack_rows_lanes(x, lanes_out: int):
+    """In-kernel row-major relayout ``(R, C) -> (R*C/lanes_out,
+    lanes_out)`` for ``C < 128``.
+
+    Mosaic rejects the direct shape cast (``tpu.reshape
+    vector<RxCxi32> -> ...`` "unsupported shape cast" on real
+    hardware — the interpreter accepts it, which is why this shipped
+    broken once). The supported route: pad the lane dim to a full
+    vreg, collapse whole 128-lane rows into the lane axis (vreg-aligned
+    reshape, same family as the merge kernels' (rows,128)->(rows/2,256)
+    pairing trick), then compact with static lane slices."""
+    Rr, C = x.shape
+    g = lanes_out // C
+    assert lanes_out % C == 0 and Rr % g == 0, (x.shape, lanes_out)
+    if C == 128:
+        return x
+    y = jnp.pad(x, ((0, 0), (0, 128 - C)))
+    y = y.reshape(Rr // g, g * 128)
+    return jnp.concatenate(
+        [y[:, 128 * j:128 * j + C] for j in range(g)], axis=1)
+
+
 def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
                           D2_h, bias2_h, qrows_h, tabs: PackedTables,
                           W: int, bps: int, cap_words: int, cap_out: int,
@@ -926,8 +948,8 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
             seg_rows, n_comp)
         # relayout to the packed merge layout: rows of 128/W whole block
         # strings (row-major flatten == block-major word order)
-        w2 = words.reshape(mrows_t, 128)
-        b2 = bits.reshape(mrows_t, 128 // W)
+        w2 = _pack_rows_lanes(words, 128)
+        b2 = _pack_rows_lanes(bits, 128 // W)
         out_w, meta = _merge_stuff_core(
             w2, b2, r_ref[:], h_ref[:], W, cap_words, WO, max_stuff)
         out_ref[:] = out_w
