@@ -202,7 +202,11 @@ def _print_stats(prefix: str, stats, iteration_ms: float, verbose: int):
     print(f"{prefix} duration: {iteration_ms:.2f} ms")
     if verbose:
         for k, v in stats.asdict().items():
-            if v:
+            if not v:
+                continue
+            if k.startswith("bytes_"):
+                print(f"  {k:>20}: {v / 1e6:8.3f} MB")
+            else:
                 print(f"  {k.replace('duration_', ''):>20}: {v:8.3f} ms")
 
 

@@ -75,10 +75,13 @@ def _fuse_compatible(p: dict, q: dict) -> bool:
 class DecoderStats:
     def __init__(self) -> None:
         self.duration_stream = 0.0
+        self.duration_memory_to = 0.0      # stream-rows H2D (perf_stats)
         self.duration_huffman_coder = 0.0
         self.duration_dct_quantization = 0.0
         self.duration_postprocessor = 0.0
+        self.duration_memory_from = 0.0    # raw-image D2H
         self.duration_in_gpu = 0.0
+        self.bytes_memory_to = 0           # H2D payload (device path)
 
     def asdict(self) -> dict[str, float]:
         return dict(self.__dict__)

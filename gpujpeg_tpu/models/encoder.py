@@ -26,9 +26,11 @@ class EncoderStats:
     (analog of struct gpujpeg_duration_stats, gpujpeg_common.h:315-325)."""
 
     def __init__(self) -> None:
+        self.duration_memory_to = 0.0      # H2D raw upload (perf_stats)
         self.duration_preprocessor = 0.0
         self.duration_dct_quantization = 0.0
         self.duration_huffman_coder = 0.0
+        self.duration_memory_from = 0.0    # compaction D2H (perf_stats)
         self.duration_stream = 0.0
         self.duration_in_gpu = 0.0
 

@@ -541,6 +541,8 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
     the per-segment byte sizes (for APP13 segment-info back-patching)."""
     import time
     ctx = _enc_context(plan, quant_zz, huff)
+    perf_stats = bool(getattr(plan.params, "perf_stats", False))
+    t_h2d = time.perf_counter()
     if isinstance(raw, jax.Array):
         # device-resident input: the analog of the reference's
         # GPUJPEG_ENCODER_INPUT_GPU_IMAGE / OpenGL-texture paths
@@ -548,8 +550,10 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
         raw_j = raw.reshape(-1).astype(jnp.uint8)
     else:
         raw_j = jnp.asarray(np.asarray(raw, dtype=np.uint8).reshape(-1))
-
-    perf_stats = bool(getattr(plan.params, "perf_stats", False))
+    if perf_stats:
+        jax.block_until_ready(raw_j)   # upload excluded from in_gpu
+        encoder.stats.duration_memory_to = \
+            (time.perf_counter() - t_h2d) * 1e3
     t0 = time.perf_counter()
     for tier in (1, 2):
         if perf_stats and getattr(ctx, "_stage_fns", None):
@@ -568,7 +572,14 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
         else:
             return None         # beyond worst-case caps: host golden coder
     encoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
-    return _split_scan_bodies(plan, ctx, out_flat, out_len_h)
+    t_d2h = time.perf_counter()
+    bodies = _split_scan_bodies(plan, ctx, out_flat, out_len_h)
+    if perf_stats:
+        # compaction gather + D2H of the compressed bytes (the gather is
+        # tiny device work; the transfer dominates)
+        encoder.stats.duration_memory_from = \
+            (time.perf_counter() - t_d2h) * 1e3
+    return bodies
 
 
 def _split_scan_bodies(plan: CoderPlan, ctx, out_flat, out_len_h):
@@ -951,8 +962,21 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             # pixel chain (measured 73 -> 21 ms at 8K; encode-side mirror)
             return list(jax.lax.optimization_barrier(tuple(planes)))
 
+        def _simple_stage_idct(coeff_plane, Ws):
+            """r01-form tail: unpacked fused dequant+IDCT and a direct
+            u8 un-blockify, single fusion fence — the round-1 bench's
+            24.7 ms structure (tail A/B vs the packed variant)."""
+            planes = []
+            for (start, count, dh, dw), W in zip(comp_slices, Ws):
+                blocks = dequant_idct_device(
+                    coeff_plane[start:start + count], W)
+                planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+            return list(jax.lax.optimization_barrier(tuple(planes)))
+
         if not use_native:
-            stage_idct = _default_stage_idct
+            stage_idct = (_simple_stage_idct
+                          if os.environ.get("GPUJPEG_TPU_DEC_TAIL") ==
+                          "simple" else _default_stage_idct)
 
         def stage_post(planes):
             return postprocess(planes, out_image, plan, jnp)
@@ -1042,13 +1066,18 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         })
         return _FUSE_PENDING
 
+    t_h2d = time.perf_counter()
     args_dev = (jnp.asarray(data_in), jnp.asarray(sc_in),
                 jnp.asarray(sn_in), jnp.asarray(tabs.quick),
                 jnp.asarray(tabs.maxcode), jnp.asarray(tabs.delta),
                 jnp.asarray(tabs.huffval), jnp.asarray(dc_slot),
                 jnp.asarray(ac_slot))
+    decoder.stats.bytes_memory_to = int(
+        sum(getattr(a, "nbytes", 0) for a in args_dev))
     if getattr(decoder, "perf_stats", False):
         jax.block_until_ready(args_dev)  # uploads excluded from in_gpu
+        decoder.stats.duration_memory_to = \
+            (time.perf_counter() - t_h2d) * 1e3
 
     def sync(a):
         leaf = jax.tree_util.tree_leaves(a)[0]
@@ -1084,7 +1113,10 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         sync(raw)
     decoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
     if not getattr(decoder, "output_to_device", False):
+        t_d2h = time.perf_counter()
         raw = np.asarray(raw)   # D2H (the reference's default output path)
+        decoder.stats.duration_memory_from = \
+            (time.perf_counter() - t_d2h) * 1e3
     return raw
 
 

@@ -118,6 +118,16 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     RW = 8 if KB == 1 else 16
     if OUT_DT == jnp.int16 and RW * G % 16:
         RW = 16
+    # round-3 regression-bisect toggles (r02 kernel changes landed
+    # unmeasured; each gates on jnp.any over ~seg_tile lanes, which is
+    # almost always true in lockstep — A/B on chip, then hard-code):
+    #   CSLOW=0: run the >QUICK_BITS slow path inline, no lax.cond
+    #   CF1=0:   fetch f1 unconditionally, no lax.cond
+    #   GW=0:    r01-style loop-carried coefficient array, one merged
+    #            one-hot select over all rows per iteration
+    COND_SLOW = _os.environ.get("GPUJPEG_TPU_DEC_CSLOW", "1") != "0"
+    COND_F1 = _os.environ.get("GPUJPEG_TPU_DEC_CF1", "1") != "0"
+    GATED_W = _os.environ.get("GPUJPEG_TPU_DEC_GW", "1") != "0"
 
     def kernel(dataT_ref, segcomp_ref, segnblk_ref,
                quick_ref, maxcode_ref, delta_ref, huffval_ref,
@@ -256,15 +266,18 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                                         n_slots * 256)
                 return s_sym, s_len
 
-            # the 8-bit lookahead resolves the overwhelming majority of
-            # symbols; run the >QUICK_BITS slow path only when some lane
-            # actually missed (the GPU reference branches per thread —
-            # huffman_gpu_decoder.cu quick/full tables — the lockstep
-            # analog is an all-lane branch)
-            s_sym, s_len = jax.lax.cond(
-                jnp.any(act_mask & (q_len == 0)), slow_path,
-                lambda _: (jnp.zeros((G, 128), I32),
-                           jnp.full((G, 128), 17, I32)), 0)
+            if COND_SLOW:
+                # the 8-bit lookahead resolves the overwhelming majority
+                # of symbols; run the >QUICK_BITS slow path only when
+                # some lane actually missed (the GPU reference branches
+                # per thread — huffman_gpu_decoder.cu quick/full tables
+                # — the lockstep analog is an all-lane branch)
+                s_sym, s_len = jax.lax.cond(
+                    jnp.any(act_mask & (q_len == 0)), slow_path,
+                    lambda _: (jnp.zeros((G, 128), I32),
+                               jnp.full((G, 128), 17, I32)), 0)
+            else:
+                s_sym, s_len = slow_path(0)
 
             use_quick = q_len > 0
             sym = jnp.where(use_quick, q_sym, s_sym)
@@ -283,12 +296,17 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             return jnp.where((cat > 0) & (vraw < half),
                              vraw - (1 << cat) + 1, vraw)
 
+        # r01-style merged write support: coefficient rows ride in loop
+        # state (k-major row = pos*G + g over all KB*64 positions)
+        onehot_cbase = (jax.lax.broadcasted_iota(
+            I32, (KB * 64 * G, 128), 0) // G)
+
         def cond(st):
             act, *_ = st
             return jnp.any(act > 0)
 
         def body(st):
-            act_i, bcur, kp, bp, dcp, w0, w1, w2 = st
+            act_i, bcur, kp, cf, bp, dcp, w0, w1, w2 = st
             act = act_i > 0
             soff = bp & 31
 
@@ -357,26 +375,37 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             # free. Positions are absolute within the step: bcur*64 + k.
             posA = bcur * 64 + wposA
             posB = bcur * 64 + wposB
-            for r in range(64 * KB // RW):
-                lo = r * RW
-                inA = writeA & (posA >= lo) & (posA < lo + RW)
-                inB = writeB & (posB >= lo) & (posB < lo + RW)
+            if GATED_W:
+                for r in range(64 * KB // RW):
+                    lo = r * RW
+                    inA = writeA & (posA >= lo) & (posA < lo + RW)
+                    inB = writeB & (posB >= lo) & (posB < lo + RW)
 
-                @pl.when(jnp.any(inA | inB))
-                def _(lo=lo, inA=inA, inB=inB):
-                    kbase = (jax.lax.broadcasted_iota(
-                        I32, (RW * G, 128), 0) // G) + lo
-                    wA = pltpu.repeat(posA, RW, axis=0)
-                    vA = pltpu.repeat(wvalA, RW, axis=0)
-                    mA = pltpu.repeat(inA.astype(I32), RW, axis=0) > 0
-                    wB = pltpu.repeat(posB, RW, axis=0)
-                    vB = pltpu.repeat(valB, RW, axis=0)
-                    mB = pltpu.repeat(inB.astype(I32), RW, axis=0) > 0
-                    sub = out_ref[0, lo * G:(lo + RW) * G, :].astype(I32)
-                    out_ref[0, lo * G:(lo + RW) * G, :] = jnp.where(
-                        (kbase == wB) & mB, vB,
-                        jnp.where((kbase == wA) & mA, vA, sub)
-                    ).astype(OUT_DT)
+                    @pl.when(jnp.any(inA | inB))
+                    def _(lo=lo, inA=inA, inB=inB):
+                        kbase = (jax.lax.broadcasted_iota(
+                            I32, (RW * G, 128), 0) // G) + lo
+                        wA = pltpu.repeat(posA, RW, axis=0)
+                        vA = pltpu.repeat(wvalA, RW, axis=0)
+                        mA = pltpu.repeat(inA.astype(I32), RW, axis=0) > 0
+                        wB = pltpu.repeat(posB, RW, axis=0)
+                        vB = pltpu.repeat(valB, RW, axis=0)
+                        mB = pltpu.repeat(inB.astype(I32), RW, axis=0) > 0
+                        sub = out_ref[0, lo * G:(lo + RW) * G, :].astype(I32)
+                        out_ref[0, lo * G:(lo + RW) * G, :] = jnp.where(
+                            (kbase == wB) & mB, vB,
+                            jnp.where((kbase == wA) & mA, vA, sub)
+                        ).astype(OUT_DT)
+            else:
+                wA = pltpu.repeat(posA, KB * 64, axis=0)
+                vA = pltpu.repeat(wvalA, KB * 64, axis=0)
+                mA = pltpu.repeat(writeA.astype(I32), KB * 64, axis=0) > 0
+                wB = pltpu.repeat(posB, KB * 64, axis=0)
+                vB = pltpu.repeat(valB, KB * 64, axis=0)
+                mB = pltpu.repeat(writeB.astype(I32), KB * 64, axis=0) > 0
+                cf = jnp.where(
+                    (onehot_cbase == wB) & mB, vB,
+                    jnp.where((onehot_cbase == wA) & mA, vA, cf))
 
             bp_new = bp + cA + cB
             delta = (bp_new >> 5) - (bp >> 5)             # 0, 1 or 2
@@ -414,9 +443,12 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             # lanes (>=33 bits in one iteration, two large symbols), so
             # skip that masked-reduction fetch unless some lane needs it
             f2 = do_fetch(wpn + 2)
-            f1 = jax.lax.cond(jnp.any(delta == 2),
-                              lambda _: do_fetch(wpn + 1),
-                              lambda _: w1, 0)
+            if COND_F1:
+                f1 = jax.lax.cond(jnp.any(delta == 2),
+                                  lambda _: do_fetch(wpn + 1),
+                                  lambda _: w1, 0)
+            else:
+                f1 = do_fetch(wpn + 1)
             w0 = jnp.where(delta == 0, w0, jnp.where(delta == 1, w1, w2))
             w1 = jnp.where(delta == 0, w1, jnp.where(delta == 1, w2, f1))
             w2 = f2
@@ -428,14 +460,20 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             more = (bcur < KB) & ((b * KB + bcur) < nblk)
             kp = jnp.where(adv, 0, jnp.where(act, kB, kp))
             act_i = jnp.where(adv, more.astype(I32), act_i)
-            return act_i, bcur, kp, bp_new, dcp, w0, w1, w2
+            return act_i, bcur, kp, cf, bp_new, dcp, w0, w1, w2
 
-        out_ref[0, :, :] = jnp.zeros((KB * G * 64, 128), OUT_DT)
-        act, _, kp, bp_f, dcp_f, _, _, _ = jax.lax.while_loop(
-            cond, body, (active0, bcur0, kpos, bitpos[:], dcpred[:],
+        if GATED_W:
+            out_ref[0, :, :] = jnp.zeros((KB * G * 64, 128), OUT_DT)
+            cf0 = jnp.zeros((8, 128), I32)      # dummy carried slot
+        else:
+            cf0 = jnp.zeros((KB * G * 64, 128), I32)
+        act, _, kp, cf_f, bp_f, dcp_f, _, _, _ = jax.lax.while_loop(
+            cond, body, (active0, bcur0, kpos, cf0, bitpos[:], dcpred[:],
                          w0_init, w1_init, w2_init))
         bitpos[:] = bp_f
         dcpred[:] = dcp_f
+        if not GATED_W:
+            out_ref[0, :, :] = cf_f.astype(OUT_DT)
 
     def run_raw(dataT, seg_comp, seg_nblk, tabs: DecTables,
                 dc_slot: np.ndarray, ac_slot: np.ndarray):
