@@ -45,6 +45,39 @@ def make_test_rgb(height: int, width: int, seed: int = 7) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def make_natural_rgb(height: int, width: int, seed: int = 7) -> np.ndarray:
+    """1080p-class color-oracle fixture with real-content statistics:
+    detail lives in LUMA (all three channels move together) while chroma
+    varies smoothly — like the reference's camera fixture
+    (colors/image_bt709_422.yuv). Per-pixel RGB noise (make_test_rgb)
+    puts energy into high-frequency chroma, which 4:2:0/4:2:2
+    decimation must destroy; that is a fixture artifact, not a codec
+    defect, and it is why a 40 dB bar needs natural chroma statistics
+    (reference oracle: colors/test_common.sh:17)."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:height, 0:width]
+    # smooth chroma-bearing base
+    r = 128 + 70 * np.sin(x / 97.0) * np.cos(y / 71.0)
+    g = 128 + 60 * np.cos(x / 131.0 + 1.0) * np.sin(y / 83.0)
+    b = 128 + 55 * np.sin((x + y) / 151.0)
+    img = np.stack([r, g, b], axis=-1)
+    # luma detail: coarse random field, bilinearly upsampled 8x, plus
+    # mild high-frequency texture — added equally to R/G/B (chroma-free)
+    ch, cw = -(-height // 8) + 1, -(-width // 8) + 1
+    coarse = rng.normal(0, 22.0, (ch, cw))
+    yy, xx = np.mgrid[0:height, 0:width]
+    fy, fx = yy / 8.0, xx / 8.0
+    y0, x0 = fy.astype(int), fx.astype(int)
+    wy, wx = fy - y0, fx - x0
+    up = ((1 - wy) * (1 - wx) * coarse[y0, x0]
+          + (1 - wy) * wx * coarse[y0, x0 + 1]
+          + wy * (1 - wx) * coarse[y0 + 1, x0]
+          + wy * wx * coarse[y0 + 1, x0 + 1])
+    detail = up + 6.0 * np.sin(x / 2.9) * np.sin(y / 3.7)
+    img += detail[..., None]
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     a = a.astype(np.float64)
     b = b.astype(np.float64)
