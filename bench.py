@@ -128,6 +128,15 @@ def main():
         np.asarray(jax.lax.slice(o[1], (0,), (1,)))
 
     sync(ctx.fn(raw_dev))  # warm
+    # regression gate (a): the flagship kernel variant must actually be
+    # serving — round 2 shipped a silent Mosaic-compile downgrade that
+    # the bench measured as if it were the fused kernel
+    kind = getattr(ctx.fn, "kind", "?")
+    log(f"encode variant: {kind}")
+    downgraded = kind != "fused_full"
+    if downgraded:
+        log("BENCH FAIL: encode variant downgraded (expected fused_full); "
+            "see scripts/tpu_smoke.py")
     t0 = time.perf_counter()
     outs = [ctx.fn(raw_dev) for _ in range(iters)]
     sync(outs[-1])
@@ -185,6 +194,8 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_DEVICE_MS / dev_ms, 4),
     }))
+    if downgraded:
+        sys.exit(1)   # red bench: a downgraded variant must not ship
 
 
 if __name__ == "__main__":

@@ -35,21 +35,3 @@ def plane_to_blocks_u32(plane, xp, lax=None):
     return jax.lax.bitcast_convert_type(out, xp.int32)
 
 
-def blocks_u32_to_plane(blocks16, h: int, w: int, xp):
-    """(H/8*W/8, 16) uint32 (a block's 64 bytes packed 4-per-word LE,
-    from :func:`pack_blocks_u32`) -> (H, W) u8 plane. The u32 transpose
-    costs 1/4 of the u8 form (decode-side mirror of
-    :func:`plane_to_blocks_u32`)."""
-    import jax
-    words = (blocks16.reshape(h // 8, w // 8, 8, 2)
-                     .transpose(0, 2, 1, 3)
-                     .reshape(h, w // 4))
-    return jax.lax.bitcast_convert_type(
-        words, xp.uint8).reshape(h, w)
-
-
-def pack_blocks_u32(blocks_u8, xp):
-    """(N, 64) u8 -> (N, 16) u32 little-endian 4-bytes-per-word."""
-    import jax
-    return jax.lax.bitcast_convert_type(
-        blocks_u8.reshape(blocks_u8.shape[0], 16, 4), xp.uint32)

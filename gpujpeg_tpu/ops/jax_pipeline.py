@@ -782,14 +782,6 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     from .pallas_decode import V3_WCAP_MAX
     use_v3 = wcap <= V3_WCAP_MAX
     device_rows = bool(os.environ.get("GPUJPEG_TPU_DEC_DEVICE_ROWS"))
-    # kernel-native-axis IDCT (GPUJPEG_TPU_DEC_NATIVE_IDCT): contract the
-    # coefficient axis of the v3 kernel's (bO,t,kb,64,G,128) output
-    # directly (dequant factored out as an exact int elementwise multiply,
-    # shared IDCT basis as the matmul) and defer the scan-order relayout
-    # until after u8->u32 packing — the standalone int32 coefficient
-    # transpose (~800 MB r+w at 8K) disappears; the MXU operand load
-    # absorbs the relayout instead. Off by default pending on-chip A/B.
-    native_idct = bool(os.environ.get("GPUJPEG_TPU_DEC_NATIVE_IDCT"))
     rows = None
     if not use_v3 and not device_rows:
         rows = build_segment_rows_from_ranges(concat, lo_r, hi_r, S, wcap)
@@ -839,7 +831,7 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         out_row = slot_in_seg.astype(np.int64) * S_pad + plan.block_segment
 
     key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad, use_v3,
-           native_idct, seg_tile)
+           seg_tile)
     fn = _DEC_V2_CACHE.get(key)
     if fn is None:
         if use_v3:
@@ -871,112 +863,39 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                                 c.data_width))
             pos += c.block_count
 
-        # kernel-native-axis IDCT applies only where kernel rows ARE the
-        # plane rows (identity reorders, non-interleaved): the per-
-        # component plane slices then stay contiguous after the deferred
-        # relayout
-        uses_tpl_flag = bool((tpl >= 0).any())
-        use_native = (native_idct and use_v3 and out_row_identity
-                      and inv_identity and not uses_tpl_flag)
-        if use_native:
-            KBn, Gn = run.dims
-            n_tiles_l = S_pad // (Gn * 128)
+        def stage_huffman(rows_j, seg_comp_j, seg_nblk_j, quick,
+                          maxcode, delta, huffval, dcs, acs,
+                          out_row_a, inv_a):
+            from . import pallas_decode as _pd
+            t = _pd.DecTables(quick, maxcode, delta, huffval)
+            out3 = run(rows_j, seg_comp_j, seg_nblk_j, t, dcs, acs)
+            flat = out3.reshape(-1, 64)
+            coeff_scan = (flat[:nb] if out_row_identity
+                          else flat[out_row_a])
+            return coeff_scan if inv_identity else coeff_scan[inv_a]
 
-            def stage_huffman(rows_j, seg_comp_j, seg_nblk_j, quick,
-                              maxcode, delta, huffval, dcs, acs,
-                              out_row_a, inv_a):
-                from . import pallas_decode as _pd
-                t = _pd.DecTables(quick, maxcode, delta, huffval)
-                # (bO, t, kb, 64, G, 128) — no scan-order transpose; the
-                # segment-component row rides along for the dequant select
-                o6 = run.raw(rows_j, seg_comp_j, seg_nblk_j, t, dcs, acs)
-                return o6, seg_comp_j
-
-            def stage_idct(carry, Ws):
-                from .blocks import blocks_u32_to_plane
-                o6, seg_comp_j = carry
-                qcomp, B = Ws   # (ncomp, 64) dequant rows; (64, 64) basis
-                # dequant factored out of the fused operator as an exact
-                # integer multiply (|coeff|*quant < 2^24, exact in f32);
-                # segment s = (t*G+g)*128 + l  ->  component -> table row
-                c_tgl = seg_comp_j.reshape(n_tiles_l, Gn, 128)
-                dq = jnp.moveaxis(jnp.take(qcomp, c_tgl, axis=0), 3, 1)
-                x = o6.astype(jnp.float32) * dq[None, :, None]
-                # contract k where it lies (third-from-minor): the MXU
-                # operand load absorbs the relayout the default path pays
-                # as a standalone int32 transpose
-                y = jax.lax.dot_general(
-                    x, B, (((3,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                y = jnp.clip(jnp.rint(y + 128.0), 0.0, 255.0)
-                yw = jax.lax.bitcast_convert_type(
-                    y.astype(jnp.uint8).reshape(
-                        bps // KBn, n_tiles_l, KBn, Gn, 128, 16, 4),
-                    jnp.uint32)
-                # barrier: keep the (now 4x smaller, packed-u32) scan-
-                # order relayout out of the matmul epilogue fusion
-                yw = jax.lax.optimization_barrier(yw)
-                # row ((t*G+g)*128 + l)*bps + bO*KB + kb == plane block
-                # row (identity reorders checked above)
-                rows16 = jnp.transpose(
-                    yw, (1, 3, 4, 0, 2, 5)).reshape(S_pad * bps, 16)
-                planes = [
-                    blocks_u32_to_plane(rows16[start:start + count],
-                                        dh, dw, jnp)
-                    for (start, count, dh, dw) in comp_slices]
-                # same fusion fence as the default path (measured
-                # 73 -> 21 ms at 8K when kept out of the pixel chain)
-                return list(jax.lax.optimization_barrier(tuple(planes)))
-
-        if not use_native:
-            def stage_huffman(rows_j, seg_comp_j, seg_nblk_j, quick,
-                              maxcode, delta, huffval, dcs, acs,
-                              out_row_a, inv_a):
-                from . import pallas_decode as _pd
-                t = _pd.DecTables(quick, maxcode, delta, huffval)
-                out3 = run(rows_j, seg_comp_j, seg_nblk_j, t, dcs, acs)
-                flat = out3.reshape(-1, 64)
-                coeff_scan = (flat[:nb] if out_row_identity
-                              else flat[out_row_a])
-                return coeff_scan if inv_identity else coeff_scan[inv_a]
-
-        def _default_stage_idct(coeff_plane, Ws):
-            from .blocks import blocks_u32_to_plane, pack_blocks_u32
+        def stage_idct(coeff_plane, Ws):
+            """Fused dequant+IDCT, direct u8 un-blockify, one fusion
+            fence. The round-3 on-chip tail A/B (BENCHMARKS.md) measured
+            this at 13.9 ms vs 30.4 for the packed-u32 staged variant
+            (whose extra per-component barriers materialized the IDCT
+            output in HBM) at 8K Q75. GPUJPEG_TPU_DEC_PACKED_IDCT=1
+            swaps in the two-blocks-per-MXU-row matmul (bit-identical)
+            for its pending lane-width A/B."""
+            packed = bool(os.environ.get("GPUJPEG_TPU_DEC_PACKED_IDCT"))
             from .dct import dequant_idct_device_packed
             planes = []
             for (start, count, dh, dw), W in zip(comp_slices, Ws):
-                if count % 2 == 0:
+                if packed and count % 2 == 0:
                     blocks = dequant_idct_device_packed(
                         coeff_plane[start:start + count], W)
                 else:
                     blocks = dequant_idct_device(
                         coeff_plane[start:start + count], W)
-                # barrier: keep the byte-packing transpose OUT of the
-                # IDCT fusion (fusing in measured 4.7 -> 18.8 ms at 8K)
-                blocks = jax.lax.optimization_barrier(blocks)
-                # 4-per-word packing quarters the un-blockify transpose
-                planes.append(blocks_u32_to_plane(
-                    pack_blocks_u32(blocks, jnp), dh, dw, jnp))
-            # keep XLA from fusing the 8x8 un-blockify transpose into the
-            # pixel chain (measured 73 -> 21 ms at 8K; encode-side mirror)
-            return list(jax.lax.optimization_barrier(tuple(planes)))
-
-        def _simple_stage_idct(coeff_plane, Ws):
-            """r01-form tail: unpacked fused dequant+IDCT and a direct
-            u8 un-blockify, single fusion fence — the round-1 bench's
-            24.7 ms structure (tail A/B vs the packed variant)."""
-            planes = []
-            for (start, count, dh, dw), W in zip(comp_slices, Ws):
-                blocks = dequant_idct_device(
-                    coeff_plane[start:start + count], W)
                 planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+            # keep XLA from fusing the 8x8 un-blockify transpose into
+            # the pixel chain (measured 73 -> 21 ms at 8K)
             return list(jax.lax.optimization_barrier(tuple(planes)))
-
-        if not use_native:
-            stage_idct = (_simple_stage_idct
-                          if os.environ.get("GPUJPEG_TPU_DEC_TAIL") ==
-                          "simple" else _default_stage_idct)
 
         def stage_post(planes):
             return postprocess(planes, out_image, plan, jnp)
@@ -1002,7 +921,6 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         # per-stage jits for perf_stats mode: the reference reports
         # huffman/idct/postprocess splits (gpujpeg_common.h:315-325)
         fn.stages = (s_huff, jax.jit(stage_idct), jax.jit(stage_post))
-        fn.native = use_native
         # fused-batch form: B same-geometry frames in one launch (rows
         # batched; tables/geometry broadcast) — see Decoder.decode_batch
         fn.batched = jax.jit(jax.vmap(
@@ -1010,23 +928,12 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         fn.reorders = (out_row_j, inv_j)
         _DEC_V2_CACHE[key] = fn
 
-    if getattr(fn, "native", False):
-        # native-axis tail: per-component dequant rows + the shared pure
-        # IDCT basis (the ones-quant fused operator) instead of one fused
-        # operator per component
-        qcomp = np.stack([
-            np.asarray(info.quant_tables[
-                info.components[c.index].quant_table_index], np.float32)
-            for c in plan.components])
-        Ws = (jnp.asarray(qcomp),
-              jnp.asarray(idct_operator_f32((1,) * 64)))
-    else:
-        Ws = tuple(
-            jnp.asarray(idct_operator_f32(
-                tuple(int(x) for x in info.quant_tables[
-                    info.components[c.index].quant_table_index])))
-            for c in plan.components
-        )
+    Ws = tuple(
+        jnp.asarray(idct_operator_f32(
+            tuple(int(x) for x in info.quant_tables[
+                info.components[c.index].quant_table_index])))
+        for c in plan.components
+    )
     if use_v3:
         if device_rows:
             # upload the RAW scan body and destuff/relayout on-chip:

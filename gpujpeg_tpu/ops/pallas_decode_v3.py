@@ -68,15 +68,14 @@ def _pack16(table):
 def v3_step_flags(bps: int, interleaved_tpl) -> "tuple[int, int]":
     """Effective (KB blocks per grid step, output element bytes) under
     the current env flags — the caller's seg_tile VMEM sizing must use
-    these so GPUJPEG_TPU_DEC_KB / _DEC_I16 stay visible to the tile-size
-    choice (a KB=8 out block at seg_tile=2048 is 8 MB on its own)."""
+    these so GPUJPEG_TPU_DEC_KB stays visible to the tile-size choice
+    (a KB=8 out block at seg_tile=2048 is 8 MB on its own)."""
     import os as _os
     uses_tpl = bool((np.asarray(interleaved_tpl) >= 0).any())
     KB = int(_os.environ.get("GPUJPEG_TPU_DEC_KB", "1") or 1)
     if uses_tpl or KB < 1 or bps % KB:
         KB = 1
-    out_bytes = 2 if _os.environ.get("GPUJPEG_TPU_DEC_I16") else 4
-    return KB, out_bytes
+    return KB, 4
 
 
 def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
@@ -100,34 +99,20 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     WF = int(_os.environ.get("GPUJPEG_TPU_DEC_WINDOW", "0") or 0)
     WF -= WF % 8
     use_window = 0 < WF < wcap
-    # int16 coefficient output halves the kernel-output + transpose HBM
-    # traffic (quantized baseline coefficients are < 2^11; i16 is safe).
-    # Off by default until measured on real hardware.
-    OUT_DT = (jnp.int16 if _os.environ.get("GPUJPEG_TPU_DEC_I16")
-              else jnp.int32)
+    OUT_DT = jnp.int32
     # KB blocks per grid step: amortizes the per-step prologue (three
     # init fetches, slot/table setup, output zero-init) and the
     # per-block lane-skew barrier over KB blocks. KB=1 reproduces the
     # one-block-per-step structure. Off (1) by default until measured.
     KB, _ = v3_step_flags(bps, interleaved_tpl)
-    # coefficient rows per gated write range; RW*G must stay a multiple
-    # of 16 sublanes under i16 output so the out_ref row slices align to
-    # the (16, 128) tile (the G==1 seg_tile floor would otherwise slice
-    # at 8-row offsets) — v3_step_flags' 2-byte accounting stays exact
-    # for every G this way
-    RW = 8 if KB == 1 else 16
-    if OUT_DT == jnp.int16 and RW * G % 16:
-        RW = 16
-    # round-3 regression-bisect toggles (r02 kernel changes landed
-    # unmeasured; each gates on jnp.any over ~seg_tile lanes, which is
-    # almost always true in lockstep — A/B on chip, then hard-code):
-    #   CSLOW=0: run the >QUICK_BITS slow path inline, no lax.cond
-    #   CF1=0:   fetch f1 unconditionally, no lax.cond
-    #   GW=0:    r01-style loop-carried coefficient array, one merged
-    #            one-hot select over all rows per iteration
-    COND_SLOW = _os.environ.get("GPUJPEG_TPU_DEC_CSLOW", "1") != "0"
-    COND_F1 = _os.environ.get("GPUJPEG_TPU_DEC_CF1", "1") != "0"
-    GATED_W = _os.environ.get("GPUJPEG_TPU_DEC_GW", "1") != "0"
+    # The round-3 on-chip bisect (BENCHMARKS.md) settled three r02
+    # formulations that had shipped unmeasured; the r01 forms below are
+    # each faster because a jnp.any over ~seg_tile lanes is almost
+    # always true in lockstep, so gating on it was pure overhead:
+    # coefficients ride in a loop-CARRIED array with one merged one-hot
+    # select per iteration (not gated out_ref range writes), the
+    # >QUICK_BITS slow path runs inline (no lax.cond), and the f1 word
+    # fetch is unconditional.
 
     def kernel(dataT_ref, segcomp_ref, segnblk_ref,
                quick_ref, maxcode_ref, delta_ref, huffval_ref,
@@ -234,12 +219,12 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             return jnp.where(s > 0,
                              (a << su) | (bvec >> (jnp.uint32(32) - su)), a)
 
-        def lookup_sym(view, is_dc, slot, act_mask):
-            """One Huffman symbol from a 32-bit view: (sym, ln).
-            act_mask: lanes whose miss of the quick table matters —
-            inactive lanes peek at stale bits (often all-ones byte
-            padding that misses the 8-bit lookahead) and must not force
-            the slow path."""
+        def lookup_sym(view, is_dc, slot):
+            """One Huffman symbol from a 32-bit view: (sym, ln). The
+            >QUICK_BITS slow path (T.81 F.16) runs inline every
+            iteration: with ~seg_tile lanes in lockstep some lane misses
+            the 8-bit lookahead nearly always, so branching on it
+            (lax.cond over a cross-lane any) measured slower on chip."""
             peek16 = (view >> jnp.uint32(16)).astype(I32)
             q_idx = slot * (1 << QUICK_BITS) + (peek16 >> (16 - QUICK_BITS))
             q = _bcast_lookup16(quick_ref[:], q_idx,
@@ -247,37 +232,22 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             q_len = q & 31
             q_sym = q >> 5
 
-            def slow_path(_):
-                s_len = jnp.full((G, 128), 17, I32)
-                s_code = jnp.zeros((G, 128), I32)
-                for l in SLOW_LENS:
-                    mc = jnp.where(is_dc, mc_dc[l], mc_ac[l]) if is_dc \
-                        is not None else mc_ac[l]
-                    hit = (peek16 < mc) & (s_len == 17)
-                    s_len = jnp.where(hit, l, s_len)
-                    s_code = jnp.where(hit, peek16 >> (16 - l), s_code)
-                dlt = jnp.zeros((G, 128), I32)
-                for l in SLOW_LENS:
-                    d = jnp.where(is_dc, dl_dc[l], dl_ac[l]) if is_dc \
-                        is not None else dl_ac[l]
-                    dlt = jnp.where(s_len == l, d, dlt)
-                v_idx = jnp.clip(s_code + dlt, 0, 255)
-                s_sym = _bcast_lookup16(huffval_ref[:], slot * 256 + v_idx,
-                                        n_slots * 256)
-                return s_sym, s_len
-
-            if COND_SLOW:
-                # the 8-bit lookahead resolves the overwhelming majority
-                # of symbols; run the >QUICK_BITS slow path only when
-                # some lane actually missed (the GPU reference branches
-                # per thread — huffman_gpu_decoder.cu quick/full tables
-                # — the lockstep analog is an all-lane branch)
-                s_sym, s_len = jax.lax.cond(
-                    jnp.any(act_mask & (q_len == 0)), slow_path,
-                    lambda _: (jnp.zeros((G, 128), I32),
-                               jnp.full((G, 128), 17, I32)), 0)
-            else:
-                s_sym, s_len = slow_path(0)
+            s_len = jnp.full((G, 128), 17, I32)
+            s_code = jnp.zeros((G, 128), I32)
+            for l in SLOW_LENS:
+                mc = jnp.where(is_dc, mc_dc[l], mc_ac[l]) if is_dc \
+                    is not None else mc_ac[l]
+                hit = (peek16 < mc) & (s_len == 17)
+                s_len = jnp.where(hit, l, s_len)
+                s_code = jnp.where(hit, peek16 >> (16 - l), s_code)
+            dlt = jnp.zeros((G, 128), I32)
+            for l in SLOW_LENS:
+                d = jnp.where(is_dc, dl_dc[l], dl_ac[l]) if is_dc \
+                    is not None else dl_ac[l]
+                dlt = jnp.where(s_len == l, d, dlt)
+            v_idx = jnp.clip(s_code + dlt, 0, 255)
+            s_sym = _bcast_lookup16(huffval_ref[:], slot * 256 + v_idx,
+                                    n_slots * 256)
 
             use_quick = q_len > 0
             sym = jnp.where(use_quick, q_sym, s_sym)
@@ -314,7 +284,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             viewA = mkview(w0, w1, soff)
             is_dc = kp == 0
             slotA = jnp.where(is_dc, dslot, aslot)
-            symA, lnA = lookup_sym(viewA, is_dc, slotA, act)
+            symA, lnA = lookup_sym(viewA, is_dc, slotA)
             catA = jnp.where(is_dc, symA, symA & 15)
             runA = jnp.where(is_dc, 0, symA >> 4)
             valA = extract_val(viewA, lnA, catA)
@@ -350,7 +320,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             sB = soff + cA
             viewB = jnp.where(sB < 32, mkview(w0, w1, sB),
                               mkview(w1, w2, sB - 32))
-            symB, lnB = lookup_sym(viewB, None, aslot, actB)
+            symB, lnB = lookup_sym(viewB, None, aslot)
             catB = symB & 15
             runB = symB >> 4
             valB = extract_val(viewB, lnB, catB)
@@ -364,48 +334,25 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             doneB = kB >= 64
             cB = jnp.where(actB, lnB + catB, 0)
 
-            # merged coefficient writes (one pass, B over A), gated per
-            # RW-coefficient position range: an iteration's two writes
-            # land in at most two ranges, so the one-hot scatter touches
-            # ~2 of the 64*KB//RW ranges instead of every row each
-            # iteration. Rows live in out_ref (zeroed before the loop),
-            # not in loop-carried state — values can't be partially
-            # updated. A's and B's positions never collide
-            # (wposB >= kA > wposA), so the B-over-A select order is
-            # free. Positions are absolute within the step: bcur*64 + k.
+            # merged coefficient writes (one pass, B over A) into the
+            # loop-carried k-major array: one repeat-one-hot select over
+            # all rows per iteration. (The r02 alternative — gated
+            # per-range writes through out_ref — measured slower on
+            # chip: its per-range jnp.any gates are almost always true.)
+            # A's and B's positions never collide (wposB >= kA > wposA),
+            # so the B-over-A select order is free. Positions are
+            # absolute within the step: bcur*64 + k.
             posA = bcur * 64 + wposA
             posB = bcur * 64 + wposB
-            if GATED_W:
-                for r in range(64 * KB // RW):
-                    lo = r * RW
-                    inA = writeA & (posA >= lo) & (posA < lo + RW)
-                    inB = writeB & (posB >= lo) & (posB < lo + RW)
-
-                    @pl.when(jnp.any(inA | inB))
-                    def _(lo=lo, inA=inA, inB=inB):
-                        kbase = (jax.lax.broadcasted_iota(
-                            I32, (RW * G, 128), 0) // G) + lo
-                        wA = pltpu.repeat(posA, RW, axis=0)
-                        vA = pltpu.repeat(wvalA, RW, axis=0)
-                        mA = pltpu.repeat(inA.astype(I32), RW, axis=0) > 0
-                        wB = pltpu.repeat(posB, RW, axis=0)
-                        vB = pltpu.repeat(valB, RW, axis=0)
-                        mB = pltpu.repeat(inB.astype(I32), RW, axis=0) > 0
-                        sub = out_ref[0, lo * G:(lo + RW) * G, :].astype(I32)
-                        out_ref[0, lo * G:(lo + RW) * G, :] = jnp.where(
-                            (kbase == wB) & mB, vB,
-                            jnp.where((kbase == wA) & mA, vA, sub)
-                        ).astype(OUT_DT)
-            else:
-                wA = pltpu.repeat(posA, KB * 64, axis=0)
-                vA = pltpu.repeat(wvalA, KB * 64, axis=0)
-                mA = pltpu.repeat(writeA.astype(I32), KB * 64, axis=0) > 0
-                wB = pltpu.repeat(posB, KB * 64, axis=0)
-                vB = pltpu.repeat(valB, KB * 64, axis=0)
-                mB = pltpu.repeat(writeB.astype(I32), KB * 64, axis=0) > 0
-                cf = jnp.where(
-                    (onehot_cbase == wB) & mB, vB,
-                    jnp.where((onehot_cbase == wA) & mA, vA, cf))
+            wA = pltpu.repeat(posA, KB * 64, axis=0)
+            vA = pltpu.repeat(wvalA, KB * 64, axis=0)
+            mA = pltpu.repeat(writeA.astype(I32), KB * 64, axis=0) > 0
+            wB = pltpu.repeat(posB, KB * 64, axis=0)
+            vB = pltpu.repeat(valB, KB * 64, axis=0)
+            mB = pltpu.repeat(writeB.astype(I32), KB * 64, axis=0) > 0
+            cf = jnp.where(
+                (onehot_cbase == wB) & mB, vB,
+                jnp.where((onehot_cbase == wA) & mA, vA, cf))
 
             bp_new = bp + cA + cB
             delta = (bp_new >> 5) - (bp >> 5)             # 0, 1 or 2
@@ -439,16 +386,12 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             else:
                 do_fetch = fetch1
             # f2 feeds every delta>=1 lane (delta==0 lanes refetch their
-            # current w2 — harmless); f1 is consumed ONLY by delta==2
-            # lanes (>=33 bits in one iteration, two large symbols), so
-            # skip that masked-reduction fetch unless some lane needs it
+            # current w2 — harmless); f1 only delta==2 lanes, but
+            # skipping it behind a cross-lane any measured no faster on
+            # chip (some lane needs it nearly every iteration), so both
+            # run unconditionally
             f2 = do_fetch(wpn + 2)
-            if COND_F1:
-                f1 = jax.lax.cond(jnp.any(delta == 2),
-                                  lambda _: do_fetch(wpn + 1),
-                                  lambda _: w1, 0)
-            else:
-                f1 = do_fetch(wpn + 1)
+            f1 = do_fetch(wpn + 1)
             w0 = jnp.where(delta == 0, w0, jnp.where(delta == 1, w1, w2))
             w1 = jnp.where(delta == 0, w1, jnp.where(delta == 1, w2, f1))
             w2 = f2
@@ -462,26 +405,19 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             act_i = jnp.where(adv, more.astype(I32), act_i)
             return act_i, bcur, kp, cf, bp_new, dcp, w0, w1, w2
 
-        if GATED_W:
-            out_ref[0, :, :] = jnp.zeros((KB * G * 64, 128), OUT_DT)
-            cf0 = jnp.zeros((8, 128), I32)      # dummy carried slot
-        else:
-            cf0 = jnp.zeros((KB * G * 64, 128), I32)
+        cf0 = jnp.zeros((KB * G * 64, 128), I32)
         act, _, kp, cf_f, bp_f, dcp_f, _, _, _ = jax.lax.while_loop(
             cond, body, (active0, bcur0, kpos, cf0, bitpos[:], dcpred[:],
                          w0_init, w1_init, w2_init))
         bitpos[:] = bp_f
         dcpred[:] = dcp_f
-        if not GATED_W:
-            out_ref[0, :, :] = cf_f.astype(OUT_DT)
+        out_ref[0, :, :] = cf_f.astype(OUT_DT)
 
     def run_raw(dataT, seg_comp, seg_nblk, tabs: DecTables,
                 dc_slot: np.ndarray, ac_slot: np.ndarray):
         """Kernel-native coefficient output: (bps//KB, n_tiles, KB, 64,
         G, 128) with the k (coefficient) axis third-from-minor — segment
-        s = (t*G + g)*128 + l, block slot = bO*KB + kb. The NATIVE_IDCT
-        decode tail contracts k in this layout directly (the scan-order
-        relayout then runs on 4x smaller packed-u32 pixels)."""
+        s = (t*G + g)*128 + l, block slot = bO*KB + kb."""
         S = dataT.shape[1]
         n_tiles = S // seg_tile
         grid = (n_tiles, bps // KB)

@@ -512,8 +512,8 @@ class ShardedDecoder:
         else:
             tpl0 = np.full(bps, -1, np.int32)
         # same VMEM-budget sizing as jax_pipeline._decode_device_v2:
-        # the effective KB/out-bytes flags must be visible to the tile
-        # choice or GPUJPEG_TPU_DEC_KB/_DEC_I16 blow the scoped budget
+        # the effective KB flag must be visible to the tile choice or
+        # GPUJPEG_TPU_DEC_KB blows the scoped budget
         from ..ops.pallas_decode_v3 import v3_step_flags
         kb, out_bytes = v3_step_flags(bps, tpl0)
         per_seg = (wcap * 4 * 2 + kb * 64 * out_bytes * 2
@@ -609,15 +609,15 @@ class ShardedDecoder:
                     coeff = (flat[:nb] if out_row_identity
                              else flat[out_row_a])
                     coeff = coeff if inv_identity else coeff[inv_a]
+                    # simple tail (fused dequant+IDCT, direct u8
+                    # un-blockify, one fence) — the on-chip round-3 A/B
+                    # winner on the single-chip path, mirrored per band
                     planes = []
-                    from ..ops.blocks import (blocks_u32_to_plane,
-                                              pack_blocks_u32)
+                    from ..ops.blocks import blocks_to_plane
                     for (start, count, dh, dw), W in zip(comp_slices, Ws):
                         blocks = dequant_idct_device(
                             coeff[start:start + count], W)
-                        blocks = jax.lax.optimization_barrier(blocks)
-                        planes.append(blocks_u32_to_plane(
-                            pack_blocks_u32(blocks, jnp), dh, dw, jnp))
+                        planes.append(blocks_to_plane(blocks, dh, dw, jnp))
                     planes = list(
                         jax.lax.optimization_barrier(tuple(planes)))
                     return postprocess(planes, band_out, plan, jnp)

@@ -145,23 +145,23 @@ def run_dec(iters: int):
         np.asarray(leaf.reshape(-1)[:1])
 
     golden = None
-    combos = [(kb, i16, win)
+    combos = [(kb, pidct, win)
               for kb in (1, 2, 4, 8)
-              for i16 in ("", "1")
+              for pidct in ("", "1")
               for win in ("", "64", "128")]
     if os.environ.get("SWEEP_ONE"):
         combos = [(int(os.environ.get("GPUJPEG_TPU_DEC_KB", "1") or 1),
-                   os.environ.get("GPUJPEG_TPU_DEC_I16", ""),
+                   os.environ.get("GPUJPEG_TPU_DEC_PACKED_IDCT", ""),
                    os.environ.get("GPUJPEG_TPU_DEC_WINDOW", ""))]
-    for kb, i16, win in combos:
+    for kb, pidct, win in combos:
         os.environ["GPUJPEG_TPU_DEC_KB"] = str(kb)
-        for k, v in (("GPUJPEG_TPU_DEC_I16", i16),
+        for k, v in (("GPUJPEG_TPU_DEC_PACKED_IDCT", pidct),
                      ("GPUJPEG_TPU_DEC_WINDOW", win)):
             if v:
                 os.environ[k] = v
             else:
                 os.environ.pop(k, None)
-        label = f"KB={kb} i16={i16 or 0} win={win or 0}"
+        label = f"KB={kb} pidct={pidct or 0} win={win or 0}"
         jp._DEC_V2_CACHE.clear()
         dec = Decoder(backend="jax")
         dec.output_to_device = True
@@ -205,59 +205,9 @@ def run_dec(iters: int):
             print(f"dec {label}: FAIL {type(e).__name__}: "
                   f"{str(e)[:140]}", flush=True)
 
-    # native-axis IDCT tail A/B (GPUJPEG_TPU_DEC_NATIVE_IDCT): contract
-    # the kernel-native k axis, relayout after u32 packing — vs the
-    # default scan-order transpose + per-component matmul. Crossed with
-    # i16 kernel output (the two compose: both shrink the relayout).
-    # Pixels may differ from the fused operator by 1 LSB at rounding
-    # boundaries, so the cross-check is max-abs-diff, not equality.
-    for i16 in ("", "1"):
-        if i16:
-            os.environ["GPUJPEG_TPU_DEC_I16"] = i16
-        else:
-            os.environ.pop("GPUJPEG_TPU_DEC_I16", None)
-        os.environ["GPUJPEG_TPU_DEC_NATIVE_IDCT"] = "1"
-        label = f"native_idct i16={i16 or 0}"
-        jp._DEC_V2_CACHE.clear()
-        dec = Decoder(backend="jax")
-        dec.output_to_device = True
-        try:
-            raw, _ = dec.decode(data)               # compile/warm
-            dsync(raw)
-            key, dfn = next(iter(jp._DEC_V2_CACHE.items()))
-            cap = {}
-
-            def spy(*a, dfn=dfn, cap=cap):
-                cap["a"] = a
-                return dfn(*a)
-            jp._DEC_V2_CACHE[key] = spy
-            raw, _ = dec.decode(data)
-            jp._DEC_V2_CACHE[key] = dfn
-            dargs = jax.tree_util.tree_map(
-                lambda x: (jax.device_put(np.asarray(x))
-                           if hasattr(x, "shape") else x), cap["a"])
-            dsync(dargs)
-            dsync(dfn(*dargs))
-            t0 = time.perf_counter()
-            rs = [dfn(*dargs) for _ in range(iters)]
-            dsync(rs[-1])
-            ms = (time.perf_counter() - t0) * 1e3 / iters
-            out = np.asarray(raw)
-            if golden is None:
-                ok = "ref"
-            else:
-                dmax = int(np.abs(out.astype(np.int32)
-                                  - golden.astype(np.int32)).max())
-                ok = f"maxdiff={dmax}" + ("" if dmax <= 1 else " MISMATCH")
-            print(f"dec {label}: {ms:8.2f} ms dev {ok}", flush=True)
-        except Exception as e:
-            print(f"dec {label}: FAIL {type(e).__name__}: "
-                  f"{str(e)[:140]}", flush=True)
-    os.environ.pop("GPUJPEG_TPU_DEC_NATIVE_IDCT", None)
-
     # single-call wall A/B of the on-chip row builder (raw-bytes upload +
     # device destuff vs host rows + bigger H2D) at default kernel flags
-    for k in ("GPUJPEG_TPU_DEC_KB", "GPUJPEG_TPU_DEC_I16",
+    for k in ("GPUJPEG_TPU_DEC_KB", "GPUJPEG_TPU_DEC_PACKED_IDCT",
               "GPUJPEG_TPU_DEC_WINDOW"):
         os.environ.pop(k, None)
     for dr in ("", "1"):

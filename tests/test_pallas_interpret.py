@@ -295,9 +295,9 @@ def test_decode_windowed_fetch_matches(monkeypatch, wf):
     assert np.array_equal(base, windowed)
 
 
-def test_decode_i16_coefficients_match(monkeypatch):
-    """GPUJPEG_TPU_DEC_I16 (int16 kernel coefficient output) must be
-    bit-identical to the default int32 path."""
+def test_decode_packed_idct_matches(monkeypatch):
+    """GPUJPEG_TPU_DEC_PACKED_IDCT (two blocks per MXU row in the decode
+    tail) must be bit-identical to the unpacked tail."""
     import gpujpeg_tpu.ops.jax_pipeline as jp
     import gpujpeg_tpu.models.decoder as dmod
     h, w = 128, 160
@@ -317,11 +317,7 @@ def test_decode_i16_coefficients_match(monkeypatch):
         return np.asarray(raw)
 
     base = run()
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_I16", "1")
-    assert np.array_equal(base, run())
-    # G == 1 (seg_tile at the 128 floor): i16 row slices must realign
-    # to the (16, 128) tile via the widened write range (RW = 16)
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_SEG_TILE", "128")
+    monkeypatch.setenv("GPUJPEG_TPU_DEC_PACKED_IDCT", "1")
     assert np.array_equal(base, run())
 
 
@@ -478,63 +474,6 @@ def test_sharded_pallas_encode_decode_bit_identical():
     raw, _ = ShardedDecoder(mesh).decode(want)
     assert np.array_equal(np.asarray(raw).reshape(-1),
                           np.asarray(ref).reshape(-1))
-
-
-def test_decode_native_idct_matches(monkeypatch):
-    """GPUJPEG_TPU_DEC_NATIVE_IDCT (contract the kernel-native k axis,
-    relayout after u32 packing) must agree with the default scan-order
-    transpose + fused per-component operator to within 1 LSB (dequant is
-    factored out as an exact integer multiply, so only f32 rounding at
-    .5 boundaries can differ)."""
-    import gpujpeg_tpu.ops.jax_pipeline as jp
-    import gpujpeg_tpu.models.decoder as dmod
-    h, w = 128, 160
-    img = make_test_rgb(h, w)
-    params = Parameters(quality=92, restart_interval=16)
-    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
-                            pixel_format=PixelFormat.PF_444_U8_P012)
-    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
-    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
-
-    def run():
-        jp._DEC_V2_CACHE.clear()
-        dec = Decoder(backend="jax")
-        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
-        raw, _ = dec.decode(data)
-        jp._DEC_V2_CACHE.clear()
-        return np.asarray(raw)
-
-    base = run()
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_NATIVE_IDCT", "1")
-    nat = run()
-    assert np.abs(base.astype(int) - nat.astype(int)).max() <= 1
-    assert psnr(nat.reshape(h, w, 3), img) > 30.0
-    # i16 kernel output composes with the native tail
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_I16", "1")
-    nat16 = run()
-    assert np.array_equal(nat, nat16)
-
-
-def test_decode_native_idct_interleaved_falls_back(monkeypatch):
-    """With the flag set on a geometry the native tail cannot serve
-    (interleaved: kernel rows are not plane rows), the decode must take
-    the default tail and stay correct."""
-    import gpujpeg_tpu.ops.jax_pipeline as jp
-    import gpujpeg_tpu.models.decoder as dmod
-    h, w = 64, 96
-    img = make_test_rgb(h, w)
-    params = Parameters(quality=85, restart_interval=2, interleaved=True)
-    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
-                            pixel_format=PixelFormat.PF_444_U8_P012)
-    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
-    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_NATIVE_IDCT", "1")
-    jp._DEC_V2_CACHE.clear()
-    dec = Decoder(backend="jax")
-    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
-    raw, _ = dec.decode(data)
-    jp._DEC_V2_CACHE.clear()
-    assert psnr(np.asarray(raw).reshape(h, w, 3), img) > 30.0
 
 
 def test_decode_batch_pipelined_device_path(monkeypatch):
