@@ -146,28 +146,16 @@ def main():
         f"{BASELINE_DEVICE_MS} ms / 14400 Mpix/s)")
 
     # ---- decode diagnostic ----
-    import gpujpeg_tpu.ops.jax_pipeline as jp
     dec = Decoder(backend="jax")
     dec.output_to_device = True      # skip the 100 MB raw D2H (tunnel)
-    jp._DEC_V2_CACHE.clear()
+    dec.capture_device_call = True   # first-class bench hook
     raw, _ = dec.decode(out)
     t0 = time.perf_counter()
     raw, _ = dec.decode(out)
     np.asarray(jax.lax.slice(raw.reshape(-1), (0,), (1,)))
     dwall = (time.perf_counter() - t0) * 1e3
-    # pipelined device decode (the capture trick of bench_suite.py)
-    key, dfn = next(iter(jp._DEC_V2_CACHE.items()))
-    cap = {}
-
-    def spy(*a):
-        cap["a"] = a
-        return dfn(*a)
-    jp._DEC_V2_CACHE[key] = spy
-    raw, _ = dec.decode(out)
-    jp._DEC_V2_CACHE[key] = dfn
-    dargs = jax.tree_util.tree_map(
-        lambda x: jax.device_put(np.asarray(x)) if hasattr(x, "shape") else x,
-        cap["a"])
+    # pipelined device-only decode on the captured compiled fn + args
+    dfn, dargs = dec.last_device_call
 
     def dsync(r):
         leaf = jax.tree_util.tree_leaves(r)[0]
@@ -184,9 +172,34 @@ def main():
         f"(baseline incl. PCIe 6.76 ms, device-only 2.38 ms)")
     raw = np.asarray(raw)
 
-    mse = np.mean((raw.reshape(H, W, 3).astype(np.float64) - img) ** 2)
-    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    def psnr_of(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+    psnr = psnr_of(raw.reshape(H, W, 3), img)
     log(f"round-trip PSNR: {psnr:.2f} dB")
+    # libjpeg cross-check: (a) an independent decoder reads OUR stream,
+    # (b) libjpeg encoding the same frame at the same quality/sampling
+    # scores about the same PSNR — quant/rounding drift in our pipeline
+    # would show up as a gap here while self-round-trips stay green
+    try:
+        import io
+        from PIL import Image
+        pil_ours = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+        psnr_pil_ours = psnr_of(pil_ours, img)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=75,
+                                  subsampling=0)      # 4:4:4, like ours
+        pil_ref = np.asarray(Image.open(buf).convert("RGB"))
+        psnr_libjpeg = psnr_of(pil_ref, img)
+        log(f"cross-check: libjpeg-decode-of-ours {psnr_pil_ours:.2f} dB, "
+            f"libjpeg-own-roundtrip {psnr_libjpeg:.2f} dB")
+        if psnr_pil_ours < psnr_libjpeg - 1.5:
+            log(f"BENCH WARN: our Q75 stream scores "
+                f"{psnr_libjpeg - psnr_pil_ours:.2f} dB below libjpeg at "
+                f"the same settings — check quant/rounding drift")
+    except Exception as e:  # pragma: no cover - PIL optional
+        log(f"cross-check skipped: {e}")
 
     print(json.dumps({
         "metric": "encode_8k_q75_device_ms",

@@ -87,21 +87,9 @@ def bench_res(name, iters):
 
     dec = Decoder(backend="jax")
     dec.output_to_device = True
-    import gpujpeg_tpu.ops.jax_pipeline as jp
-    jp._DEC_V2_CACHE.clear()
+    dec.capture_device_call = True
     raw, _ = dec.decode(out)                                 # compile
-    key, dfn = next(iter(jp._DEC_V2_CACHE.items()))
-    cap = {}
-
-    def spy(*a):
-        cap["a"] = a
-        return dfn(*a)
-    jp._DEC_V2_CACHE[key] = spy
-    raw, _ = dec.decode(out)
-    jp._DEC_V2_CACHE[key] = dfn
-    dargs = jax.tree_util.tree_map(
-        lambda x: jax.device_put(np.asarray(x)) if hasattr(x, "shape") else x,
-        cap["a"])
+    dfn, dargs = dec.last_device_call
     def dsync(r):
         # block_until_ready does not reliably block on the tunneled
         # backend; force a 1-element D2H instead

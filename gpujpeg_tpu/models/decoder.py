@@ -99,6 +99,13 @@ class Decoder:
         self.output_format: PixelFormat | None = None
         self.output_color_space: ColorSpace | None = None
         self.output_to_device = False
+        #: benchmarking hook: when True, the device path records
+        #: (compiled_fn, device_args) of each decode on
+        #: ``self.last_device_call`` so benches can time pipelined
+        #: device-only iterations (``fn(*args)``) first-class — no
+        #: fn-cache monkeypatching (bench.py, scripts/tpu_smoke.py)
+        self.capture_device_call = False
+        self.last_device_call = None
         self._jax_ctx = None
         self._defer_sync = False
         #: fused batch decode: a list set by decode_batch makes the

@@ -979,6 +979,12 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                 jnp.asarray(tabs.maxcode), jnp.asarray(tabs.delta),
                 jnp.asarray(tabs.huffval), jnp.asarray(dc_slot),
                 jnp.asarray(ac_slot))
+    if getattr(decoder, "capture_device_call", False):
+        # first-class bench hook (Decoder.capture_device_call): expose
+        # the compiled device fn + this stream's device-resident args so
+        # benchmarks can time pipelined device-only iterations without
+        # monkeypatching the fn cache
+        decoder.last_device_call = (fn, args_dev + (Ws,))
     decoder.stats.bytes_memory_to = int(
         sum(getattr(a, "nbytes", 0) for a in args_dev))
     if getattr(decoder, "perf_stats", False):
@@ -1076,9 +1082,12 @@ def decode_device(decoder, plan: CoderPlan, info, scan_data,
         for c in plan.components
     )
 
+    args_dev = (jnp.asarray(data), jnp.asarray(seg_starts),
+                jnp.asarray(dc_tab), jnp.asarray(ac_tab),
+                jnp.asarray(luts), Ws)
+    if getattr(decoder, "capture_device_call", False):
+        decoder.last_device_call = (fn, args_dev)   # bench hook (see v2)
     t0 = time.perf_counter()
-    raw = fn(jnp.asarray(data), jnp.asarray(seg_starts),
-             jnp.asarray(dc_tab), jnp.asarray(ac_tab), jnp.asarray(luts), Ws)
-    raw = np.asarray(raw)
+    raw = np.asarray(fn(*args_dev))
     decoder.stats.duration_in_gpu = (time.perf_counter() - t0) * 1e3
     return raw

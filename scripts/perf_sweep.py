@@ -165,6 +165,7 @@ def run_dec(iters: int):
         jp._DEC_V2_CACHE.clear()
         dec = Decoder(backend="jax")
         dec.output_to_device = True
+        dec.capture_device_call = True
         try:
             t0 = time.perf_counter()
             raw, _ = dec.decode(data)               # compile/warm
@@ -174,19 +175,8 @@ def run_dec(iters: int):
             raw, _ = dec.decode(data)
             dsync(raw)
             wall_ms = (time.perf_counter() - t0) * 1e3
-            # pipelined device decode via the capture trick
-            key, dfn = next(iter(jp._DEC_V2_CACHE.items()))
-            cap = {}
-
-            def spy(*a, dfn=dfn, cap=cap):
-                cap["a"] = a
-                return dfn(*a)
-            jp._DEC_V2_CACHE[key] = spy
-            raw, _ = dec.decode(data)
-            jp._DEC_V2_CACHE[key] = dfn
-            dargs = jax.tree_util.tree_map(
-                lambda x: (jax.device_put(np.asarray(x))
-                           if hasattr(x, "shape") else x), cap["a"])
+            # pipelined device-only decode on the captured fn + args
+            dfn, dargs = dec.last_device_call
             dsync(dargs)
             dsync(dfn(*dargs))
             t0 = time.perf_counter()

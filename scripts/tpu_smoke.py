@@ -92,11 +92,11 @@ def main() -> int:
         failures.append(f"encode {enc_ms:.2f} ms regressed >{GATE_PCT}% "
                         f"over {EXPECT['encode_ms']} ms")
 
-    # ---- decode: pipelined ms via the cached device fn ----
+    # ---- decode: pipelined ms via the captured device fn ----
     data = enc.encode(img, params, image)
-    jp._DEC_V2_CACHE.clear()
     dec = Decoder(backend="jax")
     dec.output_to_device = True
+    dec.capture_device_call = True
 
     def dsync(r):
         leaf = jax.tree_util.tree_leaves(r)[0]
@@ -104,18 +104,7 @@ def main() -> int:
 
     raw, _ = dec.decode(data)
     dsync(raw)
-    key, dfn = next(iter(jp._DEC_V2_CACHE.items()))
-    cap = {}
-
-    def spy(*a):
-        cap["a"] = a
-        return dfn(*a)
-    jp._DEC_V2_CACHE[key] = spy
-    dec.decode(data)
-    jp._DEC_V2_CACHE[key] = dfn
-    dargs = jax.tree_util.tree_map(
-        lambda x: (jax.device_put(np.asarray(x))
-                   if hasattr(x, "shape") else x), cap["a"])
+    dfn, dargs = dec.last_device_call
     dsync(dargs)
     dsync(dfn(*dargs))
     t0 = time.perf_counter()

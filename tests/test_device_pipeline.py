@@ -167,6 +167,25 @@ def test_device_decoder_matches_golden():
     assert psnr(got.reshape(h, w, 3), img) > 30.0
 
 
+def test_decoder_capture_device_call_replays():
+    """Decoder.capture_device_call (the first-class bench hook used by
+    bench.py / scripts/tpu_smoke.py) must expose a (fn, args) pair whose
+    replay reproduces the decode output exactly."""
+    h, w = 64, 80
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=1)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+    dec = Decoder(backend="jax")
+    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    dec.capture_device_call = True
+    got, _ = dec.decode(data)
+    fn, args = dec.last_device_call
+    replay = np.asarray(fn(*args)).reshape(-1)
+    assert np.array_equal(replay[:got.size], np.asarray(got).reshape(-1))
+
+
 def test_device_decoder_foreign_jpeg():
     h, w = 48, 48
     img = make_test_rgb(h, w)
