@@ -52,24 +52,37 @@ def dequant_idct_device(coeff: jax.Array, W: jax.Array) -> jax.Array:
     return jnp.clip(jnp.rint(y), 0.0, 255.0).astype(jnp.uint8)
 
 
-def dequant_idct_device_packed(coeff: jax.Array, W: jax.Array) -> jax.Array:
-    """Two-blocks-per-row variant of :func:`dequant_idct_device`:
-    (N, 64) -> reshape (N/2, 128) @ blockdiag(W, W) runs the MXU at full
-    lane width (the forward DCT's measured ~25% win applies in reverse).
-    Requires even N; bit-identical to the unpacked form."""
+def dequant_idct_pairs_banded(coeff: jax.Array, W2p: jax.Array) -> jax.Array:
+    """(N, 64) int coeffs (zig-zag) -> (N/2, 32) int32 words: two blocks
+    per MXU row, output pixels packed 4-per-word in BAND byte order
+    (``entropy_v2.band_perm_rows``) — the layout the Pallas un-blockify
+    kernel consumes. ``W2p`` from :func:`idct_pair_operator_banded`.
+    Output-column permutation only: every pixel is the same dot product
+    as :func:`dequant_idct_device`, so pixels are bit-identical."""
     N = coeff.shape[0]
-    z = jnp.zeros((64, 64), W.dtype)
-    W2 = jnp.concatenate([
-        jnp.concatenate([W, z], axis=1),
-        jnp.concatenate([z, W], axis=1)], axis=0)
     x = coeff.reshape(N // 2, 128).astype(jnp.float32)
     y = jax.lax.dot_general(
-        x, W2, (((1,), (0,)), ((), ())),
+        x, W2p, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     ) + 128.0
-    out = jnp.clip(jnp.rint(y), 0.0, 255.0).astype(jnp.uint8)
-    return out.reshape(N, 64)
+    px = jnp.clip(jnp.rint(y), 0.0, 255.0).astype(jnp.uint8)
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(px.reshape(N // 2, 32, 4),
+                                     jnp.uint32), jnp.int32)
+
+
+@functools.lru_cache(maxsize=16)
+def idct_pair_operator_banded(quant_zz_key: tuple) -> np.ndarray:
+    """(128, 128) f32: blockdiag of the fused dequant+IDCT operator over
+    a two-block pair, output columns permuted to band byte order."""
+    from .entropy_v2 import band_perm_rows
+    W = idct_dequant_matrix(
+        np.array(quant_zz_key, dtype=np.int32)).astype(np.float32)
+    W2 = np.zeros((128, 128), np.float32)
+    W2[:64, :64] = W
+    W2[64:, 64:] = W
+    return np.ascontiguousarray(W2[:, band_perm_rows()])
 
 
 @functools.lru_cache(maxsize=16)

@@ -747,15 +747,21 @@ def fused_dct_inputs(plan, quant_zz, seg_rows: int):
 
 def _stage1_dct_tile(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref,
                      spec: FusedSpec, tabs: PackedTables, W: int, T2: int,
-                     seg_rows: int, n_comp: int):
+                     seg_rows: int, n_comp: int, row0=None):
     """One grid step of the fused stage 1: unpack packed pixel words,
     DCT+quant on the MXU, in-kernel DC prediction, symbol synthesis and
     window assembly. Returns (words (T2, 2W) uint32, bits (T2, 2) int32
-    with per-block capacity overflow folded in as a 1<<20 offset)."""
+    with per-block capacity overflow folded in as a 1<<20 offset).
+
+    ``pb_ref`` may be a ref or an already-sliced (T2, 32) array;
+    ``row0`` is the tile's first global block-pair row (defaults to
+    ``program_id(0) * T2`` — sub-tiled callers pass their own offset;
+    a sub-tile must start at a segment-start row)."""
     from jax.experimental.pallas import tpu as pltpu
     from jax.experimental import pallas as pl
 
-    pid = pl.program_id(0)
+    if row0 is None:
+        row0 = pl.program_id(0) * T2
     lane = jax.lax.broadcasted_iota(I32, (T2, 128), 1)
     rowi = jax.lax.broadcasted_iota(I32, (T2, 128), 0)
 
@@ -771,7 +777,7 @@ def _stage1_dct_tile(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref,
         xf, d2_ref[:], (((1,), (0,)), ((), ())),
         precision=prec,
         preferred_element_type=jnp.float32) - bq_ref[0:1, :]
-    blk = 2 * (pid * T2 + rowi) + (lane >= 64).astype(I32)
+    blk = 2 * (row0 + rowi) + (lane >= 64).astype(I32)
     cls = jnp.full((T2, 128), spec.comp_cls[0], I32)
     qv = jnp.broadcast_to(bq_ref[1 + spec.comp_q[0]:
                                  2 + spec.comp_q[0], :], y.shape)
@@ -797,7 +803,7 @@ def _stage1_dct_tile(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref,
         # previous row's right-block DC; the wrap row is always a
         # segment start (tiles are segment-aligned), so it masks out
         prev_l = pltpu.roll(dc_r, 1, axis=0)
-        rstart = ((pid * T2 + rowi[:, 0:1]) % seg_rows) == 0
+        rstart = ((row0 + rowi[:, 0:1]) % seg_rows) == 0
         diff_l = dc_l - jnp.where(rstart, 0, prev_l)
         diff_r = dc_r - dc_l
     lane_left = lane < 64
@@ -897,10 +903,24 @@ def _pack_rows_lanes(x, lanes_out: int):
         [y[:, 128 * j:128 * j + C] for j in range(g)], axis=1)
 
 
+def band_perm_rows() -> np.ndarray:
+    """Input-byte permutation of the band-input kernel: lane ``l`` of a
+    pair row holds plane byte (row ``r = (l>>2)&7``, in-pair column
+    ``cb = 4*(l>>5) + (l&3)``) after the in-kernel transpose+row-collapse
+    relayout. Returns ``m`` with ``m[l]`` = that byte's block-row-major
+    index (the order the pbw path feeds the DCT), so the band operator
+    is ``D2_h[band_perm_rows()]`` — the matmul absorbs the relayout."""
+    l = np.arange(128)
+    q, r, b = l >> 5, (l >> 2) & 7, l & 3
+    cb = 4 * q + b
+    return (cb >= 8) * 64 + r * 8 + (cb & 7)
+
+
 def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
                           D2_h, bias2_h, qrows_h, tabs: PackedTables,
                           W: int, bps: int, cap_words: int, cap_out: int,
-                          max_stuff: int = MAX_STUFF, tile: int = 768):
+                          max_stuff: int = MAX_STUFF, tile: int = 768,
+                          band_ppb: int = 0):
     """The WHOLE entropy encode in ONE kernel: fused DCT+quant+stage-1
     plus the packed tree merge, byte stuffing and RST append of
     :func:`merge_stuff_packed` — for the flagship geometry
@@ -917,12 +937,29 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
     int32 with S_pad == ceil(M*2/bps) padded to whole tiles by the
     caller (min_rows alignment). Returns (out u8-view (S_pad*cap_out,),
     out_len, seg_bits, n_ff) — the contract of :func:`merge_and_stuff`.
+
+    With ``band_ppb > 0`` (equal-width planes, 16-pixel-aligned rows),
+    ``pbw`` is instead the row-concatenated plane WORDS
+    (plane_rows, band_ppb*4) int32 — the 8x8 blockify runs in-VMEM
+    inside the kernel (2D transpose + row-collapse) instead of as an
+    XLA transpose through HBM (measured 15.8 ms of the 34.5 ms 8K
+    encode; the in-kernel form ~3.7 ms and the packed-block array never
+    exists in HBM). The relayout's byte order folds into the DCT
+    operator (:func:`band_perm_rows`) — the caller must pass
+    ``D2_h[band_perm_rows()]``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    M = pbw.shape[0]
     T2 = tile // 2
+    if band_ppb:
+        plane_rows = pbw.shape[0]
+        assert pbw.shape[1] == band_ppb * 4, (pbw.shape, band_ppb)
+        assert plane_rows % 8 == 0
+        M = plane_rows // 8 * band_ppb
+        assert T2 % band_ppb == 0, (T2, band_ppb)
+    else:
+        M = pbw.shape[0]
     assert bps * W == 128 and cap_out % 4 == 0
     assert (2 * T2) % bps == 0 and (T2 * 2 * W) % 128 == 0
     assert M % T2 == 0, (M, T2)
@@ -934,6 +971,23 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
     WO = cap_out // 4
     mrows_t = T2 * 2 * W // 128        # packed merge rows per tile
 
+    # sub-tiled stage 1 (GPUJPEG_TPU_FUSED_SUBTILES=KS): the kernel
+    # loops over KS segment-aligned sub-slices of its tile, so the
+    # per-grid-step fixed cost (prologue, DMA sync) amortizes over a
+    # KS-times-larger tile while the simultaneously-live vreg set stays
+    # the size of ONE sub-tile — the recompute-over-hold restructuring
+    # of the round-2 calibration (BENCHMARKS.md: live set fills scoped
+    # VMEM at the optimal tile, killing double-buffering)
+    KS = int(os.environ.get("GPUJPEG_TPU_FUSED_SUBTILES", "1") or 1)
+    if KS < 1 or T2 % KS or (2 * (T2 // KS)) % bps \
+            or ((T2 // KS) * 2 * W) % 128 \
+            or (2 * (T2 // KS) // bps) % 8 \
+            or (band_ppb and (T2 // KS) % band_ppb):
+        KS = 1    # sub-slice out_ref row offsets must stay 8-aligned
+    T2s = T2 // KS                     # block-pair rows per sub-tile
+    spt_s = 2 * T2s // bps             # segments per sub-tile
+    Ksub = T2s // band_ppb if band_ppb else 0   # plane 8-row bands/sub
+
     ac512 = jnp.asarray(tabs.ac512)
     dc128 = jnp.asarray(np.concatenate([tabs.dc64, np.zeros(64, np.int32)]))
     D2 = jnp.asarray(D2_h)
@@ -943,26 +997,47 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
 
     def kernel(pb_ref, r_ref, h_ref, d2_ref, bq_ref, ac_ref, dc_ref,
                out_ref, meta_ref):
-        words, bits = _stage1_dct_tile(
-            pb_ref, d2_ref, bq_ref, ac_ref, dc_ref, spec, tabs, W, T2,
-            seg_rows, n_comp)
-        # relayout to the packed merge layout: rows of 128/W whole block
-        # strings (row-major flatten == block-major word order)
-        w2 = _pack_rows_lanes(words, 128)
-        b2 = _pack_rows_lanes(bits, 128 // W)
-        out_w, meta = _merge_stuff_core(
-            w2, b2, r_ref[:], h_ref[:], W, cap_words, WO, max_stuff)
-        out_ref[:] = out_w
-        meta_ref[:] = meta
+        from jax.experimental import pallas as pl
+        pid = pl.program_id(0)
+        for sub in range(KS):
+            if band_ppb:
+                # in-VMEM blockify: per plane 8-row band, a 2D transpose
+                # then the Mosaic row-collapse — byte order absorbed by
+                # the permuted DCT operator (band_perm_rows)
+                pb = jnp.concatenate([
+                    _pack_rows_lanes(jnp.transpose(
+                        pb_ref[8 * (sub * Ksub + kb):
+                               8 * (sub * Ksub + kb + 1)]), 32)
+                    for kb in range(Ksub)], axis=0)
+            else:
+                pb = pb_ref[sub * T2s:(sub + 1) * T2s]
+            words, bits = _stage1_dct_tile(
+                pb, d2_ref, bq_ref,
+                ac_ref, dc_ref, spec, tabs, W, T2s, seg_rows, n_comp,
+                row0=pid * T2 + sub * T2s)
+            # relayout to the packed merge layout: rows of 128/W whole
+            # block strings (row-major flatten == block-major word order)
+            w2 = _pack_rows_lanes(words, 128)
+            b2 = _pack_rows_lanes(bits, 128 // W)
+            out_w, meta = _merge_stuff_core(
+                w2, b2, r_ref[sub * spt_s:(sub + 1) * spt_s],
+                h_ref[sub * spt_s:(sub + 1) * spt_s], W, cap_words, WO,
+                max_stuff)
+            out_ref[sub * spt_s:(sub + 1) * spt_s] = out_w
+            meta_ref[sub * spt_s:(sub + 1) * spt_s] = meta
 
+    pb_spec = (pl.BlockSpec((T2 // band_ppb * 8, band_ppb * 4),
+                            lambda i: (i, 0), memory_space=pltpu.VMEM)
+               if band_ppb else
+               pl.BlockSpec((T2, 32), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM))
     out_w, meta = _pcall(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((S_pad, WO), jnp.uint32),
                    jax.ShapeDtypeStruct((S_pad, 8), jnp.int32)),
         grid=(M // T2,),
         in_specs=[
-            pl.BlockSpec((T2, 32), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pb_spec,
             pl.BlockSpec((spt_t, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((spt_t, 1), lambda i: (i, 0),

@@ -348,7 +348,10 @@ class _EncContext:
         # fused-kernel eligibility: identity row order (scan order ==
         # plane order, consecutive in-segment blocks => DC distance 1)
         # and segment rows dividing the tile
-        FUSED_TILE = int(os.environ.get("GPUJPEG_TPU_FUSED_TILE", "768"))
+        # 2048 default from the round-3 on-chip tile sweep (8K Q75:
+        # 39.8/36.3/34.9/34.3 ms at 512/768/2048/4096 — diminishing past
+        # 2048, and 4096 pads small images and compiles slower)
+        FUSED_TILE = int(os.environ.get("GPUJPEG_TPU_FUSED_TILE", "2048"))
         seg_rows = geo.bps // 2
         fused_ok = (use_pallas and packed_dct and not plan.params.interleaved
                     and (seg_rows == 0 or (FUSED_TILE // 2) % max(seg_rows, 1)
@@ -400,8 +403,36 @@ class _EncContext:
                        and "fused_full" not in self._disabled
                        and not os.environ.get("GPUJPEG_TPU_NO_FULL_FUSED"))
             if full_ok:
-                from .entropy_v2 import encode_dct_fused_full
-                spt_t = 2 * T2 // geo.bps
+                from .entropy_v2 import band_perm_rows, encode_dct_fused_full
+                # band input: the 8x8 blockify runs in-VMEM inside the
+                # kernel (round-3 on-chip: the XLA blockify transpose was
+                # 15.8 ms of the 34.5 ms 8K encode) — eligible when the
+                # planes share one width, rows hold whole block pairs,
+                # and the tile can align to whole plane 8-row bands
+                widths = {c.data_width for c in plan.components}
+                ppb = (plan.components[0].data_width // 16
+                       if len(widths) == 1 else 0)
+                band_ok = (ppb > 0
+                           and plan.components[0].data_width % 16 == 0
+                           and all(c.block_count % 2 == 0
+                                   for c in plan.components)
+                           and not os.environ.get("GPUJPEG_TPU_NO_BAND"))
+                if band_ok:
+                    # tile = whole bands, near the swept 2048 optimum;
+                    # Mosaic block row dims must divide by 8, so the
+                    # segments-per-tile count must too
+                    def _kb_ok(k):
+                        t2 = k * ppb
+                        return ((2 * t2) % geo.bps == 0
+                                and (t2 * 2 * Wb) % 128 == 0
+                                and (2 * t2 // geo.bps) % 8 == 0)
+                    cands = sorted(range(1, max(2, (2 * T2) // ppb + 9)),
+                                   key=lambda k: abs(k * ppb - T2))
+                    Kb = next((k for k in cands if _kb_ok(k)), 0)
+                    T2b = Kb * ppb
+                    band_ok = Kb > 0
+                T2f = T2b if band_ok else T2
+                spt_t = 2 * T2f // geo.bps
                 S_pad_f = -(-S // spt_t) * spt_t
                 Mp_f = S_pad_f * geo.bps // 2
                 rst2 = jnp.asarray(np.pad(
@@ -410,12 +441,31 @@ class _EncContext:
                 hrst2 = jnp.asarray(np.pad(
                     np.asarray(geo.seg_has_rst),
                     (0, S_pad_f - S)).astype(np.int32)[:, None])
+                D2f_h = D2_h[band_perm_rows()] if band_ok else D2_h
 
                 @jax.jit
                 def fn_full(raw, rst2, hrst2):
                     planes = preprocess(raw, plan.image, plan, jnp)
                     if barrier_mode == "planes":
                         planes = jax.lax.optimization_barrier(tuple(planes))
+                    if band_ok:
+                        # concat plane WORDS (no transpose): blockify
+                        # happens in-VMEM inside the kernel
+                        pw = jnp.concatenate([
+                            jax.lax.bitcast_convert_type(
+                                jax.lax.bitcast_convert_type(
+                                    p.reshape(p.shape[0],
+                                              p.shape[1] // 4, 4),
+                                    jnp.uint32), jnp.int32)
+                            for p in planes])
+                        pad_rows = (Mp_f - M) // ppb * 8
+                        if pad_rows:
+                            pw = jnp.pad(pw, ((0, pad_rows), (0, 0)))
+                        return encode_dct_fused_full(
+                            pw, rst2, hrst2, spec, D2f_h, bias2_h,
+                            qrows_h, tabs, Wb, geo.bps,
+                            geo.cap_seg_words, geo.cap_out_bytes,
+                            geo.max_stuff, tile=2 * T2f, band_ppb=ppb)
                     pbw = jnp.concatenate(
                         [plane_to_blocks_u32(p, jnp) for p in planes])
                     if barrier_mode == "packed":
@@ -424,9 +474,9 @@ class _EncContext:
                     if Mp_f > M:
                         pbw = jnp.pad(pbw, ((0, Mp_f - M), (0, 0)))
                     return encode_dct_fused_full(
-                        pbw, rst2, hrst2, spec, D2_h, bias2_h, qrows_h,
+                        pbw, rst2, hrst2, spec, D2f_h, bias2_h, qrows_h,
                         tabs, Wb, geo.bps, geo.cap_seg_words,
-                        geo.cap_out_bytes, geo.max_stuff, tile=FUSED_TILE)
+                        geo.cap_out_bytes, geo.max_stuff, tile=2 * T2f)
 
                 self._fn_args = (rst2, hrst2)
                 wrapped = lambda raw: fn_full(raw, *self._fn_args)
@@ -781,21 +831,19 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     # guarantees past the same threshold
     from .pallas_decode import V3_WCAP_MAX
     use_v3 = wcap <= V3_WCAP_MAX
-    device_rows = bool(os.environ.get("GPUJPEG_TPU_DEC_DEVICE_ROWS"))
     rows = None
-    if not use_v3 and not device_rows:
+    if not use_v3:
         rows = build_segment_rows_from_ranges(concat, lo_r, hi_r, S, wcap)
     if plan.params.interleaved and plan.image.comp_count > 1:
         tpl = np.asarray([plan.block_comp[i] for i in range(bps)], np.int32)
     else:
         tpl = np.full(bps, -1, np.int32)
     if use_v3:
-        from .pallas_decode_v3 import v3_step_flags
-        kb, out_bytes = v3_step_flags(bps, tpl)
-        # data tile + double-buffered coeff out block (KB blocks per
+        from .pallas_decode_v3 import V3_OUT_BYTES
+        # data tile + double-buffered coeff out block (one block per
         # grid step) + loop state + 160 B/segment of slow-path table
         # scratch (4 arrays x 10 code lengths)
-        per_seg = (wcap * 4 * 2 + kb * 64 * out_bytes * 2
+        per_seg = (wcap * 4 * 2 + 64 * V3_OUT_BYTES * 2
                    + 50 * 8 * 4 // 128 * 4 + 160)
         # 2048 measured fastest at 8K (larger tiles gain nothing once
         # lane utilization saturates; smaller ones pay launch overhead)
@@ -879,19 +927,13 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             fence. The round-3 on-chip tail A/B (BENCHMARKS.md) measured
             this at 13.9 ms vs 30.4 for the packed-u32 staged variant
             (whose extra per-component barriers materialized the IDCT
-            output in HBM) at 8K Q75. GPUJPEG_TPU_DEC_PACKED_IDCT=1
-            swaps in the two-blocks-per-MXU-row matmul (bit-identical)
-            for its pending lane-width A/B."""
-            packed = bool(os.environ.get("GPUJPEG_TPU_DEC_PACKED_IDCT"))
-            from .dct import dequant_idct_device_packed
+            output in HBM) at 8K Q75; the two-blocks-per-MXU-row packed
+            matmul then measured +10 ms over this form in the round-3
+            sweep and was deleted."""
             planes = []
             for (start, count, dh, dw), W in zip(comp_slices, Ws):
-                if packed and count % 2 == 0:
-                    blocks = dequant_idct_device_packed(
-                        coeff_plane[start:start + count], W)
-                else:
-                    blocks = dequant_idct_device(
-                        coeff_plane[start:start + count], W)
+                blocks = dequant_idct_device(
+                    coeff_plane[start:start + count], W)
                 planes.append(blocks_to_plane(blocks, dh, dw, jnp))
             # keep XLA from fusing the 8x8 un-blockify transpose into
             # the pixel chain (measured 73 -> 21 ms at 8K)
@@ -935,15 +977,13 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         for c in plan.components
     )
     if use_v3:
-        if device_rows:
-            # upload the RAW scan body and destuff/relayout on-chip:
-            # ~half the H2D bytes of the padded rows, no host row build
-            from .pallas_decode import build_rows_t_device
-            data_in = build_rows_t_device(concat, lo_r, hi_r, S, S_pad,
-                                          wcap)
-        else:
-            data_in = build_segment_rows_t(concat, lo_r, hi_r, plan, wcap,
-                                           S_pad)
+        # host-built transposed rows: the on-chip destuff alternative
+        # (raw scan-body upload + cumsum/sort relayout) measured SLOWER
+        # end-to-end even on the ~100 MB/s tunnel (281 vs 238 ms wall,
+        # round-3 sweep) — the device sort cost more than the saved H2D
+        # bytes — and was deleted
+        data_in = build_segment_rows_t(concat, lo_r, hi_r, plan, wcap,
+                                       S_pad)
         if data_in is None:  # no native lib: NumPy rows + transpose
             rows = build_segment_rows_from_ranges(concat, lo_r, hi_r, S,
                                                   wcap)
@@ -953,10 +993,6 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         sc_in = seg_comp.reshape(S_pad // 128, 128)
         sn_in = seg_nblk.reshape(S_pad // 128, 128)
     else:
-        if device_rows:
-            from .pallas_decode import build_rows_t_device
-            rows_pad = build_rows_t_device(concat, lo_r, hi_r, S, S_pad,
-                                           wcap, transposed=False)
         data_in, sc_in, sn_in = rows_pad, seg_comp, seg_nblk
     fuse = getattr(decoder, "_fuse_collect", None)
     if fuse is not None:

@@ -227,69 +227,6 @@ def build_segment_rows_t(concat, lo, hi, plan, Wcap: int,
     return rowsT.view(np.int32)
 
 
-_DEV_ROWS_CACHE: dict = {}
-
-
-def build_rows_t_device(concat: np.ndarray, lo: np.ndarray, hi: np.ndarray,
-                        S: int, S_pad: int, wcap: int,
-                        transposed: bool = True):
-    """Device-side destuffed (wcap, S_pad) int32 word rows from the raw
-    concatenated scan body + per-segment [lo, hi) byte ranges.
-
-    Uploads the RAW bytes (roughly half the padded-row footprint at 8K
-    Q75) and moves destuffing + the column-major relayout onto the chip,
-    taking the host row builder and the bigger H2D off the decode
-    critical path. Reference analog: the GPU decoder uploads raw
-    compressed bytes + the segment table and skips stuffed 0xFF 00 pairs
-    on-chip during its shared-memory refill
-    (gpujpeg_huffman_gpu_decoder.cu:134-151). A lockstep TPU kernel
-    cannot afford per-lane skip shifts in its inner loop, so destuffing
-    happens once up front as a row-local stable compaction: mark
-    0x00-after-0xFF bytes, cumsum, and sort each row's bytes by their
-    compacted position (stuffed/invalid bytes get keys past the end and
-    carry value 0 — identical zero padding to the host builders).
-
-    Gated by GPUJPEG_TPU_DEC_DEVICE_ROWS; enable after on-chip A/B (the
-    per-row sort trades device cycles for tunnel/PCIe bytes).
-    """
-    B = wcap * 4
-    # bucket the concat length so one compile serves a stream-size family
-    n = max(int(concat.size), 1)
-    n_pad = 1 << (n - 1).bit_length()
-    key = (S, S_pad, wcap, n_pad, transposed)
-    fn = _DEV_ROWS_CACHE.get(key)
-    if fn is None:
-        @jax.jit
-        def fn(cat, lo_a, hi_a):
-            k = jnp.arange(B, dtype=jnp.int32)[None, :]            # (1, B)
-            base = lo_a[:, None].astype(jnp.int32)                 # (S, 1)
-            idx = jnp.clip(base + k, 0, n_pad - 1)
-            valid = (base >= 0) & (base + k < hi_a[:, None])
-            b = jnp.where(valid, cat[idx].astype(jnp.int32), 0)    # (S, B)
-            prev = jnp.concatenate(
-                [jnp.zeros((S, 1), jnp.int32), b[:, :-1]], axis=1)
-            stuff = (b == 0) & (prev == 0xFF) & valid
-            cum = jnp.cumsum(stuff.astype(jnp.int32), axis=1)
-            keep = valid & ~stuff
-            dest = jnp.where(keep, k - cum, B + k)     # unique per row
-            _, sv = jax.lax.sort((dest, b), dimension=1, num_keys=1)
-            v = sv.reshape(S, wcap, 4)
-            words = ((v[:, :, 0] << 24) | (v[:, :, 1] << 16)
-                     | (v[:, :, 2] << 8) | v[:, :, 3])
-            if S_pad > S:
-                words = jnp.concatenate(
-                    [words, jnp.zeros((S_pad - S, wcap), jnp.int32)])
-            # v3 kernels consume the (wcap, S_pad) column-major layout in
-            # int32; the v2 kernel takes (S_pad, wcap) uint32 rows
-            if transposed:
-                return words.T
-            return jax.lax.bitcast_convert_type(words, jnp.uint32)
-        _DEV_ROWS_CACHE[key] = fn
-    cat = np.zeros(n_pad, np.uint8)
-    cat[:concat.size] = concat
-    return fn(jnp.asarray(cat), jnp.asarray(lo), jnp.asarray(hi))
-
-
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------

@@ -65,17 +65,7 @@ def _pack16(table):
     return packed
 
 
-def v3_step_flags(bps: int, interleaved_tpl) -> "tuple[int, int]":
-    """Effective (KB blocks per grid step, output element bytes) under
-    the current env flags — the caller's seg_tile VMEM sizing must use
-    these so GPUJPEG_TPU_DEC_KB stays visible to the tile-size choice
-    (a KB=8 out block at seg_tile=2048 is 8 MB on its own)."""
-    import os as _os
-    uses_tpl = bool((np.asarray(interleaved_tpl) >= 0).any())
-    KB = int(_os.environ.get("GPUJPEG_TPU_DEC_KB", "1") or 1)
-    if uses_tpl or KB < 1 or bps % KB:
-        KB = 1
-    return KB, 4
+V3_OUT_BYTES = 4   # int32 coefficient output (i16 lost the on-chip A/B)
 
 
 def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
@@ -91,20 +81,13 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     SLOW_LENS = tuple(range(QUICK_BITS + 1, 17))
 
     NSL = len(SLOW_LENS)
-    # windowed stream fetch: when the active lanes' needed word range
-    # fits in WF rows, the masked reduction runs over a dynamic WF-row
-    # slice instead of all wcap rows (with a full-range fallback).
-    # Off by default until measured on real hardware.
-    import os as _os
-    WF = int(_os.environ.get("GPUJPEG_TPU_DEC_WINDOW", "0") or 0)
-    WF -= WF % 8
-    use_window = 0 < WF < wcap
     OUT_DT = jnp.int32
-    # KB blocks per grid step: amortizes the per-step prologue (three
-    # init fetches, slot/table setup, output zero-init) and the
-    # per-block lane-skew barrier over KB blocks. KB=1 reproduces the
-    # one-block-per-step structure. Off (1) by default until measured.
-    KB, _ = v3_step_flags(bps, interleaved_tpl)
+    # One block per grid step. The round-3 on-chip sweep measured KB>1
+    # (multiple blocks per step to amortize the per-step prologue)
+    # strictly slower — 26.4/27.6/30.4/35.7 ms at KB=1/2/4/8, 8K Q75 —
+    # so the knob is retired and the one-block structure is the only
+    # form (the bigger out block displaced double-buffered VMEM).
+    KB = 1
     # The round-3 on-chip bisect (BENCHMARKS.md) settled three r02
     # formulations that had shipped unmeasured; the r01 forms below are
     # each faster because a jnp.any over ~seg_tile lanes is almost
@@ -357,41 +340,15 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             bp_new = bp + cA + cB
             delta = (bp_new >> 5) - (bp >> 5)             # 0, 1 or 2
             wpn = bp_new >> 5
-            if use_window:
-                # the words needed this iteration span
-                # [min_act(wpn)+1, max_act(wpn)+2]; when that fits in WF
-                # rows, reduce over a dynamic WF-row slice instead of
-                # all wcap rows. Inactive lanes are excluded (their
-                # stale positions would inflate the span; a garbage
-                # fetch for them is harmless — every consumer is gated
-                # on act).
-                lo = jnp.min(jnp.where(act, wpn + 1, jnp.int32(1 << 30)))
-                lo = jnp.clip(lo & ~7, 0, (wcap - WF) & ~7)
-                hi = jnp.max(jnp.where(act, wpn + 2, 0))
-                inwin = hi < lo + WF
-                win_iota = jax.lax.broadcasted_iota(I32, (WF, 128), 0)
-
-                def fetch_win(wordpos):
-                    outs = []
-                    for g in range(G):
-                        dat = dataT_ref[pl.ds(lo, WF),
-                                        g * 128:(g + 1) * 128]
-                        m = (win_iota + lo) == wordpos[g:g + 1, :]
-                        outs.append(jnp.sum(jnp.where(m, dat, 0), axis=0,
-                                            keepdims=True))
-                    return jnp.concatenate(outs, axis=0).astype(U32)
-
-                def do_fetch(wordpos):
-                    return jax.lax.cond(inwin, fetch_win, fetch1, wordpos)
-            else:
-                do_fetch = fetch1
             # f2 feeds every delta>=1 lane (delta==0 lanes refetch their
             # current w2 — harmless); f1 only delta==2 lanes, but
             # skipping it behind a cross-lane any measured no faster on
             # chip (some lane needs it nearly every iteration), so both
-            # run unconditionally
-            f2 = do_fetch(wpn + 2)
-            f1 = do_fetch(wpn + 1)
+            # run unconditionally. (A windowed dynamic-slice fetch
+            # variant measured 650x SLOWER on hardware at Q95 — round-3
+            # sweep — and was deleted.)
+            f2 = fetch1(wpn + 2)
+            f1 = fetch1(wpn + 1)
             w0 = jnp.where(delta == 0, w0, jnp.where(delta == 1, w1, w2))
             w1 = jnp.where(delta == 0, w1, jnp.where(delta == 1, w2, f1))
             w2 = f2

@@ -511,12 +511,9 @@ class ShardedDecoder:
                               np.int32)
         else:
             tpl0 = np.full(bps, -1, np.int32)
-        # same VMEM-budget sizing as jax_pipeline._decode_device_v2:
-        # the effective KB flag must be visible to the tile choice or
-        # GPUJPEG_TPU_DEC_KB blows the scoped budget
-        from ..ops.pallas_decode_v3 import v3_step_flags
-        kb, out_bytes = v3_step_flags(bps, tpl0)
-        per_seg = (wcap * 4 * 2 + kb * 64 * out_bytes * 2
+        # same VMEM-budget sizing as jax_pipeline._decode_device_v2
+        from ..ops.pallas_decode_v3 import V3_OUT_BYTES
+        per_seg = (wcap * 4 * 2 + 64 * V3_OUT_BYTES * 2
                    + 50 * 8 * 4 // 128 * 4 + 160)
         seg_tile = max(128, min(2048, (8 << 20) // max(per_seg, 1)))
         seg_tile = 1 << (seg_tile.bit_length() - 1)
@@ -566,9 +563,7 @@ class ShardedDecoder:
              tabs.delta.tobytes(), tabs.huffval.tobytes()))).hexdigest()
         key = ("dec_v3", plan.params, plan.image, band_out, n, wcap,
                S_pad, seg_tile, n_slots, tuple(int(v) for v in dc_slot),
-               tuple(int(v) for v in ac_slot), th, qts,
-               # kernel-variant env knobs baked into make_decode_kernel_v3
-               kb, out_bytes, os.environ.get("GPUJPEG_TPU_DEC_WINDOW", ""))
+               tuple(int(v) for v in ac_slot), th, qts)
         nb = plan.n_blocks
         slot_in_seg = np.arange(nb, dtype=np.int32) - \
             plan.seg_block_start[plan.block_segment]

@@ -119,10 +119,9 @@ def run_enc(iters: int):
 
 def run_dec(iters: int):
     """Sweep the decode kernel knobs (KB blocks/step x i16 output x
-    windowed fetch) over the pipelined 8K device decode — the A/B matrix
-    for the round-2 kernel variants that landed while the chip was
-    unreachable. Uses the bench.py capture trick to time the jitted
-    pipeline with device-resident args."""
+    over the pipelined 8K device decode. Uses the decoder's
+    capture_device_call hook to time the jitted pipeline with
+    device-resident args."""
     import jax
     from gpujpeg_tpu.models.encoder import Encoder
     from gpujpeg_tpu.models.decoder import Decoder
@@ -145,34 +144,30 @@ def run_dec(iters: int):
         np.asarray(leaf.reshape(-1)[:1])
 
     golden = None
-    combos = [(kb, pidct, win)
-              for kb in (1, 2, 4, 8)
-              for pidct in ("", "1")
-              for win in ("", "64", "128")]
-    if os.environ.get("SWEEP_ONE"):
-        combos = [(int(os.environ.get("GPUJPEG_TPU_DEC_KB", "1") or 1),
-                   os.environ.get("GPUJPEG_TPU_DEC_PACKED_IDCT", ""),
-                   os.environ.get("GPUJPEG_TPU_DEC_WINDOW", ""))]
-    for kb, pidct, win in combos:
-        os.environ["GPUJPEG_TPU_DEC_KB"] = str(kb)
-        for k, v in (("GPUJPEG_TPU_DEC_PACKED_IDCT", pidct),
-                     ("GPUJPEG_TPU_DEC_WINDOW", win)):
-            if v:
-                os.environ[k] = v
-            else:
-                os.environ.pop(k, None)
-        label = f"KB={kb} pidct={pidct or 0} win={win or 0}"
+    # losing knobs from earlier sweeps (DEC_KB, DEC_PACKED_IDCT,
+    # DEC_I16, DEC_DEVICE_ROWS, DEC_NATIVE_IDCT, DEC_WINDOW) are
+    # deleted, not swept; what remains is the flagship Q75 timing and
+    # a high-quality point (bigger segments exercise the wcap axis)
+    combos = [75, 95] if not os.environ.get("SWEEP_ONE") else [75]
+    data_by_q = {}
+    for q in combos:
+        if q not in data_by_q:
+            data_by_q[q] = (Encoder(backend="jax").encode(
+                img, Parameters(quality=q, restart_interval=ri), image)
+                if q != 75 else data)
+        data_q = data_by_q[q]
+        label = f"q={q}"
         jp._DEC_V2_CACHE.clear()
         dec = Decoder(backend="jax")
         dec.output_to_device = True
         dec.capture_device_call = True
         try:
             t0 = time.perf_counter()
-            raw, _ = dec.decode(data)               # compile/warm
+            raw, _ = dec.decode(data_q)             # compile/warm
             dsync(raw)
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
-            raw, _ = dec.decode(data)
+            raw, _ = dec.decode(data_q)
             dsync(raw)
             wall_ms = (time.perf_counter() - t0) * 1e3
             # pipelined device-only decode on the captured fn + args
@@ -185,46 +180,16 @@ def run_dec(iters: int):
             ms = (time.perf_counter() - t0) * 1e3 / iters
             out = np.asarray(raw)
             if golden is None:
-                golden = out
+                golden = {}
+            if q not in golden:
+                golden[q] = out
                 ok = "ref"
             else:
-                ok = "ok" if np.array_equal(out, golden) else "MISMATCH"
+                ok = "ok" if np.array_equal(out, golden[q]) else "MISMATCH"
             print(f"dec {label}: {ms:8.2f} ms dev, wall {wall_ms:6.1f} ms "
                   f"(compile {compile_s:.0f} s) {ok}", flush=True)
         except Exception as e:
             print(f"dec {label}: FAIL {type(e).__name__}: "
-                  f"{str(e)[:140]}", flush=True)
-
-    # single-call wall A/B of the on-chip row builder (raw-bytes upload +
-    # device destuff vs host rows + bigger H2D) at default kernel flags
-    for k in ("GPUJPEG_TPU_DEC_KB", "GPUJPEG_TPU_DEC_PACKED_IDCT",
-              "GPUJPEG_TPU_DEC_WINDOW"):
-        os.environ.pop(k, None)
-    for dr in ("", "1"):
-        if dr:
-            os.environ["GPUJPEG_TPU_DEC_DEVICE_ROWS"] = dr
-        else:
-            os.environ.pop("GPUJPEG_TPU_DEC_DEVICE_ROWS", None)
-        jp._DEC_V2_CACHE.clear()
-        dec = Decoder(backend="jax")
-        dec.output_to_device = True
-        try:
-            raw, _ = dec.decode(data)                # compile/warm
-            dsync(raw)
-            walls = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                raw, _ = dec.decode(data)
-                dsync(raw)
-                walls.append((time.perf_counter() - t0) * 1e3)
-            out = np.asarray(raw)
-            ok = "ok" if (golden is None or np.array_equal(out, golden)) \
-                else "MISMATCH"
-            print(f"dec device_rows={dr or 0}: wall min "
-                  f"{min(walls):6.1f} ms mean {np.mean(walls):6.1f} ms {ok}",
-                  flush=True)
-        except Exception as e:
-            print(f"dec device_rows={dr or 0}: FAIL {type(e).__name__}: "
                   f"{str(e)[:140]}", flush=True)
 
 

@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # checked-in steady-state expectations, ms at 8K Q75 ri=32 pow2
 # (TPU v5 lite via the dev tunnel; see BENCHMARKS.md round-3 table)
 EXPECT = {
-    "encode_ms": 33.6,   # BENCH_r02; drops when the encode round lands
-    "decode_ms": 29.0,   # round-3 regression fix
+    "encode_ms": 27.9,   # round-3 band-input kernel (in-VMEM blockify)
+    "decode_ms": 26.5,   # round-3 regression fix + knob campaign
 }
 GATE_PCT = float(os.environ.get("GPUJPEG_TPU_GATE_PCT", "10"))
 

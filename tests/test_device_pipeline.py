@@ -248,60 +248,6 @@ def test_forced_chunked_roundtrip_psnr():
     assert psnr(pil, img) > 32
 
 
-def test_device_rows_builder_matches_host(monkeypatch):
-    """build_rows_t_device (on-chip destuff + column-major relayout from
-    the raw scan body) must be bit-identical to the host row builders,
-    and a decode routed through GPUJPEG_TPU_DEC_DEVICE_ROWS must match
-    the default path exactly."""
-    import jax
-    import gpujpeg_tpu.ops.jax_pipeline as jp
-    from gpujpeg_tpu.ops.pallas_decode import (
-        build_rows_t_device, build_segment_rows_from_ranges,
-        segment_ranges_wcap)
-    from gpujpeg_tpu.plan import make_plan
-    from gpujpeg_tpu.stream.reader import read_image
-
-    rng = np.random.default_rng(11)
-    h, w = 64, 80
-    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)  # noisy: stuffing
-    params = Parameters(quality=92, restart_interval=2)
-    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
-                            pixel_format=PixelFormat.PF_444_U8_P012)
-    data = Encoder(backend="jax").encode(img.reshape(-1), params, image)
-
-    info = read_image(data)
-    plan = make_plan(params, image)
-    scan_data = [s.data for s in info.scans]
-    segments_by_scan = [s.segments for s in info.scans]
-    concat, lo, hi, wcap = segment_ranges_wcap(
-        scan_data, segments_by_scan, plan)
-    # the destuff path must actually be exercised
-    cbytes = np.asarray(concat)
-    assert (((cbytes[:-1] == 0xFF) & (cbytes[1:] == 0)).sum()) > 0, \
-        "test stream contains no stuffed bytes"
-
-    S = plan.n_segments
-    S_pad = -(-S // 128) * 128
-    got = np.asarray(build_rows_t_device(concat, lo, hi, S, S_pad, wcap))
-    rows = build_segment_rows_from_ranges(concat, lo, hi, S, wcap)
-    want = np.zeros((S_pad, wcap), np.uint32)
-    want[:S] = rows
-    want = np.ascontiguousarray(want.T).view(np.int32)
-    assert np.array_equal(got, want)
-
-    # end-to-end: flag-routed decode bit-identical to the default route
-    dec = Decoder(backend="jax")
-    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
-    base, _ = dec.decode(data)
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_DEVICE_ROWS", "1")
-    jp._DEC_V2_CACHE.clear()
-    dec2 = Decoder(backend="jax")
-    dec2.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
-    flagged, _ = dec2.decode(data)
-    jp._DEC_V2_CACHE.clear()
-    assert np.array_equal(np.asarray(base), np.asarray(flagged))
-
-
 def test_decode_batch_matches_per_frame():
     """Pipelined batch decode (deferred sync) must match per-frame
     decode exactly — three frames of one geometry share one executable;

@@ -261,66 +261,6 @@ def test_sharded_decode_v3_kernel_path():
     assert np.abs(raw.astype(int) - ref.astype(int)).max() <= 1
 
 
-@pytest.mark.parametrize("wf", ["8", "32"])
-def test_decode_windowed_fetch_matches(monkeypatch, wf):
-    """The windowed stream fetch (GPUJPEG_TPU_DEC_WINDOW) must be
-    bit-identical to the full masked-reduction fetch — both when the
-    window mostly hits (wf=32) and when the tiny window forces the
-    full-range fallback on most iterations (wf=8)."""
-    import gpujpeg_tpu.ops.jax_pipeline as jp
-    import gpujpeg_tpu.models.decoder as dmod
-    h, w = 128, 160
-    img = make_test_rgb(h, w)
-    # long segments (16 blocks at q92) make wcap comfortably larger
-    # than both window sizes, so wf=32 exercises window hits and wf=8
-    # exercises the full-range fallback
-    params = Parameters(quality=92, restart_interval=16)
-    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
-                            pixel_format=PixelFormat.PF_444_U8_P012)
-    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
-
-    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
-
-    def run():
-        jp._DEC_V2_CACHE.clear()
-        dec = Decoder(backend="jax")
-        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
-        raw, _ = dec.decode(data)
-        jp._DEC_V2_CACHE.clear()
-        return np.asarray(raw)
-
-    base = run()
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_WINDOW", wf)
-    windowed = run()
-    assert np.array_equal(base, windowed)
-
-
-def test_decode_packed_idct_matches(monkeypatch):
-    """GPUJPEG_TPU_DEC_PACKED_IDCT (two blocks per MXU row in the decode
-    tail) must be bit-identical to the unpacked tail."""
-    import gpujpeg_tpu.ops.jax_pipeline as jp
-    import gpujpeg_tpu.models.decoder as dmod
-    h, w = 128, 160
-    img = make_test_rgb(h, w)
-    params = Parameters(quality=92, restart_interval=16)
-    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
-                            pixel_format=PixelFormat.PF_444_U8_P012)
-    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
-    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
-
-    def run():
-        jp._DEC_V2_CACHE.clear()
-        dec = Decoder(backend="jax")
-        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
-        raw, _ = dec.decode(data)
-        jp._DEC_V2_CACHE.clear()
-        return np.asarray(raw)
-
-    base = run()
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_PACKED_IDCT", "1")
-    assert np.array_equal(base, run())
-
-
 def test_pallas_decode_corrupt_entropy_no_crash(monkeypatch, rng):
     """Corrupt entropy bytes through the DEVICE decode kernel: the
     in-kernel guards (l>16 fake-zero, k>63 clamps, fixed-bound loops)
@@ -347,34 +287,6 @@ def test_pallas_decode_corrupt_entropy_no_crash(monkeypatch, rng):
         assert np.asarray(raw).size == oi.width * oi.height * 3
     except JpegParseError:
         pass  # clean parse error acceptable
-
-
-@pytest.mark.parametrize("kb", ["2", "8"])
-def test_decode_multiblock_step_matches(monkeypatch, kb):
-    """GPUJPEG_TPU_DEC_KB > 1 (multiple blocks per grid step, lanes
-    advancing block-to-block inside one while loop) must be
-    bit-identical to the one-block-per-step default."""
-    import gpujpeg_tpu.ops.jax_pipeline as jp
-    import gpujpeg_tpu.models.decoder as dmod
-    h, w = 128, 160
-    img = make_test_rgb(h, w)
-    params = Parameters(quality=92, restart_interval=16)   # bps=16
-    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
-                            pixel_format=PixelFormat.PF_444_U8_P012)
-    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
-    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
-
-    def run():
-        jp._DEC_V2_CACHE.clear()
-        dec = Decoder(backend="jax")
-        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
-        raw, _ = dec.decode(data)
-        jp._DEC_V2_CACHE.clear()
-        return np.asarray(raw)
-
-    base = run()
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_KB", kb)
-    assert np.array_equal(base, run())
 
 
 def test_encode_kernel_downgrade_chain(monkeypatch):
@@ -438,11 +350,6 @@ def test_decode_v2_large_wcap_kernel(monkeypatch):
     monkeypatch.setattr(pd, "V3_WCAP_MAX", 0)
     v2 = run()
     assert np.array_equal(v3, v2)
-    # v2 regime with the on-chip row builder (raw-bytes upload + device
-    # destuff into row-major uint32 rows) must stay bit-identical
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_DEVICE_ROWS", "1")
-    v2d = run()
-    assert np.array_equal(v3, v2d)
 
 
 def test_sharded_pallas_encode_decode_bit_identical():
