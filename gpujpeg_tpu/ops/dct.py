@@ -52,37 +52,23 @@ def dequant_idct_device(coeff: jax.Array, W: jax.Array) -> jax.Array:
     return jnp.clip(jnp.rint(y), 0.0, 255.0).astype(jnp.uint8)
 
 
-def dequant_idct_pairs_banded(coeff: jax.Array, W2p: jax.Array) -> jax.Array:
-    """(N, 64) int coeffs (zig-zag) -> (N/2, 32) int32 words: two blocks
-    per MXU row, output pixels packed 4-per-word in BAND byte order
-    (``entropy_v2.band_perm_rows``) — the layout the Pallas un-blockify
-    kernel consumes. ``W2p`` from :func:`idct_pair_operator_banded`.
-    Output-column permutation only: every pixel is the same dot product
-    as :func:`dequant_idct_device`, so pixels are bit-identical."""
-    N = coeff.shape[0]
-    x = coeff.reshape(N // 2, 128).astype(jnp.float32)
-    y = jax.lax.dot_general(
-        x, W2p, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ) + 128.0
-    px = jnp.clip(jnp.rint(y), 0.0, 255.0).astype(jnp.uint8)
+def dequant_idct_words(coeff: jax.Array, W: jax.Array) -> jax.Array:
+    """(N, 64) int coeffs (zig-zag) -> (N, 16) int32 words: the plain
+    :func:`dequant_idct_device` pixels packed 4-per-word little-endian.
+
+    No operator permutation and no row pairing: a block's natural
+    row-major byte order packed 4-per-word is ALREADY r-major in the
+    high word bits (word ``w`` holds pixels of row ``w>>1``), which is
+    exactly what the decode un-blockify kernel's Mosaic row-collapse
+    needs (``pallas_decode.unblockify_bands``) — and keeping the matmul
+    operand chain identical to the plain tail lets XLA fuse the
+    coefficient relayout into the matmul read unchanged (a pair-reshape
+    variant measured +25 ms at 8K from exactly that fusion break).
+    Pixels are bit-identical to :func:`dequant_idct_device`."""
+    px = dequant_idct_device(coeff, W)
     return jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(px.reshape(N // 2, 32, 4),
-                                     jnp.uint32), jnp.int32)
-
-
-@functools.lru_cache(maxsize=16)
-def idct_pair_operator_banded(quant_zz_key: tuple) -> np.ndarray:
-    """(128, 128) f32: blockdiag of the fused dequant+IDCT operator over
-    a two-block pair, output columns permuted to band byte order."""
-    from .entropy_v2 import band_perm_rows
-    W = idct_dequant_matrix(
-        np.array(quant_zz_key, dtype=np.int32)).astype(np.float32)
-    W2 = np.zeros((128, 128), np.float32)
-    W2[:64, :64] = W
-    W2[64:, 64:] = W
-    return np.ascontiguousarray(W2[:, band_perm_rows()])
+        jax.lax.bitcast_convert_type(
+            px.reshape(px.shape[0], 16, 4), jnp.uint32), jnp.int32)
 
 
 @functools.lru_cache(maxsize=16)

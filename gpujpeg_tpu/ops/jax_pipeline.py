@@ -27,6 +27,7 @@ from ..params import ImageParameters
 from .blocks import blocks_to_plane, plane_to_blocks
 from .dct import (
     dequant_idct_device,
+    dequant_idct_words,
     fdct_operator_f32,
     fdct_quant_device,
     idct_operator_f32,
@@ -878,8 +879,15 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     else:
         out_row = slot_in_seg.astype(np.int64) * S_pad + plan.block_segment
 
+    # default OFF: in isolation the Pallas un-blockify beats the XLA
+    # blocks_to_plane 3.1 vs 6.7 ms/plane on chip, but INSIDE the fused
+    # decode jit it measured +10 ms at 8K Q75 (36.6 vs 26.5) — the
+    # opaque kernel call mid-chain forces operand materialization and
+    # breaks XLA's matmul/relayout fusion. Kept as an A/B hook; the
+    # production fix is the fused seg-rows tail kernel.
+    use_band = bool(os.environ.get("GPUJPEG_TPU_DEC_BAND"))
     key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad, use_v3,
-           seg_tile)
+           seg_tile, use_band)
     fn = _DEC_V2_CACHE.get(key)
     if fn is None:
         if use_v3:
@@ -923,18 +931,29 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             return coeff_scan if inv_identity else coeff_scan[inv_a]
 
         def stage_idct(coeff_plane, Ws):
-            """Fused dequant+IDCT, direct u8 un-blockify, one fusion
-            fence. The round-3 on-chip tail A/B (BENCHMARKS.md) measured
-            this at 13.9 ms vs 30.4 for the packed-u32 staged variant
-            (whose extra per-component barriers materialized the IDCT
-            output in HBM) at 8K Q75; the two-blocks-per-MXU-row packed
-            matmul then measured +10 ms over this form in the round-3
-            sweep and was deleted."""
+            """Fused dequant+IDCT with the un-blockify in-VMEM: the
+            plain IDCT matmul's pixels pack 4-per-word
+            (``dequant_idct_words`` — identical operand chain, so XLA's
+            fusion of the coefficient relayout into the matmul read is
+            untouched) and the Pallas ``unblockify_bands`` kernel
+            rebuilds plane rows per 8-row band, replacing the XLA
+            ``blocks_to_plane`` transpose (strided HBM; a pair-matmul
+            variant that reshaped coefficients to (N/2, 128) first
+            measured +25 ms at 8K from the fusion break).
+            ``GPUJPEG_TPU_DEC_BAND=1`` opts in (A/B aid; see the
+            default-off note at the cache key)."""
+            from .pallas_decode import unblockify_bands
             planes = []
             for (start, count, dh, dw), W in zip(comp_slices, Ws):
-                blocks = dequant_idct_device(
-                    coeff_plane[start:start + count], W)
-                planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+                coeff = coeff_plane[start:start + count]
+                if use_band:
+                    words = dequant_idct_words(coeff, W)
+                    pw = unblockify_bands(words, dh, dw)
+                    planes.append(jax.lax.bitcast_convert_type(
+                        pw, jnp.uint8).reshape(dh, dw))
+                else:
+                    blocks = dequant_idct_device(coeff, W)
+                    planes.append(blocks_to_plane(blocks, dh, dw, jnp))
             # keep XLA from fusing the 8x8 un-blockify transpose into
             # the pixel chain (measured 73 -> 21 ms at 8K)
             return list(jax.lax.optimization_barrier(tuple(planes)))

@@ -227,6 +227,64 @@ def build_segment_rows_t(concat, lo, hi, plan, Wcap: int,
     return rowsT.view(np.int32)
 
 
+def unblockify_bands(words, plane_rows: int, plane_cols: int, K: int = 4):
+    """Pallas in-VMEM un-blockify: (plane_rows//8 * plane_cols//8, 16)
+    int32 block words (:func:`..dct.dequant_idct_words` — a block's
+    natural row-major pixels packed 4-per-word) -> (plane_rows,
+    plane_cols//4) int32 plane words.
+
+    The decode mirror of the encode kernel's in-VMEM blockify: the XLA
+    ``blocks_to_plane`` transpose runs at strided-HBM speed (6.7 ms per
+    8K luma plane on chip vs 3.1 for this kernel); here each plane
+    8-row band is rebuilt in VMEM with a 2D transpose + vreg-aligned
+    row-collapse + a static per-128-lane-chunk interleave fix. The
+    packed word layout is already r-major (word ``w`` = pixels
+    ``4w..4w+3`` of block row ``w>>1``), so the row-collapse
+    ``(16, bpb) -> (8, 2*bpb)`` lands each output row on one plane row
+    with no operator permutation. ``K`` bands per grid step."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_bands = plane_rows // 8
+    bpb = plane_cols // 8              # blocks per band
+    while K > 1 and n_bands % K:
+        K -= 1
+    W4 = plane_cols // 4
+    bpb128 = -(-bpb // 128) * 128
+    n_chunks = -(-W4 // 128)
+
+    def kernel(in_ref, out_ref):
+        t = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        permj = (t & 1) * 64 + (t >> 1)
+        for k in range(K):
+            x = in_ref[k * bpb:(k + 1) * bpb]            # (bpb, 16)
+            T = jnp.transpose(x)                          # (16, bpb)
+            if bpb128 != bpb:
+                T = jnp.pad(T, ((0, 0), (0, bpb128 - bpb)))
+            # row-collapse: bad[i, m*bpb128 + j] = block j's word 2i+m
+            # = plane word (row i, word-col 2j+m)
+            bad = T.reshape(8, 2 * bpb128)
+            chunks = []
+            for gc in range(n_chunks):
+                parts = [bad[:, m * bpb128 + 64 * gc:
+                             m * bpb128 + 64 * gc + 64] for m in range(2)]
+                cat = jnp.concatenate(parts, axis=1)      # lane m*64+jj
+                # target lane 2*jj + m <- source (t&1)*64 + (t>>1)
+                chunks.append(jnp.take_along_axis(cat, permj, axis=1))
+            band = jnp.concatenate(chunks, axis=1)[:, :W4]
+            out_ref[k * 8:(k + 1) * 8] = band
+
+    return _pcall(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((plane_rows, W4), jnp.int32),
+        grid=(n_bands // K,),
+        in_specs=[pl.BlockSpec((K * bpb, 16), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((K * 8, W4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(words)
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------

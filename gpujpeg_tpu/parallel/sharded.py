@@ -563,7 +563,8 @@ class ShardedDecoder:
              tabs.delta.tobytes(), tabs.huffval.tobytes()))).hexdigest()
         key = ("dec_v3", plan.params, plan.image, band_out, n, wcap,
                S_pad, seg_tile, n_slots, tuple(int(v) for v in dc_slot),
-               tuple(int(v) for v in ac_slot), th, qts)
+               tuple(int(v) for v in ac_slot), th, qts,
+               bool(os.environ.get("GPUJPEG_TPU_DEC_BAND")))
         nb = plan.n_blocks
         slot_in_seg = np.arange(nb, dtype=np.int32) - \
             plan.seg_block_start[plan.block_segment]
@@ -584,13 +585,19 @@ class ShardedDecoder:
         if fn is None:
             run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl)
 
-            Ws = tuple(jnp.asarray(idct_operator_f32(q)) for q in qts)
             comp_slices = []
             pos = 0
             for c in plan.components:
                 comp_slices.append((pos, c.block_count, c.data_height,
                                     c.data_width))
                 pos += c.block_count
+            # banded tail (Pallas in-VMEM un-blockify) per band —
+            # default OFF like the single-chip path (the opaque kernel
+            # call mid-chain broke XLA fusion for +10 ms at 8K;
+            # ops/jax_pipeline._decode_device_v2 has the full note)
+            from ..ops.dct import dequant_idct_words
+            use_band = bool(os.environ.get("GPUJPEG_TPU_DEC_BAND"))
+            Ws = tuple(jnp.asarray(idct_operator_f32(q)) for q in qts)
 
             # small decode tables ride as captured constants (replicated)
             def local_fn(dT, sc, sn, *geo):
@@ -604,15 +611,24 @@ class ShardedDecoder:
                     coeff = (flat[:nb] if out_row_identity
                              else flat[out_row_a])
                     coeff = coeff if inv_identity else coeff[inv_a]
-                    # simple tail (fused dequant+IDCT, direct u8
-                    # un-blockify, one fence) — the on-chip round-3 A/B
-                    # winner on the single-chip path, mirrored per band
-                    planes = []
+                    # banded tail: fused dequant+IDCT pair matmul in the
+                    # decode band byte order + Pallas un-blockify (the
+                    # XLA blocks_to_plane transpose this replaces was
+                    # half the single-chip decode tail, BENCHMARKS.md)
                     from ..ops.blocks import blocks_to_plane
+                    from ..ops.pallas_decode import unblockify_bands
+                    planes = []
                     for (start, count, dh, dw), W in zip(comp_slices, Ws):
-                        blocks = dequant_idct_device(
-                            coeff[start:start + count], W)
-                        planes.append(blocks_to_plane(blocks, dh, dw, jnp))
+                        cs = coeff[start:start + count]
+                        if use_band:
+                            words = dequant_idct_words(cs, W)
+                            pw = unblockify_bands(words, dh, dw)
+                            planes.append(jax.lax.bitcast_convert_type(
+                                pw, jnp.uint8).reshape(dh, dw))
+                        else:
+                            blocks = dequant_idct_device(cs, W)
+                            planes.append(
+                                blocks_to_plane(blocks, dh, dw, jnp))
                     planes = list(
                         jax.lax.optimization_barrier(tuple(planes)))
                     return postprocess(planes, band_out, plan, jnp)

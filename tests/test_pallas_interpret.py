@@ -471,3 +471,49 @@ def test_encode_batch_fused_chunks(rng, monkeypatch):
     want = [enc.encode(f, params, image) for f in frames]
     got = enc.encode_batch(frames, params, image)
     assert got == want
+
+
+def test_unblockify_bands_matches_blocks_to_plane():
+    """The Pallas in-VMEM un-blockify (word-packed IDCT output, r-major
+    row-collapse) must be bit-identical to the XLA blocks_to_plane tail
+    for every geometry shape class (odd block columns, non-vreg-aligned
+    widths, single-band planes)."""
+    import jax
+    import jax.numpy as jnp
+    from gpujpeg_tpu.ops.blocks import blocks_to_plane
+    from gpujpeg_tpu.ops.dct import (dequant_idct_device,
+                                     dequant_idct_words, idct_operator_f32)
+    from gpujpeg_tpu.ops.pallas_decode import unblockify_bands
+    from gpujpeg_tpu.tables import quant_table_zz
+    from gpujpeg_tpu.types import ComponentType
+
+    rng = np.random.default_rng(0)
+    qzz = tuple(int(x) for x in quant_table_zz(ComponentType.LUMINANCE, 75))
+    W = jnp.asarray(idct_operator_f32(qzz))
+    for dh, dw in [(16, 32), (24, 48), (8, 16), (16, 216), (8, 8)]:
+        n = dh // 8 * (dw // 8)
+        coeff = rng.integers(-300, 300, (n, 64)).astype(np.int32)
+        coeff[:, 32:] = 0
+        ref = np.asarray(blocks_to_plane(
+            dequant_idct_device(jnp.asarray(coeff), W), dh, dw, jnp))
+        out = unblockify_bands(
+            dequant_idct_words(jnp.asarray(coeff), W), dh, dw)
+        got = np.asarray(jax.lax.bitcast_convert_type(
+            out, jnp.uint8)).reshape(dh, dw)
+        np.testing.assert_array_equal(ref, got, err_msg=f"{dh}x{dw}")
+
+
+def test_decode_band_knob_bit_identical(monkeypatch):
+    """GPUJPEG_TPU_DEC_BAND=1 (Pallas un-blockify decode tail) must
+    produce the same raster as the default XLA tail."""
+    h, w = 64, 80
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=85, restart_interval=2)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data, raw, _ = _roundtrip_device(img, params, image)
+    monkeypatch.setenv("GPUJPEG_TPU_DEC_BAND", "1")
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    jp._DEC_V2_CACHE.clear()
+    _, raw_band, _ = _roundtrip_device(img, params, image)
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(raw_band))
