@@ -883,12 +883,19 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     # blocks_to_plane 3.1 vs 6.7 ms/plane on chip, but INSIDE the fused
     # decode jit it measured +10 ms at 8K Q75 (36.6 vs 26.5) — the
     # opaque kernel call mid-chain forces operand materialization and
-    # breaks XLA's matmul/relayout fusion. Kept as an A/B hook; the
-    # production fix is the fused seg-rows tail kernel.
+    # breaks XLA's matmul/relayout fusion. Kept as an A/B hook.
     use_band = bool(os.environ.get("GPUJPEG_TPU_DEC_BAND"))
+    # ALSO default OFF: the fused seg-rows tail (huffman kernel emits
+    # (S_pad, bps*64) segment rows; ONE Pallas kernel does dequant+
+    # IDCT+un-blockify) was built to sidestep that fusion seam, but on
+    # chip it measured 34.5 vs 26.4 ms at 8K Q75 (pixels identical
+    # within the documented f32 rint-tie tolerance) — the per-grid-step
+    # (128, 64) output transposes inside the huffman kernel plus the
+    # tail kernel's in-kernel matmul cost more than the XLA tail's
+    # fused transpose chain. Opt in with GPUJPEG_TPU_DEC_SEG_TAIL=1.
+    want_seg_tail = bool(os.environ.get("GPUJPEG_TPU_DEC_SEG_TAIL"))
     key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad, use_v3,
-           seg_tile, use_band,
-           bool(os.environ.get("GPUJPEG_TPU_DEC_NO_SEGTAIL")))
+           seg_tile, use_band, want_seg_tail)
     fn = _DEC_V2_CACHE.get(key)
     if fn is None:
         inv = np.empty(plan.n_blocks, dtype=np.int32)
@@ -925,12 +932,12 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         # component at a segment-aligned offset, 16-aligned rows, and
         # the band group must tile the plane height.
         from .pallas_decode import idct_unblockify_seg as _ius
-        seg_tail = (use_v3 and out_row_identity and inv_identity
+        seg_tail = (want_seg_tail
+                    and use_v3 and out_row_identity and inv_identity
                     and not (plan.params.interleaved
                              and plan.image.comp_count > 1)
                     and (bps == 1 or bps % 2 == 0)
-                    and bool(np.all(plan.seg_block_count == bps))
-                    and not os.environ.get("GPUJPEG_TPU_DEC_NO_SEGTAIL"))
+                    and bool(np.all(plan.seg_block_count == bps)))
         seg_rows_need = []
         if seg_tail:
             for (start, count, dh, dw) in comp_slices:

@@ -31,11 +31,11 @@ def main():
     params = Parameters(quality=75, restart_interval=ri)
     data = Encoder(backend="jax").encode(img, params, image)
 
-    for label, env in (("segtail", None), ("xla-tail", "1")):
+    for label, env in (("segtail", "1"), ("xla-tail", None)):
         if env:
-            os.environ["GPUJPEG_TPU_DEC_NO_SEGTAIL"] = env
+            os.environ["GPUJPEG_TPU_DEC_SEG_TAIL"] = env
         else:
-            os.environ.pop("GPUJPEG_TPU_DEC_NO_SEGTAIL", None)
+            os.environ.pop("GPUJPEG_TPU_DEC_SEG_TAIL", None)
         dec = Decoder(backend="jax")
         dec.output_to_device = True
         dec.perf_stats = True
@@ -48,7 +48,7 @@ def main():
             ps.append(dec.stats.duration_postprocessor)
         print(f"{label}: huff {min(hs):6.2f}  idct+unblk {min(is_):6.2f}  "
               f"post {min(ps):6.2f} ms", flush=True)
-    os.environ.pop("GPUJPEG_TPU_DEC_NO_SEGTAIL", None)
+    os.environ.pop("GPUJPEG_TPU_DEC_SEG_TAIL", None)
 
 
 if __name__ == "__main__":
