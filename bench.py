@@ -28,6 +28,15 @@ import numpy as np
 BASELINE_DEVICE_MS = 2.30   # GTX 3080, 8K Q75 encode w/o PCIe (README.md:113)
 BASELINE_E2E_MS = 6.20      # GTX 3080, 8K Q75 encode incl. PCIe (README.md:97)
 
+# regression gate (b): checked-in best measured steady-state device ms
+# at 8K Q75 (BENCH_r03.json); a >GATE_PCT regression turns the bench
+# red. Ratchet DOWN after a deliberate, measured improvement — never up.
+EXPECT = {
+    "encode_ms": 26.4,
+    "decode_ms": 24.7,
+}
+GATE_PCT = float(os.environ.get("GPUJPEG_TPU_GATE_PCT", "10"))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -75,9 +84,35 @@ def wait_for_backend():
         time.sleep(60)
 
 
+class _CacheCounter(__import__("logging").Handler):
+    """Counts JAX persistent-compilation-cache hits/misses (the round-3
+    first-iteration regression shipped with no record of whether the
+    cache ever hit in the driver environment)."""
+    hits = 0
+    misses = 0
+
+    def emit(self, record):
+        msg = record.getMessage()
+        if "Persistent compilation cache hit" in msg:
+            _CacheCounter.hits += 1
+        elif "PERSISTENT COMPILATION CACHE MISS" in msg:
+            _CacheCounter.misses += 1
+
+
+def _wire_cache_counter():
+    import logging
+    h = _CacheCounter()
+    for name in ("jax._src.compiler", "jax._src.interpreters.pxla"):
+        lg = logging.getLogger(name)
+        lg.addHandler(h)
+        if lg.level > logging.DEBUG or lg.level == 0:
+            lg.setLevel(logging.DEBUG)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    _wire_cache_counter()
     # the library enables the persistent compilation cache (per-user
     # ~/.cache/gpujpeg_tpu/jax_cache) at import; a cold process re-running
     # a previously seen geometry pays a cache load, not a compile
@@ -109,6 +144,9 @@ def main():
     out = enc.encode(img, params, image)
     log(f"first-iteration (compile+alloc): {(time.perf_counter()-t0)*1e3:.1f} ms, "
         f"{len(out)/1e6:.2f} MB jpeg")
+    log(f"persistent compile cache: {_CacheCounter.hits} hits, "
+        f"{_CacheCounter.misses} misses "
+        f"(cold-miss autopsy: BENCHMARKS.md round-4 'first-iteration')")
     e2e = []
     for _ in range(max(3, iters // 6)):
         t0 = time.perf_counter()
@@ -194,12 +232,23 @@ def main():
         psnr_libjpeg = psnr_of(pil_ref, img)
         log(f"cross-check: libjpeg-decode-of-ours {psnr_pil_ours:.2f} dB, "
             f"libjpeg-own-roundtrip {psnr_libjpeg:.2f} dB")
-        if psnr_pil_ours < psnr_libjpeg - 1.5:
+        if psnr_pil_ours < psnr_libjpeg - 0.5:
             log(f"BENCH WARN: our Q75 stream scores "
                 f"{psnr_libjpeg - psnr_pil_ours:.2f} dB below libjpeg at "
                 f"the same settings — check quant/rounding drift")
     except Exception as e:  # pragma: no cover - PIL optional
         log(f"cross-check skipped: {e}")
+
+    # regression gate (b): the driver runs THIS file, so the gate must
+    # live here (tpu_smoke.py has one too, but nothing ran it)
+    gate_fail = False
+    for name, meas in (("encode_ms", dev_ms), ("decode_ms", dms)):
+        lim = EXPECT[name] * (1 + GATE_PCT / 100.0)
+        if meas > lim:
+            log(f"BENCH FAIL: {name} {meas:.2f} ms regressed past "
+                f"{lim:.2f} ms (checked-in best {EXPECT[name]} ms "
+                f"+{GATE_PCT:.0f}%)")
+            gate_fail = True
 
     print(json.dumps({
         "metric": "encode_8k_q75_device_ms",
@@ -207,8 +256,8 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_DEVICE_MS / dev_ms, 4),
     }))
-    if downgraded:
-        sys.exit(1)   # red bench: a downgraded variant must not ship
+    if downgraded or gate_fail:
+        sys.exit(1)   # red bench: downgrade/regression must not ship
 
 
 if __name__ == "__main__":

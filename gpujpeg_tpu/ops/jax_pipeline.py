@@ -884,18 +884,13 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     # decode jit it measured +10 ms at 8K Q75 (36.6 vs 26.5) — the
     # opaque kernel call mid-chain forces operand materialization and
     # breaks XLA's matmul/relayout fusion. Kept as an A/B hook.
+    # (A second default-off tail, the fused seg-rows kernel
+    # GPUJPEG_TPU_DEC_SEG_TAIL, measured 34.5 vs 26.4 ms at 8K Q75 on
+    # chip — BENCHMARKS.md round-3 — and was DELETED with its data;
+    # DEC_BAND stays as the single A/B hook for the tail seam.)
     use_band = bool(os.environ.get("GPUJPEG_TPU_DEC_BAND"))
-    # ALSO default OFF: the fused seg-rows tail (huffman kernel emits
-    # (S_pad, bps*64) segment rows; ONE Pallas kernel does dequant+
-    # IDCT+un-blockify) was built to sidestep that fusion seam, but on
-    # chip it measured 34.5 vs 26.4 ms at 8K Q75 (pixels identical
-    # within the documented f32 rint-tie tolerance) — the per-grid-step
-    # (128, 64) output transposes inside the huffman kernel plus the
-    # tail kernel's in-kernel matmul cost more than the XLA tail's
-    # fused transpose chain. Opt in with GPUJPEG_TPU_DEC_SEG_TAIL=1.
-    want_seg_tail = bool(os.environ.get("GPUJPEG_TPU_DEC_SEG_TAIL"))
     key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad, use_v3,
-           seg_tile, use_band, want_seg_tail)
+           seg_tile, use_band)
     fn = _DEC_V2_CACHE.get(key)
     if fn is None:
         inv = np.empty(plan.n_blocks, dtype=np.int32)
@@ -921,47 +916,9 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                                 c.data_width))
             pos += c.block_count
 
-        # fused seg-rows tail: the v3 kernel emits (S_pad, bps*64)
-        # segment rows (per-step in-VMEM transposes) and ONE Pallas
-        # kernel per component does dequant+IDCT+un-blockify from that
-        # layout — the 400 MB XLA scan-order transpose and the
-        # blocks_to_plane transpose both disappear, and there is no
-        # XLA/Pallas fusion seam left to break (BENCHMARKS.md un-
-        # blockify A/B). Eligibility: flagship layout (identity
-        # reorders), every real segment exactly bps blocks of one
-        # component at a segment-aligned offset, 16-aligned rows, and
-        # the band group must tile the plane height.
-        from .pallas_decode import idct_unblockify_seg as _ius
-        seg_tail = (want_seg_tail
-                    and use_v3 and out_row_identity and inv_identity
-                    and not (plan.params.interleaved
-                             and plan.image.comp_count > 1)
-                    and (bps == 1 or bps % 2 == 0)
-                    and bool(np.all(plan.seg_block_count == bps)))
-        seg_rows_need = []
-        if seg_tail:
-            for (start, count, dh, dw) in comp_slices:
-                bpb = dw // 8
-                if (start % bps or count % bps or dw % 16
-                        or dh % 8 or count != (dh // 8) * bpb):
-                    seg_tail = False
-                    break
-                Bg = 1
-                while (Bg * bpb) % bps or ((Bg * bpb) // bps) % 8:
-                    Bg += 1
-                    if Bg > 64:
-                        seg_tail = False
-                        break
-                if not seg_tail:
-                    break
-                # rows the tail kernel's padded band grid consumes
-                seg_rows_need.append(
-                    -(-(dh // 8) // Bg) * Bg * bpb // bps)
-
         if use_v3:
             from .pallas_decode_v3 import make_decode_kernel_v3
-            run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl,
-                                        seg_rows_out=seg_tail)
+            run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl)
         else:
             run = make_decode_kernel(seg_tile, bps, wcap, n_slots,
                                      bps * 68 + 16, tpl, 4)
@@ -972,8 +929,6 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             from . import pallas_decode as _pd
             t = _pd.DecTables(quick, maxcode, delta, huffval)
             out3 = run(rows_j, seg_comp_j, seg_nblk_j, t, dcs, acs)
-            if seg_tail:
-                return out3            # (S_pad, bps*64) segment rows
             flat = out3.reshape(-1, 64)
             coeff_scan = (flat[:nb] if out_row_identity
                           else flat[out_row_a])
@@ -994,18 +949,6 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             from .pallas_decode import unblockify_bands
             planes = []
             for (start, count, dh, dw), W in zip(comp_slices, Ws):
-                if seg_tail:
-                    # band-group padding may read a few rows past the
-                    # component (deterministic; lands only on rows the
-                    # postprocessor's [:height] slice drops)
-                    r0 = start // bps
-                    need = seg_rows_need[len(planes)]
-                    rows = coeff_plane[
-                        r0:min(r0 + need, coeff_plane.shape[0])]
-                    pw = _ius(rows, W, dh, dw, bps)
-                    planes.append(jax.lax.bitcast_convert_type(
-                        pw, jnp.uint8).reshape(-1, dw))
-                    continue
                 coeff = coeff_plane[start:start + count]
                 if use_band:
                     words = dequant_idct_words(coeff, W)
@@ -1048,7 +991,6 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         fn.batched = jax.jit(jax.vmap(
             fn_j, in_axes=(0,) + (None,) * 11))
         fn.reorders = (out_row_j, inv_j)
-        fn.seg_tail = seg_tail
         _DEC_V2_CACHE[key] = fn
 
     Ws = tuple(

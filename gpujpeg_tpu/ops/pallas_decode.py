@@ -285,116 +285,6 @@ def unblockify_bands(words, plane_rows: int, plane_cols: int, K: int = 4):
     )(words)
 
 
-def idct_unblockify_seg(coeff_rows, W, dh: int, dw: int, bps: int):
-    """Fused decode tail in ONE Pallas kernel: seg-rows coefficients
-    (rows = segments, lanes = ``bps`` block slots x 64, the
-    ``make_decode_kernel_v3(seg_rows_out=True)`` layout) -> (dh, dw//4)
-    int32 plane words, via in-VMEM pair re-rowing, MXU dequant+IDCT
-    (``W`` the plain (64, 64) :func:`..dct.idct_operator_f32`), byte
-    packing and the banded un-blockify relayout.
-
-    Replaces the whole XLA tail (scan-order transpose + matmul +
-    blocks_to_plane): piecemeal Pallas insertion measured +10 ms at 8K
-    from fusion breakage (BENCHMARKS.md round-3 un-blockify table) —
-    fusing the tail into one kernel sidesteps XLA fusion entirely.
-    Pixels are bit-identical to the XLA tail (same dot products, same
-    rint/clip).
-
-    Eligibility (caller checks): every segment holds exactly ``bps``
-    blocks of one component and dw % 16 == 0. The per-step band group
-    B (smallest with B*bpb % bps == 0 and B*bpb/bps % 8 == 0) need not
-    divide dh//8: the grid rounds up and the returned plane has
-    ``8 * ceil(n_bands/B) * B`` rows — callers slice ``[:dh]`` (the
-    postprocessor's existing per-component slice already does). Input
-    rows beyond the component feed only those sliced-away rows."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    bpb = dw // 8                     # blocks per 8-row plane band
-    n_bands = dh // 8
-    B = 1
-    while (B * bpb) % bps or ((B * bpb) // bps) % 8:
-        B += 1
-        assert B <= 64, (bpb, bps)
-    n_bands_pad = -(-n_bands // B) * B
-    R = B * bpb // bps                # segment rows per grid step
-    P = bpb // 2                      # block pairs per band
-    P128 = -(-P // 128) * 128
-    W4 = dw // 4
-    n_chunks = -(-W4 // 128)
-    S_rows = coeff_rows.shape[0]
-    rows_need = n_bands_pad * bpb // bps
-    assert coeff_rows.shape[1] == bps * 64 and \
-        S_rows >= n_bands * bpb // bps, (coeff_rows.shape, dh, dw, bps)
-    if S_rows < rows_need:
-        coeff_rows = jnp.pad(coeff_rows, ((0, rows_need - S_rows), (0, 0)))
-    elif S_rows > rows_need:
-        coeff_rows = coeff_rows[:rows_need]
-
-    def kernel(in_ref, w_ref, out_ref):
-        x = in_ref[:]                                  # (R, bps*64) i32
-        xp2 = x.reshape(R * bps // 2, 128)             # adjacent pairs
-
-        def idct_pack16(xb):
-            """(P, 64) one-block coeff rows -> (P, 16) packed pixel
-            words (natural order = r-major w = 2r+q). The contraction
-            is the SAME (·,64)@(64,64) as the XLA tail so the MXU f32
-            rounding matches bit-for-bit (the 128-wide blockdiag pair
-            form flipped rint ties at ~1e-6 of pixels on chip)."""
-            y = jax.lax.dot_general(
-                xb.astype(jnp.float32), w_ref[:],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32) + 128.0
-            px = jnp.clip(jnp.rint(y), 0.0, 255.0).astype(jnp.int32)
-            lane = jax.lax.broadcasted_iota(jnp.int32, px.shape, 1)
-            v = px << ((lane & 3) * 8)
-            t1 = v | jnp.concatenate(
-                [v[:, 1:], jnp.zeros((v.shape[0], 1), v.dtype)], axis=1)
-            t2 = t1 | jnp.concatenate(
-                [t1[:, 2:], jnp.zeros((t1.shape[0], 2), t1.dtype)],
-                axis=1)
-            return jnp.take_along_axis(
-                t2, (lane * 4) & 63, axis=1)[:, :16]
-
-        # b2-major pair words: lane = b2*16 + (2r + q)
-        words = jnp.concatenate(
-            [idct_pack16(xp2[:, :64]), idct_pack16(xp2[:, 64:])], axis=1)
-        permj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        permj = ((permj >> 1) & 1) * 64 + (permj & 1) * 32 + (permj >> 2)
-        for kb in range(B):
-            T = jnp.transpose(words[kb * P:(kb + 1) * P])   # (32, P)
-            if P128 != P:
-                T = jnp.pad(T, ((0, 0), (0, P128 - P)))
-            # rows w' = b2*16 + 2r + q; collapse by 2: row i = b2*8 + r,
-            # lane m*P128 + j = plane word (row r, col 4j + 2*b2 + m)
-            bad = T.reshape(16, 2 * P128)
-            e0, e1 = bad[0:8], bad[8:16]
-            chunks = []
-            for gc in range(n_chunks):
-                parts = [e[:, m * P128 + 32 * gc: m * P128 + 32 * gc + 32]
-                         for e in (e0, e1) for m in range(2)]
-                cat = jnp.concatenate(parts, axis=1)
-                # target col 4j+2b2+q <- cat lane b2*64 + q*32 + j
-                chunks.append(jnp.take_along_axis(cat, permj, axis=1))
-            band = jnp.concatenate(chunks, axis=1)[:, :W4]
-            out_ref[kb * 8:(kb + 1) * 8] = band
-
-    return _pcall(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((8 * n_bands_pad, W4), jnp.int32),
-        grid=(n_bands_pad // B,),
-        in_specs=[
-            pl.BlockSpec((R, bps * 64), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((B * 8, W4), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )(coeff_rows, W)
-
-
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------

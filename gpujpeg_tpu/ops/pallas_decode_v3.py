@@ -69,18 +69,14 @@ V3_OUT_BYTES = 4   # int32 coefficient output (i16 lost the on-chip A/B)
 
 
 def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
-                          interleaved_tpl: np.ndarray,
-                          seg_rows_out: bool = False):
+                          interleaved_tpl: np.ndarray):
     """seg_tile must be a multiple of 128; wcap the per-segment word
     capacity (data arrives transposed as (wcap, S)).
 
-    With ``seg_rows_out`` the kernel emits (S, bps*64) int32 — row s,
-    lanes bo*64+k — via per-step in-VMEM transposes (one row-collapse +
-    G (64, 128) transposes), so scan-order blocks are the free row-major
-    view and the 400 MB XLA scan-order transpose of the default form
-    (``run``'s 6-D transpose, bandwidth-bound strided HBM at 8K)
-    disappears. Consumers index block n at row n // bps, lanes
-    (n % bps)*64 .. +64."""
+    (A ``seg_rows_out`` variant that emitted (S, bps*64) segment rows
+    via per-step in-VMEM transposes — to feed a fused Pallas decode
+    tail — measured 34.5 vs 26.4 ms at 8K Q75 on chip and was deleted;
+    BENCHMARKS.md round-3 table.)"""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -377,35 +373,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                          w0_init, w1_init, w2_init))
         bitpos[:] = bp_f
         dcpred[:] = dcp_f
-        if seg_rows_out:
-            # (64*G, 128) k-major -> (seg_tile, 64) segment rows: one
-            # Mosaic row-collapse then a (64, 128) transpose per g.
-            # Mosaic requires lane blocks divisible by 128 (or full),
-            # so for bps > 1 the out block spans TWO block slots and
-            # consecutive b steps fill its halves (the block index map
-            # is b // 2, so the block stays VMEM-resident across the
-            # pair of steps).
-            cw = cf_f.astype(OUT_DT).reshape(64, G * 128)
-            if bps == 1:
-                for g in range(G):
-                    out_ref[g * 128:(g + 1) * 128, :] = jnp.transpose(
-                        cw[:, g * 128:(g + 1) * 128])
-            else:
-                half = pl.program_id(1) % 2
-
-                @pl.when(half == 0)
-                def _():
-                    for g in range(G):
-                        out_ref[g * 128:(g + 1) * 128, 0:64] = \
-                            jnp.transpose(cw[:, g * 128:(g + 1) * 128])
-
-                @pl.when(half == 1)
-                def _():
-                    for g in range(G):
-                        out_ref[g * 128:(g + 1) * 128, 64:128] = \
-                            jnp.transpose(cw[:, g * 128:(g + 1) * 128])
-        else:
-            out_ref[0, :, :] = cf_f.astype(OUT_DT)
+        out_ref[0, :, :] = cf_f.astype(OUT_DT)
 
     def run_raw(dataT, seg_comp, seg_nblk, tabs: DecTables,
                 dc_slot: np.ndarray, ac_slot: np.ndarray):
@@ -415,20 +383,11 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
         S = dataT.shape[1]
         n_tiles = S // seg_tile
         grid = (n_tiles, bps // KB)
-        if seg_rows_out:
-            out_shape = jax.ShapeDtypeStruct((S, bps * 64), OUT_DT)
-            out_spec = (pl.BlockSpec((seg_tile, 64), lambda i, b: (i, 0),
-                                     memory_space=pltpu.VMEM)
-                        if bps == 1 else
-                        pl.BlockSpec((seg_tile, 128),
-                                     lambda i, b: (i, b // 2),
-                                     memory_space=pltpu.VMEM))
-        else:
-            out_shape = jax.ShapeDtypeStruct(
-                (bps // KB, n_tiles * KB * G * 64, 128), OUT_DT)
-            out_spec = pl.BlockSpec((1, KB * G * 64, 128),
-                                    lambda i, b: (b, i, 0),
-                                    memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (bps // KB, n_tiles * KB * G * 64, 128), OUT_DT)
+        out_spec = pl.BlockSpec((1, KB * G * 64, 128),
+                                lambda i, b: (b, i, 0),
+                                memory_space=pltpu.VMEM)
         out = _pcall(
             kernel,
             out_shape=out_shape,
@@ -465,16 +424,12 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
           _pack16(tabs.quick), jnp.asarray(tabs.maxcode),
           jnp.asarray(tabs.delta), _pack16(tabs.huffval),
           jnp.asarray(dc_slot), jnp.asarray(ac_slot))
-        if seg_rows_out:
-            return out
         return out.reshape(bps // KB, n_tiles, KB, 64, G, 128)
 
     def run(dataT, seg_comp, seg_nblk, tabs: DecTables,
             dc_slot: np.ndarray, ac_slot: np.ndarray):
         S = dataT.shape[1]
         o = run_raw(dataT, seg_comp, seg_nblk, tabs, dc_slot, ac_slot)
-        if seg_rows_out:
-            return o                           # (S, bps*64) segment rows
         # reorder to scan rows: tile-local row (kb*64 + k)*G + g, so
         # out[bo, t*(64*KB*G) + (kb*64+k)*G + g, l]
         #   -> row ((t*G+g)*128 + l)*bps + bo*KB + kb, k
@@ -483,5 +438,4 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
 
     run.raw = run_raw
     run.dims = (KB, G)
-    run.seg_rows = seg_rows_out
     return run

@@ -519,21 +519,3 @@ def test_decode_band_knob_bit_identical(monkeypatch):
     np.testing.assert_array_equal(np.asarray(raw), np.asarray(raw_band))
 
 
-def test_decode_seg_tail_knob_matches_default(monkeypatch):
-    """GPUJPEG_TPU_DEC_SEG_TAIL=1 (huffman kernel emits segment rows;
-    one fused Pallas dequant+IDCT+un-blockify tail) must produce the
-    same raster as the default XLA tail. Default OFF: it measured
-    34.5 vs 26.4 ms at 8K Q75 on chip (BENCHMARKS.md round-3)."""
-    h, w = 64, 80
-    img = make_test_rgb(h, w)
-    params = Parameters(quality=85, restart_interval=2)
-    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
-                            pixel_format=PixelFormat.PF_444_U8_P012)
-    data, raw, _ = _roundtrip_device(img, params, image)
-    monkeypatch.setenv("GPUJPEG_TPU_DEC_SEG_TAIL", "1")
-    import gpujpeg_tpu.ops.jax_pipeline as jp
-    jp._DEC_V2_CACHE.clear()
-    _, raw_tail, _ = _roundtrip_device(img, params, image)
-    # interpreter f32 matches bit-for-bit on this geometry; on real
-    # hardware rint ties may flip +-1 LSB (CLAUDE.md invariants)
-    np.testing.assert_array_equal(np.asarray(raw), np.asarray(raw_tail))
