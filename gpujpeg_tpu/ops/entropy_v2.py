@@ -747,7 +747,8 @@ def fused_dct_inputs(plan, quant_zz, seg_rows: int):
 
 def _stage1_dct_tile(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref,
                      spec: FusedSpec, tabs: PackedTables, W: int, T2: int,
-                     seg_rows: int, n_comp: int, row0=None):
+                     seg_rows: int, n_comp: int, row0=None, xb=None,
+                     cls_over=None, qv_over=None):
     """One grid step of the fused stage 1: unpack packed pixel words,
     DCT+quant on the MXU, in-kernel DC prediction, symbol synthesis and
     window assembly. Returns (words (T2, 2W) uint32, bits (T2, 2) int32
@@ -756,7 +757,10 @@ def _stage1_dct_tile(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref,
     ``pb_ref`` may be a ref or an already-sliced (T2, 32) array;
     ``row0`` is the tile's first global block-pair row (defaults to
     ``program_id(0) * T2`` — sub-tiled callers pass their own offset;
-    a sub-tile must start at a segment-start row)."""
+    a sub-tile must start at a segment-start row). With ``xb`` the
+    caller passes (T2, 128) pixel bytes already one per lane (the
+    rgb-fused kernel, which color-transforms in-kernel) and
+    ``pb_ref`` is ignored."""
     from jax.experimental.pallas import tpu as pltpu
     from jax.experimental import pallas as pl
 
@@ -765,10 +769,11 @@ def _stage1_dct_tile(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref,
     lane = jax.lax.broadcasted_iota(I32, (T2, 128), 1)
     rowi = jax.lax.broadcasted_iota(I32, (T2, 128), 0)
 
-    # unpack the 4-per-word pixel bytes to one byte per lane
-    xw = jnp.pad(pb_ref[:], ((0, 0), (0, 96)))
-    g = jnp.take_along_axis(xw, _srl(lane, 2), axis=1)
-    xb = _srl(g, (lane & 3) * 8) & 255
+    if xb is None:
+        # unpack the 4-per-word pixel bytes to one byte per lane
+        xw = jnp.pad(pb_ref[:], ((0, 0), (0, 96)))
+        g = jnp.take_along_axis(xw, _srl(lane, 2), axis=1)
+        xb = _srl(g, (lane & 3) * 8) & 255
     xf = xb.astype(jnp.float32)
     prec = (jax.lax.Precision.DEFAULT
             if os.environ.get("GPUJPEG_TPU_DCT_FAST")
@@ -778,9 +783,14 @@ def _stage1_dct_tile(pb_ref, d2_ref, bq_ref, ac_ref, dc_ref,
         precision=prec,
         preferred_element_type=jnp.float32) - bq_ref[0:1, :]
     blk = 2 * (row0 + rowi) + (lane >= 64).astype(I32)
-    cls = jnp.full((T2, 128), spec.comp_cls[0], I32)
-    qv = jnp.broadcast_to(bq_ref[1 + spec.comp_q[0]:
-                                 2 + spec.comp_q[0], :], y.shape)
+    # cls_over/qv_over: runtime per-lane class / quantizer-row overrides
+    # (the rgb kernel's component index is a grid id, so its constants
+    # can't be baked statically)
+    cls = (cls_over if cls_over is not None
+           else jnp.full((T2, 128), spec.comp_cls[0], I32))
+    qv = (qv_over if qv_over is not None
+          else jnp.broadcast_to(bq_ref[1 + spec.comp_q[0]:
+                                       2 + spec.comp_q[0], :], y.shape))
     for i in range(1, n_comp):
         past = blk >= spec.comp_starts[i]
         if spec.comp_cls[i] != spec.comp_cls[i - 1]:
@@ -1059,6 +1069,218 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
     seg_bits = meta[:, 0]
     n_ff = meta[:, 1]
     out_len = meta[:, 2]
+    return out_w.reshape(-1), out_len, seg_bits, n_ff
+
+
+def rgb_transform_consts(cs_from, cs_to):
+    """Static (matrix9, base3) for the in-kernel forward color transform
+    of :func:`encode_dct_fused_rgb`; ``()`` for identity; ``None`` when
+    the pair is not expressible as one forward fixed-point matrix (the
+    caller falls back to the XLA preprocess)."""
+    from ..types import ColorSpace
+    from .colorspace import MATRIX_TO
+    cs_from, cs_to = ColorSpace(cs_from), ColorSpace(cs_to)
+    if cs_from in (cs_to, ColorSpace.NONE) or cs_to == ColorSpace.NONE:
+        return ()
+    if cs_from == ColorSpace.RGB and cs_to in MATRIX_TO:
+        return MATRIX_TO[cs_to]
+    return None
+
+
+def encode_dct_fused_rgb(rawW, rst3, hrst3, comp_specs, D2_h, bias2_h,
+                         qrows_h, tabs: PackedTables, W: int, bps: int,
+                         cap_words: int, cap_out: int,
+                         max_stuff: int = MAX_STUFF, tile: int = 3840,
+                         ppb: int = 0, xform=()):
+    """The rgb-interleaved flagship encode in ONE kernel: in-VMEM
+    de-interleave + fixed-point color transform + blockify + DCT/quant +
+    stage-1 + merge + stuff — the raw interleaved bytes are the ONLY
+    kernel input; neither the component planes nor the packed-block
+    array ever exist in HBM. (Round-4 on-chip io split: the XLA
+    preprocess + plane-words materialization cost 6.4 ms of the 8K Q75
+    encode while a plain 100 MB copy costs 2.55 — this kernel deletes
+    that stage entirely and reads the same 100 MB raw directly.)
+
+    Grid is (tiles, 3): one component per grid step (constants from an
+    SMEM table indexed by the component grid id), with stage 1 chunked
+    over whole-band row slices — BOTH are VMEM-budget measures. v5e has
+    physical VMEM beyond Mosaic's 16 M default scoped budget, but
+    exceeding ~16 M hits a catastrophic spill cliff measured on chip:
+    18.3 M ran 951 ms and 20.6 M ran 25.5 s per 8K frame, vs 20-30 ms
+    for <= 16 M forms. Raising vmem_limit_bytes is a trap, not a fix.
+
+    The de-interleave: per 8-row band, transpose the raw words
+    (column-chunked — a whole 3x-wide band's 128-lane pad blew VMEM)
+    and pack to (ppb, 96)-lane pair rows; component c's pixel byte
+    (row r, pair column cb) sits at packed lane 8*((3*cb+c)>>2) + r,
+    byte (3*cb+c)&3 — ONE per-lane gather + shift per channel, after
+    which the byte order matches the band path exactly, so the same
+    permuted DCT operator ``D2_h[band_perm_rows()]`` absorbs the
+    relayout.
+
+    The color transform is the reference's forward 8-bit fixed-point
+    matrix (ops/colorspace.py semantics, bit-exact): r = c + (c == 255)
+    (== (c*256)//255 for 0..255), out = clip(((m.r + 128) >> 8) + base).
+    Channels fold into the accumulator one at a time (never three live
+    at once — VMEM).
+
+    rawW: (plane_rows, 3*ppb*4) int32 — raw rows' bytes packed 4-per-
+    word LE; plane_rows == image height (8-aligned), width == 16*ppb.
+    rst3/hrst3: (3, S_c, 1) int32 per-component RST tables.
+    comp_specs: three component-local FusedSpecs (comp_starts == (0,),
+    equal n_real_blocks/seg_rows — the grid form requires equal
+    component geometry). Returns (out u32 (3*S_c*WO,), out_len,
+    seg_bits, n_ff) — comp-major rows == plan segment order.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T2 = tile // 2
+    plane_rows = rawW.shape[0]
+    assert ppb > 0 and rawW.shape[1] == 3 * ppb * 4, (rawW.shape, ppb)
+    assert plane_rows % 8 == 0 and T2 % ppb == 0
+    Kb = T2 // ppb
+    assert (plane_rows // 8) % Kb == 0, (plane_rows, Kb)
+    M = plane_rows // 8 * ppb              # block pairs per component
+    assert bps * W == 128 and cap_out % 4 == 0
+    assert (2 * T2) % bps == 0 and (T2 * 2 * W) % 128 == 0
+    spt = 2 * T2 // bps                    # segments per tile per comp
+    S_c = 2 * M // bps
+    assert rst3.shape == (3, S_c, 1), (rst3.shape, S_c)
+    WO = cap_out // 4
+    seg_rows = comp_specs[0].seg_rows
+    n_real = comp_specs[0].n_real_blocks
+    assert all(s.seg_rows == seg_rows and s.n_real_blocks == n_real
+               for s in comp_specs)
+
+    # column-chunked transpose+pack: _pack_rows_lanes pads the 8-lane
+    # transposed rows to full 128-lane vregs (a 16x inflation), so
+    # chunks of 12*QW words bound each padded temp to ~(CW, 128); 12 |
+    # CW keeps a pair's 12-word group inside one chunk so packed rows
+    # concatenate in order.
+    QW = max(d for d in range(1, min(ppb, 96) + 1) if ppb % d == 0)
+    CW = 12 * QW
+
+    # per-component SMEM constants: m0 m1 m2 base cls qslot
+    cq_h = np.zeros((3, 6), np.int32)
+    for c in range(3):
+        if xform:
+            m9, base = xform
+            cq_h[c, 0:3] = m9[3 * c:3 * c + 3]
+            cq_h[c, 3] = base[c]
+        cq_h[c, 4] = comp_specs[c].comp_cls[0]
+        cq_h[c, 5] = comp_specs[c].comp_q[0]
+
+    # stage-1 row chunking: whole 8-row bands, segment-start aligned
+    # (the in-chunk DC roll's wrap row must be masked by rstart), sized
+    # ~<= 1024 pair rows so one chunk's chain plus the shared pack stays
+    # under Mosaic's 16 M scoped-VMEM budget — v5e has more physical
+    # VMEM but exceeding ~16 M hits a SPILL CLIFF measured at 35-900x
+    # slowdown (18.3 M -> 951 ms, 20.6 M -> 25.5 s at 8K; <= 16 M forms
+    # run in the 20-30 ms range)
+    import math
+    seg_r = max(seg_rows, 1)
+    step = ppb * (seg_r // math.gcd(ppb, seg_r))   # band + segment aligned
+    T2h = step * max(1, 1024 // step)
+    while T2 % T2h:
+        T2h -= step
+    CH = T2 // T2h
+
+    ac512 = jnp.asarray(tabs.ac512)
+    dc128 = jnp.asarray(np.concatenate([tabs.dc64, np.zeros(64, np.int32)]))
+    D2 = jnp.asarray(D2_h)
+    bq = jnp.asarray(np.concatenate(
+        [bias2_h[None, :], qrows_h], axis=0).astype(np.float32))
+    n_bq = int(bq.shape[0])
+    cq = jnp.asarray(cq_h)
+    spec0 = comp_specs[0]
+
+    def kernel(cq_ref, raw_ref, r_ref, h_ref, d2_ref, bq_ref, ac_ref,
+               dc_ref, out_ref, meta_ref):
+        pid = pl.program_id(0)
+        c = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(I32, (T2h, 128), 1)
+        r_ = (lane >> 2) & 7
+        cb = 4 * (lane >> 5) + (lane & 3)          # pair column 0..15
+        Bc = T2h // ppb                            # bands per chunk
+
+        wparts, bparts = [], []
+        for h in range(CH):
+            parts = []
+            for kb in range(h * Bc, (h + 1) * Bc):
+                for j0 in range(0, 12 * ppb, CW):
+                    sl = jnp.transpose(
+                        raw_ref[8 * kb:8 * (kb + 1), j0:j0 + CW])
+                    parts.append(_pack_rows_lanes(sl, 96))  # (CW//12, 96)
+            packed = jnp.concatenate(parts, axis=0)         # (T2h, 96)
+            packed = jnp.pad(packed, ((0, 0), (0, 32)))
+
+            def channel(ci):
+                src = 3 * cb + ci                  # raw byte in pair row
+                g = jnp.take_along_axis(packed, (src >> 2) * 8 + r_,
+                                        axis=1)
+                return _srl(g, (src & 3) * 8) & 255
+
+            if xform:
+                acc = jnp.full((T2h, 128), 128, I32)
+                for i in range(3):
+                    ch = channel(i)
+                    acc = acc + cq_ref[c, i] * (ch + (ch == 255)
+                                                .astype(I32))
+                xb = jnp.clip((acc >> 8) + cq_ref[c, 3], 0, 255)
+            else:
+                xb = channel(c)
+            cls_over = jnp.full((T2h, 128), cq_ref[c, 4], I32)
+            qv_over = jnp.broadcast_to(
+                bq_ref[pl.ds(1 + cq_ref[c, 5], 1), :], (T2h, 128))
+            w_h, b_h = _stage1_dct_tile(
+                None, d2_ref, bq_ref, ac_ref, dc_ref, spec0,
+                tabs, W, T2h, seg_rows, 1, row0=pid * T2 + h * T2h,
+                xb=xb, cls_over=cls_over, qv_over=qv_over)
+            wparts.append(w_h)
+            bparts.append(b_h)
+        words = jnp.concatenate(wparts) if CH > 1 else wparts[0]
+        bits = jnp.concatenate(bparts) if CH > 1 else bparts[0]
+        w2 = _pack_rows_lanes(words, 128)
+        b2 = _pack_rows_lanes(bits, 128 // W)
+        out_w, meta = _merge_stuff_core(
+            w2, b2, r_ref[0], h_ref[0], W, cap_words, WO, max_stuff)
+        out_ref[0] = out_w
+        meta_ref[0] = meta
+
+    out_w, meta = _pcall(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((3, S_c, WO), jnp.uint32),
+                   jax.ShapeDtypeStruct((3, S_c, 8), jnp.int32)),
+        grid=(M // T2, 3),
+        in_specs=[
+            pl.BlockSpec((3, 6), lambda i, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Kb * 8, 3 * ppb * 4), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spt, 1), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spt, 1), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bq, 128), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((512,), lambda i, c: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128,), lambda i, c: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, spt, WO), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spt, 8), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(cq, rawW, rst3, hrst3, D2, bq, ac512, dc128)
+    seg_bits = meta[:, :, 0].reshape(-1)
+    n_ff = meta[:, :, 1].reshape(-1)
+    out_len = meta[:, :, 2].reshape(-1)
     return out_w.reshape(-1), out_len, seg_bits, n_ff
 
 

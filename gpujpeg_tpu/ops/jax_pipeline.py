@@ -444,6 +444,92 @@ class _EncContext:
                     (0, S_pad_f - S)).astype(np.int32)[:, None])
                 D2f_h = D2_h[band_perm_rows()] if band_ok else D2_h
 
+                # rgb-fused variant: raw interleaved bytes straight into
+                # the kernel (in-VMEM de-interleave + color transform;
+                # round-4 io split: XLA preprocess + plane-words
+                # materialization was 6.4 ms of the 8K encode). Under
+                # full_ok the row order is identity (every segment
+                # exactly bps blocks), so with equal-geometry components
+                # and whole-tile height the kernel's (3, S/3, ...) output
+                # IS plan order — no padding, no reorder.
+                #
+                # DEFAULT OFF (GPUJPEG_TPU_RGB_FUSED=1 opts in): measured
+                # 66.6 ms vs 26.4 on chip at 8K Q75 — the (tiles, 3)
+                # grid re-transposes the full 3-wide raw per component
+                # (3x the in-VMEM shuffle work), and every <=16M-VMEM
+                # restructure that shares the pack hit Mosaic's
+                # no-stack-reuse-across-unrolled-chunks OOM
+                # (BENCHMARKS.md round-4). Byte-identical; kept as the
+                # starting point for a fori_loop-chunked rewrite.
+                from ..types import PixelFormat as _PF
+                from .entropy_v2 import (FusedSpec, encode_dct_fused_rgb,
+                                         rgb_transform_consts)
+                img = plan.image
+                comps = plan.components
+                xform = rgb_transform_consts(
+                    img.color_space, plan.params.color_space_internal)
+                # rgb tile must also divide the band count (whole-image
+                # grid); prefer the band Kb, else the largest eligible
+                # divisor of n_bands
+                _kb_rgb_ok = _kb_ok
+                Kb_r = 0
+                if band_ok and img.height % 8 == 0:
+                    n_bands_r = img.height // 8
+                    Kb_r = Kb if (_kb_rgb_ok(Kb)
+                                  and n_bands_r % Kb == 0) else next(
+                        (k for k in sorted(
+                            range(1, n_bands_r + 1),
+                            key=lambda k: abs(k * ppb - T2))
+                         if _kb_rgb_ok(k) and n_bands_r % k == 0), 0)
+                rgb_ok = (band_ok and Kb_r > 0 and xform is not None
+                          and _PF(img.pixel_format) ==
+                          _PF.PF_444_U8_P012
+                          and len(comps) == 3 and S % 3 == 0
+                          and all(c.width == img.width
+                                  and c.height == img.height
+                                  and c.data_width == img.width
+                                  and c.data_height == img.height
+                                  for c in comps)
+                          and img.height % 8 == 0
+                          and (img.height // 8) % Kb_r == 0
+                          and "fused_full_rgb" not in self._disabled
+                          and bool(os.environ.get(
+                              "GPUJPEG_TPU_RGB_FUSED")))
+                if rgb_ok:
+                    S_c = S // 3
+                    T2r = Kb_r * ppb
+                    seg_rows_l = geo.bps // 2
+                    comp_specs = tuple(
+                        FusedSpec((0,), (int(c.comp_type),),
+                                  (int(c.quant_table_index),),
+                                  c.block_count, seg_rows_l)
+                        for c in comps)
+                    rst3 = jnp.asarray(np.asarray(geo.seg_rst_marker)
+                                       .astype(np.int32)
+                                       .reshape(3, S_c, 1))
+                    hrst3 = jnp.asarray(np.asarray(geo.seg_has_rst)
+                                        .astype(np.int32)
+                                        .reshape(3, S_c, 1))
+                    W3 = img.width * 3
+
+                    @jax.jit
+                    def fn_rgb(raw, rst3, hrst3):
+                        m = raw.reshape(img.height, W3 // 4, 4)
+                        rw = jax.lax.bitcast_convert_type(
+                            jax.lax.bitcast_convert_type(m, jnp.uint32),
+                            jnp.int32)
+                        return encode_dct_fused_rgb(
+                            rw, rst3, hrst3, comp_specs, D2f_h, bias2_h,
+                            qrows_h, tabs, Wb, geo.bps,
+                            geo.cap_seg_words, geo.cap_out_bytes,
+                            geo.max_stuff, tile=2 * T2r, ppb=ppb,
+                            xform=xform)
+
+                    self._fn_args = (rst3, hrst3)
+                    wrapped = lambda raw: fn_rgb(raw, *self._fn_args)
+                    wrapped.kind = "fused_full_rgb"
+                    return wrapped
+
                 @jax.jit
                 def fn_full(raw, rst2, hrst2):
                     planes = preprocess(raw, plan.image, plan, jnp)
@@ -576,7 +662,7 @@ def _call_with_downgrade(ctx, raw_j):
             if os.environ.get("GPUJPEG_TPU_STRICT"):
                 raise
             kind = getattr(ctx.fn, "kind", None)
-            if kind not in ("fused_full", "fused"):
+            if kind not in ("fused_full_rgb", "fused_full", "fused"):
                 return None
             import logging
             logging.getLogger(__name__).warning(

@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .pallas_decode import DecTables, QUICK_BITS, _lane_gather
+from .pallas_decode import DecTables, QUICK_BITS, _gather128, _lane_gather
 
 from ..runtime import pallas_call as _pcall
 I32 = jnp.int32
@@ -54,6 +54,18 @@ def _pad1k(n: int) -> int:
     return -(-n // 1024) * 1024
 
 
+def _delta_row(delta):
+    """Pack the (n_slots, 17) value-index delta table into one 128-lane
+    row at stride 18 (slot*18 + len; lane slot*18+17 stays 0 for the
+    invalid s_len == 17, whose result is masked anyway), so the decode
+    loop fetches delta[slot, s_len] with ONE lane gather. Traceable."""
+    d = jnp.asarray(delta).astype(jnp.int32)
+    n = d.shape[0]
+    assert n * 18 <= 128, n     # JPEG allows at most 4 table slots
+    row = jnp.pad(d, ((0, 0), (0, 1))).reshape(-1)
+    return jnp.pad(row, (0, 128 - row.shape[0]))
+
+
 def _pack16(table):
     """Pack a flat i32 table of <=16-bit entries two per word, padded to
     the 1024-element XLA layout tile for 1D VMEM operands. Traceable."""
@@ -76,9 +88,24 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     (A ``seg_rows_out`` variant that emitted (S, bps*64) segment rows
     via per-step in-VMEM transposes — to feed a fused Pallas decode
     tail — measured 34.5 vs 26.4 ms at 8K Q75 on chip and was deleted;
-    BENCHMARKS.md round-3 table.)"""
+    BENCHMARKS.md round-3 table.)
+
+    GPUJPEG_TPU_DEC_DOUBLE (bench-only, read at kernel-build time):
+    comma-separated stage names whose computation runs TWICE per loop
+    iteration, the duplicate folded in under a runtime-zero mask —
+    output stays bit-identical while the time delta vs baseline
+    measures that stage's marginal cost on chip (stubbing a stage OUT
+    would corrupt decoded symbols and change the loop's iteration
+    count, so ablation here must add, not remove). Stages: ``fetch``
+    (the two masked-reduction word fetches), ``quick`` (the quick-table
+    broadcast scans), ``slow`` (maxcode compares + delta gather +
+    huffval scan), ``cf`` (the repeat one-hot coefficient write)."""
+    import os
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    _DBL = frozenset(filter(None, os.environ.get(
+        "GPUJPEG_TPU_DEC_DOUBLE", "").split(",")))
 
     G = seg_tile // 128
     uses_tpl = bool((interleaved_tpl >= 0).any())
@@ -103,7 +130,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     # fetch is unconditional.
 
     def kernel(dataT_ref, segcomp_ref, segnblk_ref,
-               quick_ref, maxcode_ref, delta_ref, huffval_ref,
+               quick_ref, maxcode_ref, dlrow_ref, huffval_ref,
                dcslot_ref, acslot_ref,
                out_ref, bitpos, dcpred, slowsc):
         b = pl.program_id(1)
@@ -128,49 +155,50 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             aslot = jnp.where(comp == ci, acslot_ref[ci], aslot)
 
         def build_slow_tables():
-            """Per-lane slow-path scalars (maxcode / value-index delta,
-            DC and AC, per code length): 4*n_slots selects per length."""
-            mc_dc, mc_ac, dl_dc, dl_ac = {}, {}, {}, {}
+            """Per-lane slow-path maxcode thresholds (DC and AC, per code
+            length): 2*n_slots selects per length. (Value-index deltas
+            are NOT per-length arrays anymore: ``lookup_sym`` fetches
+            delta[slot, s_len] with one lane gather from ``dlrow_ref``.)"""
+            mc_dc, mc_ac = {}, {}
             for l in SLOW_LENS:
                 md = jnp.zeros((G, 128), I32)
                 ma = jnp.zeros((G, 128), I32)
-                dd = jnp.zeros((G, 128), I32)
-                da = jnp.zeros((G, 128), I32)
                 for t in range(n_slots):
                     md = jnp.where(dslot == t, maxcode_ref[t, l], md)
                     ma = jnp.where(aslot == t, maxcode_ref[t, l], ma)
-                    dd = jnp.where(dslot == t, delta_ref[t, l], dd)
-                    da = jnp.where(aslot == t, delta_ref[t, l], da)
-                mc_dc[l], mc_ac[l], dl_dc[l], dl_ac[l] = md, ma, dd, da
-            return mc_dc, mc_ac, dl_dc, dl_ac
+                mc_dc[l], mc_ac[l] = md, ma
+            return mc_dc, mc_ac
 
         if uses_tpl:
             # interleaved: slots depend on b (via the MCU template), so
             # the build runs per grid step — cheap, the selects are
             # scalar broadcasts
-            mc_dc, mc_ac, dl_dc, dl_ac = build_slow_tables()
+            mc_dc, mc_ac = build_slow_tables()
         else:
             # non-interleaved: slots are b-invariant — build once at
             # b == 0 into scratch carried across the b grid dimension
-            # (re-hoisting per (tile, b) costs 4*n_slots*NSL vreg selects
+            # (re-hoisting per (tile, b) costs 2*n_slots*NSL vreg selects
             # per step, bps-fold more than needed)
             @pl.when(b == 0)
             def _():
-                mcd, mca, dld, dla = build_slow_tables()
+                mcd, mca = build_slow_tables()
                 for i, l in enumerate(SLOW_LENS):
                     slowsc[(0 * NSL + i) * G:(0 * NSL + i) * G + G] = mcd[l]
                     slowsc[(1 * NSL + i) * G:(1 * NSL + i) * G + G] = mca[l]
-                    slowsc[(2 * NSL + i) * G:(2 * NSL + i) * G + G] = dld[l]
-                    slowsc[(3 * NSL + i) * G:(3 * NSL + i) * G + G] = dla[l]
 
-            mc_dc, mc_ac, dl_dc, dl_ac = {}, {}, {}, {}
+            mc_dc, mc_ac = {}, {}
             for i, l in enumerate(SLOW_LENS):
                 mc_dc[l] = slowsc[(0 * NSL + i) * G:(0 * NSL + i) * G + G]
                 mc_ac[l] = slowsc[(1 * NSL + i) * G:(1 * NSL + i) * G + G]
-                dl_dc[l] = slowsc[(2 * NSL + i) * G:(2 * NSL + i) * G + G]
-                dl_ac[l] = slowsc[(3 * NSL + i) * G:(3 * NSL + i) * G + G]
 
         word_iota = jax.lax.broadcasted_iota(I32, (wcap, 128), 0)
+
+        # runtime zero for _DBL stage doubling: nblk >= 0 so the sign
+        # shift is 0, but the compiler cannot prove it (runtime data),
+        # so duplicated stages fold in without being CSE'd or DCE'd.
+        # Full (G, 128) shape: Mosaic cannot broadcast (1, 1) across
+        # both sublanes and lanes in one op (measured on chip).
+        rz = segnblk_ref[:] >> 31
 
         def fetch1(wordpos):
             """Word [wp] per segment lane, by masked reduction over the
@@ -212,30 +240,53 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             >QUICK_BITS slow path (T.81 F.16) runs inline every
             iteration: with ~seg_tile lanes in lockstep some lane misses
             the 8-bit lookahead nearly always, so branching on it
-            (lax.cond over a cross-lane any) measured slower on chip."""
+            (lax.cond over a cross-lane any) measured slower on chip.
+
+            Branch-free length: the scaled maxcode boundaries are
+            non-decreasing in l (build_dec_tables_v2: ``code<<(16-l)``;
+            an empty length keeps the previous boundary exactly), so the
+            first l with peek16 < mc[l] equals QUICK_BITS+1 + count of
+            (peek16 >= mc[l]) — NSL independent compares with no select
+            chain; count == NSL means invalid (s_len == 17). The
+            value-index delta comes from ONE lane gather in the packed
+            (slot, len) row ``dlrow_ref`` instead of an NSL-deep select
+            chain per table class."""
             peek16 = (view >> jnp.uint32(16)).astype(I32)
             q_idx = slot * (1 << QUICK_BITS) + (peek16 >> (16 - QUICK_BITS))
             q = _bcast_lookup16(quick_ref[:], q_idx,
                                 n_slots * (1 << QUICK_BITS))
+            if "quick" in _DBL:   # bench-only stage doubling
+                q = q | (rz & _bcast_lookup16(quick_ref[:], q_idx + rz,
+                                              n_slots * (1 << QUICK_BITS)))
             q_len = q & 31
             q_sym = q >> 5
 
-            s_len = jnp.full((G, 128), 17, I32)
-            s_code = jnp.zeros((G, 128), I32)
+            cnt = None
             for l in SLOW_LENS:
                 mc = jnp.where(is_dc, mc_dc[l], mc_ac[l]) if is_dc \
                     is not None else mc_ac[l]
-                hit = (peek16 < mc) & (s_len == 17)
-                s_len = jnp.where(hit, l, s_len)
-                s_code = jnp.where(hit, peek16 >> (16 - l), s_code)
-            dlt = jnp.zeros((G, 128), I32)
-            for l in SLOW_LENS:
-                d = jnp.where(is_dc, dl_dc[l], dl_ac[l]) if is_dc \
-                    is not None else dl_ac[l]
-                dlt = jnp.where(s_len == l, d, dlt)
+                ge = (peek16 >= mc).astype(I32)
+                cnt = ge if cnt is None else cnt + ge
+            s_len = (QUICK_BITS + 1) + cnt
+            s_code = jax.lax.shift_right_logical(
+                peek16, jnp.maximum(16 - s_len, 0))
+            dlt = _gather128(dlrow_ref[:], slot * 18 + s_len)
             v_idx = jnp.clip(s_code + dlt, 0, 255)
             s_sym = _bcast_lookup16(huffval_ref[:], slot * 256 + v_idx,
                                     n_slots * 256)
+            if "slow" in _DBL:    # bench-only stage doubling
+                cnt2 = None
+                for l in SLOW_LENS:
+                    mc = jnp.where(is_dc, mc_dc[l], mc_ac[l]) if is_dc \
+                        is not None else mc_ac[l]
+                    ge = (peek16 + rz >= mc).astype(I32)
+                    cnt2 = ge if cnt2 is None else cnt2 + ge
+                s_len2 = (QUICK_BITS + 1) + cnt2
+                dlt2 = _gather128(dlrow_ref[:], slot * 18 + s_len2)
+                v2 = jnp.clip(jax.lax.shift_right_logical(
+                    peek16, jnp.maximum(16 - s_len2, 0)) + dlt2, 0, 255)
+                s_sym = s_sym | (rz & _bcast_lookup16(
+                    huffval_ref[:], slot * 256 + v2, n_slots * 256))
 
             use_quick = q_len > 0
             sym = jnp.where(use_quick, q_sym, s_sym)
@@ -255,7 +306,11 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                              vraw - (1 << cat) + 1, vraw)
 
         # r01-style merged write support: coefficient rows ride in loop
-        # state (k-major row = pos*G + g over all KB*64 positions)
+        # state (k-major row = pos*G + g over all KB*64 positions).
+        # (An int16 accumulator — half the vregs of this, the largest
+        # per-iteration chain — was tried in round 4: Mosaic on v5e
+        # rejects i16 vector compares, "Target does not support this
+        # comparison"; the interpreter accepted it. i32 it stays.)
         onehot_cbase = (jax.lax.broadcasted_iota(
             I32, (KB * 64 * G, 128), 0) // G)
 
@@ -329,18 +384,28 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             # chip: its per-range jnp.any gates are almost always true.)
             # A's and B's positions never collide (wposB >= kA > wposA),
             # so the B-over-A select order is free. Positions are
-            # absolute within the step: bcur*64 + k.
-            posA = bcur * 64 + wposA
-            posB = bcur * 64 + wposB
+            # absolute within the step: bcur*64 + k. Write masks fold
+            # into sentinel positions (127 matches no row), saving two
+            # repeats and two mask ands over the full row set.
+            posA = jnp.where(writeA, bcur * 64 + wposA, 127)
+            posB = jnp.where(writeB, bcur * 64 + wposB, 127)
             wA = pltpu.repeat(posA, KB * 64, axis=0)
             vA = pltpu.repeat(wvalA, KB * 64, axis=0)
-            mA = pltpu.repeat(writeA.astype(I32), KB * 64, axis=0) > 0
             wB = pltpu.repeat(posB, KB * 64, axis=0)
             vB = pltpu.repeat(valB, KB * 64, axis=0)
-            mB = pltpu.repeat(writeB.astype(I32), KB * 64, axis=0) > 0
             cf = jnp.where(
-                (onehot_cbase == wB) & mB, vB,
-                jnp.where((onehot_cbase == wA) & mA, vA, cf))
+                onehot_cbase == wB, vB,
+                jnp.where(onehot_cbase == wA, vA, cf))
+            if "cf" in _DBL:      # bench-only stage doubling: positions
+                # never collide A/B, so re-applying the identical select
+                # chain reproduces cf exactly
+                wA2 = pltpu.repeat(posA + rz, KB * 64, axis=0)
+                vA2 = pltpu.repeat(wvalA + rz, KB * 64, axis=0)
+                wB2 = pltpu.repeat(posB + rz, KB * 64, axis=0)
+                vB2 = pltpu.repeat(valB + rz, KB * 64, axis=0)
+                cf = jnp.where(
+                    onehot_cbase == wB2, vB2,
+                    jnp.where(onehot_cbase == wA2, vA2, cf))
 
             bp_new = bp + cA + cB
             delta = (bp_new >> 5) - (bp >> 5)             # 0, 1 or 2
@@ -354,6 +419,10 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             # sweep — and was deleted.)
             f2 = fetch1(wpn + 2)
             f1 = fetch1(wpn + 1)
+            if "fetch" in _DBL:   # bench-only stage doubling
+                rzu = rz.astype(U32)
+                f2 = f2 | (rzu & fetch1(wpn + 2 + rz))
+                f1 = f1 | (rzu & fetch1(wpn + 1 + rz))
             w0 = jnp.where(delta == 0, w0, jnp.where(delta == 1, w1, w2))
             w1 = jnp.where(delta == 0, w1, jnp.where(delta == 1, w2, f1))
             w2 = f2
@@ -403,7 +472,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                              lambda i, b: (0,), memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_slots, 18), lambda i, b: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_slots, 17), lambda i, b: (0, 0),
+                pl.BlockSpec((128,), lambda i, b: (0,),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((_pad1k(n_slots * 128),), lambda i, b: (0,),
                              memory_space=pltpu.VMEM),
@@ -418,11 +487,11 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                 pltpu.VMEM((4 * G, 128), I32),   # dcpred planes
                 # slow-path tables; unused in the interleaved case
                 # (rebuilt per b there), so keep it a dummy row
-                pltpu.VMEM(((1 if uses_tpl else 4 * NSL * G), 128), I32),
+                pltpu.VMEM(((1 if uses_tpl else 2 * NSL * G), 128), I32),
             ],
         )(dataT, seg_comp, seg_nblk,
           _pack16(tabs.quick), jnp.asarray(tabs.maxcode),
-          jnp.asarray(tabs.delta), _pack16(tabs.huffval),
+          _delta_row(tabs.delta), _pack16(tabs.huffval),
           jnp.asarray(dc_slot), jnp.asarray(ac_slot))
         return out.reshape(bps // KB, n_tiles, KB, 64, G, 128)
 

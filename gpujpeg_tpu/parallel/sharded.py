@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 import jax
@@ -769,9 +770,122 @@ class ShardedEncoder:
         from ..ops.entropy_v2 import encode_rows_arrays
         geo_args = (idx_plane_j, cls_rows, valid_rows, dcd_rows, qdiv)
 
+        identity_gather = bool(np.array_equal(
+            idx_plane, np.arange(geo_probe.n_rows, dtype=np.int64)))
+
+        def _fused_band_ctx(geo_t):
+            """Flagship single-kernel eligibility for the band plan —
+            mirrors jax_pipeline._build_fn's full_ok/band_ok so each
+            band runs the same band-input ``encode_dct_fused_full``
+            kernel as the single-chip encoder (round-3 verdict: the
+            sharded encoder was one kernel generation behind)."""
+            from ..ops.entropy_v2 import band_perm_rows, fused_dct_inputs
+            Wb = geo_t.words_per_block
+            bps = geo_t.bps
+            if not (use_pallas and identity_gather
+                    and geo_probe.n_rows % 2 == 0
+                    and not params.interleaved
+                    and bps * Wb == 128 and geo_t.cap_out_bytes % 4 == 0
+                    and not os.environ.get("GPUJPEG_TPU_NO_FULL_FUSED")):
+                return None
+            T2 = int(os.environ.get("GPUJPEG_TPU_FUSED_TILE", "2048")) // 2
+            seg_rows = bps // 2
+            spec, D2_h, bias2_h, qrows_h = fused_dct_inputs(
+                plan, quant_zz, seg_rows)
+            widths = {c.data_width for c in plan.components}
+            ppb = (plan.components[0].data_width // 16
+                   if len(widths) == 1 else 0)
+            band_ok = (ppb > 0
+                       and plan.components[0].data_width % 16 == 0
+                       and all(c.block_count % 2 == 0
+                               for c in plan.components)
+                       and not os.environ.get("GPUJPEG_TPU_NO_BAND"))
+
+            def _kb_ok(k):
+                t2 = k * ppb
+                return ((2 * t2) % bps == 0 and (t2 * 2 * Wb) % 128 == 0
+                        and (2 * t2 // bps) % 8 == 0)
+
+            if band_ok:
+                cands = sorted(range(1, max(2, (2 * T2) // ppb + 9)),
+                               key=lambda k: abs(k * ppb - T2))
+                Kb = next((k for k in cands if _kb_ok(k)), 0)
+                band_ok = Kb > 0
+                if band_ok:
+                    T2f = Kb * ppb
+            if not band_ok:
+                T2f = T2
+                if (2 * T2f) % bps or (T2f * 2 * Wb) % 128:
+                    return None
+            spt_t = 2 * T2f // bps
+            S = plan.n_segments
+            S_pad = -(-S // spt_t) * spt_t
+            M = geo_probe.n_rows // 2
+            if band_ok and ((S_pad - S) * bps // 2) % ppb:
+                band_ok = False     # band row padding must be whole bands
+                T2f = T2
+                spt_t = 2 * T2f // bps
+                S_pad = -(-S // spt_t) * spt_t
+                if (2 * T2f) % bps or (T2f * 2 * Wb) % 128:
+                    return None
+            return dict(spec=spec, bias2_h=bias2_h, qrows_h=qrows_h,
+                        D2f_h=(D2_h[band_perm_rows()] if band_ok
+                               else D2_h),
+                        T2f=T2f, ppb=ppb, band_ok=band_ok,
+                        S_pad=S_pad, M=M, Wb=Wb)
+
         def make_fn(geo_t):
+            fc = _fused_band_ctx(geo_t)
+
+            def encode_band_fused(raw_band, rst, has_rst):
+                from ..ops.blocks import plane_to_blocks_u32
+                from ..ops.entropy_v2 import encode_dct_fused_full
+                S = plan.n_segments
+                S_pad, M, T2f, ppb = (fc["S_pad"], fc["M"], fc["T2f"],
+                                      fc["ppb"])
+                Mp_f = S_pad * geo_t.bps // 2
+                planes = preprocess(raw_band, band_image, plan, jnp)
+                planes = jax.lax.optimization_barrier(tuple(planes))
+                rst2 = jnp.pad(rst.astype(jnp.int32),
+                               (0, S_pad - S))[:, None]
+                hrst2 = jnp.pad(has_rst.astype(jnp.int32),
+                                (0, S_pad - S))[:, None]
+                if fc["band_ok"]:
+                    pw = jnp.concatenate([
+                        jax.lax.bitcast_convert_type(
+                            jax.lax.bitcast_convert_type(
+                                p.reshape(p.shape[0], p.shape[1] // 4, 4),
+                                jnp.uint32), jnp.int32)
+                        for p in planes])
+                    pad_rows = (Mp_f - M) // ppb * 8
+                    if pad_rows:
+                        pw = jnp.pad(pw, ((0, pad_rows), (0, 0)))
+                    out, out_len, seg_bits, n_ff = encode_dct_fused_full(
+                        pw, rst2, hrst2, fc["spec"], fc["D2f_h"],
+                        fc["bias2_h"], fc["qrows_h"], tabs, fc["Wb"],
+                        geo_t.bps, geo_t.cap_seg_words,
+                        geo_t.cap_out_bytes, geo_t.max_stuff,
+                        tile=2 * T2f, band_ppb=ppb)
+                else:
+                    pbw = jnp.concatenate(
+                        [plane_to_blocks_u32(p, jnp) for p in planes])
+                    pbw = pbw.reshape(-1, 32)
+                    if Mp_f > M:
+                        pbw = jnp.pad(pbw, ((0, Mp_f - M), (0, 0)))
+                    out, out_len, seg_bits, n_ff = encode_dct_fused_full(
+                        pbw, rst2, hrst2, fc["spec"], fc["D2f_h"],
+                        fc["bias2_h"], fc["qrows_h"], tabs, fc["Wb"],
+                        geo_t.bps, geo_t.cap_seg_words,
+                        geo_t.cap_out_bytes, geo_t.max_stuff,
+                        tile=2 * T2f)
+                WO4 = geo_t.cap_out_bytes // 4
+                out = out.reshape(S_pad, WO4)[:S].reshape(-1)
+                return out, out_len[:S], seg_bits[:S], n_ff[:S]
+
             def encode_band(raw_band, rst, has_rst, idxp, clsr, validr,
                             dcdr, qd):
+                if fc is not None:
+                    return encode_band_fused(raw_band, rst, has_rst)
                 planes = preprocess(raw_band, band_image, plan, jnp)
                 planes = jax.lax.optimization_barrier(tuple(planes))
                 pblocks = jnp.concatenate(

@@ -201,6 +201,38 @@ def test_full_fused_kernel_matches_separate(monkeypatch):
     assert psnr(pil, img) > 30
 
 
+def test_rgb_fused_kernel_matches_band(monkeypatch):
+    """The rgb-fused encode kernel (raw interleaved bytes in, in-VMEM
+    de-interleave + fixed-point color transform in-kernel — the XLA
+    preprocess never runs) must produce byte-identical streams to the
+    band-input fused_full path, and saturated pixels must hit the
+    c + (c == 255) expand edge exactly."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    h, w = 128, 128
+    img = make_test_rgb(h, w).copy()
+    img[0:8, 0:8] = 255            # expand edge: (255*256)//255 == 256
+    img[8:16, 0:8] = 0
+    params = Parameters(quality=75, restart_interval=32)  # W=4, bps=32
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    monkeypatch.setenv("GPUJPEG_TPU_RGB_FUSED", "1")   # default-off knob
+    jp._ENC_CACHE.clear()
+    rgb = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    (ctx,) = jp._ENC_CACHE.values()
+    assert getattr(ctx.fn, "kind", None) == "fused_full_rgb", \
+        "rgb 4:4:4 geometry with the knob set must engage the rgb-fused encode"
+    monkeypatch.delenv("GPUJPEG_TPU_RGB_FUSED")
+    jp._ENC_CACHE.clear()
+    band = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    (ctx,) = jp._ENC_CACHE.values()
+    assert getattr(ctx.fn, "kind", None) == "fused_full"
+    jp._ENC_CACHE.clear()
+    assert rgb == band
+    # cross-check against an independent decoder
+    pil = np.asarray(Image.open(io.BytesIO(rgb)).convert("RGB"))
+    assert psnr(pil, img) > 30
+
+
 def test_decoder_perf_stats_device_path():
     """CLI -v decode must fill the huffman/IDCT/postprocess phase splits
     on the device path (reference: gpujpeg_common.h:315-325)."""
@@ -453,6 +485,37 @@ def test_decode_wcap_bucketing_reuses_executable(monkeypatch):
     r3, _ = dec.decode(d3)
     assert psnr(np.asarray(r1).reshape(h, w, 3),
                 make_test_rgb(h, w, seed=1)) > 30
+    jp._DEC_V2_CACHE.clear()
+
+
+def test_decoder_init_warms_real_content_bucket(monkeypatch):
+    """Decoder.init() must warm the wcap bucket REAL content lands in:
+    decoding a natural-statistics frame right after init() must not
+    grow the executable cache (the old all-zero warm frame compressed
+    to almost nothing, landed in a smaller bucket, and left the first
+    real frame to pay a fresh compile — round-3 verdict flag)."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 64, 80
+    # ri=8 is a geometry where the old zero-frame warm measurably lands
+    # in a SMALLER wcap bucket than natural content (vacuity-checked)
+    params = Parameters(quality=75, restart_interval=8)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    monkeypatch.setattr(dmod, "CPU_SEGMENT_THRESHOLD", 0)
+    jp._DEC_V2_CACHE.clear()
+    dec = Decoder(backend="jax")
+    dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    dec.init(params, image)
+    warmed = len(jp._DEC_V2_CACHE)
+    assert warmed >= 1
+    data = Encoder(backend="golden").encode(
+        make_test_rgb(h, w, seed=3).reshape(-1), params, image)
+    raw, _ = dec.decode(data)
+    assert len(jp._DEC_V2_CACHE) == warmed, \
+        "first real-content decode after init() compiled a new executable"
+    assert psnr(np.asarray(raw).reshape(h, w, 3),
+                make_test_rgb(h, w, seed=3)) > 30
     jp._DEC_V2_CACHE.clear()
 
 
