@@ -1079,12 +1079,19 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         fn.reorders = (out_row_j, inv_j)
         _DEC_V2_CACHE[key] = fn
 
-    Ws = tuple(
-        jnp.asarray(idct_operator_f32(
-            tuple(int(x) for x in info.quant_tables[
-                info.components[c.index].quant_table_index])))
-        for c in plan.components
-    )
+    # device copies of the IDCT operators cached per quant-table set
+    # (another stream-family constant; a fresh upload per call costs
+    # tunnel round-trips)
+    qt_keys = tuple(
+        tuple(int(x) for x in info.quant_tables[
+            info.components[c.index].quant_table_index])
+        for c in plan.components)
+    ws_cached = getattr(decoder, "_dev_ws_cache", None)
+    if ws_cached is None or ws_cached[0] != qt_keys:
+        Ws = tuple(jnp.asarray(idct_operator_f32(k)) for k in qt_keys)
+        decoder._dev_ws_cache = (qt_keys, Ws)
+    else:
+        Ws = ws_cached[1]
     if use_v3:
         # host-built transposed rows: the on-chip destuff alternative
         # (raw scan-body upload + cumsum/sort relayout) measured SLOWER
@@ -1119,19 +1126,37 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         return _FUSE_PENDING
 
     t_h2d = time.perf_counter()
-    args_dev = (jnp.asarray(data_in), jnp.asarray(sc_in),
-                jnp.asarray(sn_in), jnp.asarray(tabs.quick),
-                jnp.asarray(tabs.maxcode), jnp.asarray(tabs.delta),
-                jnp.asarray(tabs.huffval), jnp.asarray(dc_slot),
-                jnp.asarray(ac_slot))
+    # per-call device uploads are the per-frame DATA only: the Huffman
+    # tables, class slots and segment maps are stream-family constants,
+    # so their device copies are cached on the decoder (each extra
+    # jnp.asarray costs a tunnel round-trip; the reference's analog
+    # uploads tables once at init, gpujpeg_table.c). Keyed by the
+    # geometry key + table bytes so a DHT change refreshes them.
+    tab_key = (key, tabs.quick.tobytes(), tabs.maxcode.tobytes(),
+               tabs.delta.tobytes(), tabs.huffval.tobytes(),
+               dc_slot.tobytes(), ac_slot.tobytes())
+    cached = getattr(decoder, "_dev_const_cache", None)
+    const_fresh = cached is None or cached[0] != tab_key
+    if const_fresh:
+        const_dev = (jnp.asarray(sc_in), jnp.asarray(sn_in),
+                     jnp.asarray(tabs.quick), jnp.asarray(tabs.maxcode),
+                     jnp.asarray(tabs.delta), jnp.asarray(tabs.huffval),
+                     jnp.asarray(dc_slot), jnp.asarray(ac_slot))
+        decoder._dev_const_cache = (tab_key, const_dev)
+    else:
+        const_dev = cached[1]
+    args_dev = (jnp.asarray(data_in),) + const_dev
     if getattr(decoder, "capture_device_call", False):
         # first-class bench hook (Decoder.capture_device_call): expose
         # the compiled device fn + this stream's device-resident args so
         # benchmarks can time pipelined device-only iterations without
         # monkeypatching the fn cache
         decoder.last_device_call = (fn, args_dev + (Ws,))
+    # bytes actually transferred this call: the cached stream-family
+    # constants cost nothing after their first upload
     decoder.stats.bytes_memory_to = int(
-        sum(getattr(a, "nbytes", 0) for a in args_dev))
+        args_dev[0].nbytes + (sum(a.nbytes for a in const_dev)
+                              if const_fresh else 0))
     if getattr(decoder, "perf_stats", False):
         jax.block_until_ready(args_dev)  # uploads excluded from in_gpu
         decoder.stats.duration_memory_to = \

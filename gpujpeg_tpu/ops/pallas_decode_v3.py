@@ -77,7 +77,14 @@ def _pack16(table):
     return packed
 
 
-V3_OUT_BYTES = 4   # int32 coefficient output (i16 lost the on-chip A/B)
+V3_OUT_BYTES = 4   # int32 coefficient output. Packing two 16-bit
+# coefficients per word was built and measured in round 4 and LOST on
+# chip (26.7 -> 37.4 ms at 8K Q75; an even/odd-split IDCT that avoided
+# the unpack interleave still lost at 34.3): halving the 400 MB
+# coefficient bytes does not pay for breaking XLA's relayout-into-
+# matmul fusion, and the packed one-hot write slowed the kernel itself
+# ~2-3 ms. The unpacked i32 layout is load-bearing — BENCHMARKS.md
+# round-4.
 
 
 def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
@@ -99,13 +106,21 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     count, so ablation here must add, not remove). Stages: ``fetch``
     (the two masked-reduction word fetches), ``quick`` (the quick-table
     broadcast scans), ``slow`` (maxcode compares + delta gather +
-    huffval scan), ``cf`` (the repeat one-hot coefficient write)."""
+    huffval scan), ``cf`` (the repeat one-hot coefficient write),
+    ``val`` (extract_val sign extension), ``dc`` (DC-prediction plane
+    selects), ``cond`` (the cross-lane loop-condition any-reduce).
+
+    GPUJPEG_TPU_DEC_SYM1=1 (bench-only, build-time): decode ONE symbol
+    per loop iteration (symbol B disabled) — output identical, ~2x the
+    iterations; against the 2-symbol baseline this solves for
+    fixed-per-iteration vs per-symbol cost."""
     import os
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     _DBL = frozenset(filter(None, os.environ.get(
         "GPUJPEG_TPU_DEC_DOUBLE", "").split(",")))
+    _SYM1 = bool(os.environ.get("GPUJPEG_TPU_DEC_SYM1"))
 
     G = seg_tile // 128
     uses_tpl = bool((interleaved_tpl >= 0).any())
@@ -310,13 +325,17 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
         # (An int16 accumulator — half the vregs of this, the largest
         # per-iteration chain — was tried in round 4: Mosaic on v5e
         # rejects i16 vector compares, "Target does not support this
-        # comparison"; the interpreter accepted it. i32 it stays.)
+        # comparison". Packing two coefficients per i32 word was ALSO
+        # tried and lost 26.7 -> 34-37 ms on chip — see V3_OUT_BYTES.)
         onehot_cbase = (jax.lax.broadcasted_iota(
             I32, (KB * 64 * G, 128), 0) // G)
 
         def cond(st):
             act, *_ = st
-            return jnp.any(act > 0)
+            r = jnp.any(act > 0)
+            if "cond" in _DBL:    # bench-only stage doubling (rz == 0)
+                r = r & jnp.any((act + rz) > 0)
+            return r
 
         def body(st):
             act_i, bcur, kp, cf, bp, dcp, w0, w1, w2 = st
@@ -331,12 +350,20 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             catA = jnp.where(is_dc, symA, symA & 15)
             runA = jnp.where(is_dc, 0, symA >> 4)
             valA = extract_val(viewA, lnA, catA)
+            if "val" in _DBL:     # bench-only stage doubling
+                valA = valA | (rz & extract_val(viewA, lnA + rz, catA))
 
             # DC prediction over 4 per-component planes
             dc_prev = jnp.zeros((G, 128), I32)
             for c in range(4):
                 dc_prev = jnp.where(comp == c, dcp[c * G:(c + 1) * G],
                                     dc_prev)
+            if "dc" in _DBL:      # bench-only stage doubling
+                dc2 = jnp.zeros((G, 128), I32)
+                for c in range(4):
+                    dc2 = jnp.where(comp + rz == c,
+                                    dcp[c * G:(c + 1) * G], dc2)
+                dc_prev = dc_prev | (rz & dc2)
             dc_new = dc_prev + valA
             wvalA = jnp.where(is_dc, dc_new, valA)
             upd = act & is_dc
@@ -359,23 +386,35 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             cA = jnp.where(act, lnA + catA, 0)
 
             # ---- symbol B (never DC: kp == 0 only at block start) ----
-            actB = act & ~doneA
-            sB = soff + cA
-            viewB = jnp.where(sB < 32, mkview(w0, w1, sB),
-                              mkview(w1, w2, sB - 32))
-            symB, lnB = lookup_sym(viewB, None, aslot)
-            catB = symB & 15
-            runB = symB >> 4
-            valB = extract_val(viewB, lnB, catB)
-            kpB = kA
-            wposB = jnp.clip(kpB + runB, 0, 63)
-            is_zrlB = (catB == 0) & (runB == 15)
-            is_eobB = (catB == 0) & (runB != 15)
-            writeB = actB & (catB > 0) & (kpB + runB <= 63)
-            kB = jnp.where(is_zrlB, kpB + 16,
-                           jnp.where(is_eobB, 64, kpB + runB + 1))
-            doneB = kB >= 64
-            cB = jnp.where(actB, lnB + catB, 0)
+            if _SYM1:             # bench-only: one symbol per iteration
+                actB = act & (doneA & ~doneA)     # runtime False
+                valB = jnp.zeros((G, 128), I32)
+                writeB = actB
+                wposB = jnp.zeros((G, 128), I32)
+                kB = kA
+                doneB = doneA
+                cB = jnp.zeros((G, 128), I32)
+            else:
+                actB = act & ~doneA
+                sB = soff + cA
+                viewB = jnp.where(sB < 32, mkview(w0, w1, sB),
+                                  mkview(w1, w2, sB - 32))
+                symB, lnB = lookup_sym(viewB, None, aslot)
+                catB = symB & 15
+                runB = symB >> 4
+                valB = extract_val(viewB, lnB, catB)
+                if "val" in _DBL:  # bench-only stage doubling
+                    valB = valB | (rz & extract_val(viewB, lnB + rz,
+                                                    catB))
+                kpB = kA
+                wposB = jnp.clip(kpB + runB, 0, 63)
+                is_zrlB = (catB == 0) & (runB == 15)
+                is_eobB = (catB == 0) & (runB != 15)
+                writeB = actB & (catB > 0) & (kpB + runB <= 63)
+                kB = jnp.where(is_zrlB, kpB + 16,
+                               jnp.where(is_eobB, 64, kpB + runB + 1))
+                doneB = kB >= 64
+                cB = jnp.where(actB, lnB + catB, 0)
 
             # merged coefficient writes (one pass, B over A) into the
             # loop-carried k-major array: one repeat-one-hot select over
@@ -388,24 +427,30 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             # into sentinel positions (127 matches no row), saving two
             # repeats and two mask ands over the full row set.
             posA = jnp.where(writeA, bcur * 64 + wposA, 127)
-            posB = jnp.where(writeB, bcur * 64 + wposB, 127)
             wA = pltpu.repeat(posA, KB * 64, axis=0)
             vA = pltpu.repeat(wvalA, KB * 64, axis=0)
-            wB = pltpu.repeat(posB, KB * 64, axis=0)
-            vB = pltpu.repeat(valB, KB * 64, axis=0)
-            cf = jnp.where(
-                onehot_cbase == wB, vB,
-                jnp.where(onehot_cbase == wA, vA, cf))
+            if _SYM1:
+                cf = jnp.where(onehot_cbase == wA, vA, cf)
+            else:
+                posB = jnp.where(writeB, bcur * 64 + wposB, 127)
+                wB = pltpu.repeat(posB, KB * 64, axis=0)
+                vB = pltpu.repeat(valB, KB * 64, axis=0)
+                cf = jnp.where(
+                    onehot_cbase == wB, vB,
+                    jnp.where(onehot_cbase == wA, vA, cf))
             if "cf" in _DBL:      # bench-only stage doubling: positions
                 # never collide A/B, so re-applying the identical select
                 # chain reproduces cf exactly
                 wA2 = pltpu.repeat(posA + rz, KB * 64, axis=0)
                 vA2 = pltpu.repeat(wvalA + rz, KB * 64, axis=0)
-                wB2 = pltpu.repeat(posB + rz, KB * 64, axis=0)
-                vB2 = pltpu.repeat(valB + rz, KB * 64, axis=0)
-                cf = jnp.where(
-                    onehot_cbase == wB2, vB2,
-                    jnp.where(onehot_cbase == wA2, vA2, cf))
+                if _SYM1:
+                    cf = jnp.where(onehot_cbase == wA2, vA2, cf)
+                else:
+                    wB2 = pltpu.repeat(posB + rz, KB * 64, axis=0)
+                    vB2 = pltpu.repeat(valB + rz, KB * 64, axis=0)
+                    cf = jnp.where(
+                        onehot_cbase == wB2, vB2,
+                        jnp.where(onehot_cbase == wA2, vA2, cf))
 
             bp_new = bp + cA + cB
             delta = (bp_new >> 5) - (bp >> 5)             # 0, 1 or 2

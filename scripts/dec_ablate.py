@@ -87,7 +87,7 @@ def main():
     dfn, dargs, raw0 = build_and_capture()
     base = timeit("baseline", dfn, dargs)
 
-    for stage in ("fetch", "quick", "slow", "cf"):
+    for stage in ("fetch", "quick", "slow", "cf", "val", "dc", "cond"):
         os.environ["GPUJPEG_TPU_DEC_DOUBLE"] = stage
         t0 = time.perf_counter()
         dfn, dargs, raw = build_and_capture()
@@ -97,6 +97,25 @@ def main():
               f"pixels identical: {ok}  "
               f"(build {time.perf_counter()-t0:.0f} s)", flush=True)
     os.environ.pop("GPUJPEG_TPU_DEC_DOUBLE", None)
+
+    # one-symbol-per-iteration variant: ~2x iterations at lower
+    # per-iteration cost; with the baseline solves T = I*(F + 2S)
+    # vs T1 = 2I*(F + S) for fixed-per-iteration F and per-symbol S
+    os.environ["GPUJPEG_TPU_DEC_SYM1"] = "1"
+    t0 = time.perf_counter()
+    dfn, dargs, raw = build_and_capture()
+    ok = np.array_equal(raw, raw0)
+    ms1 = timeit("1 sym/iter", dfn, dargs)
+    print(f"           -> pixels identical: {ok}  "
+          f"(build {time.perf_counter()-t0:.0f} s)", flush=True)
+    os.environ.pop("GPUJPEG_TPU_DEC_SYM1", None)
+    # T2 = I(F+2S), T1 = 2I(F+S) -> F*I = T1 - T2... solve:
+    # S*I = T1 - T2? No: T1-T2 = I*F; per-iter split printed raw
+    F_I = ms1 - base          # fixed cost x I (baseline iteration count)
+    S_I = base - F_I          # 2S x I
+    print(f"implied: fixed-per-iteration total {F_I:.2f} ms, "
+          f"per-symbol total (2 syms) {S_I:.2f} ms of {base:.2f} ms "
+          f"kernel+tail", flush=True)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,12 @@ run() {  # run <name> <timeout_s> <cmd...>
     echo "=== $name done rc=$rc ==="
 }
 
+# seed the persistent compilation cache with CURRENT source first: the
+# round-3 bench's 109 s first-iteration was a cold cache (BENCHMARKS.md
+# round-4 autopsy). The seed run compiles exactly what bench.py
+# measures; the measured run then pays cache loads, not compiles.
+# Re-run this after ANY source change to the jitted paths.
+run seed_cache     1800 env BENCH_ITERS=2 python bench.py
 run bench          1800 python bench.py
 run sweep_enc      3600 python scripts/perf_sweep.py enc 10
 run sweep_dec      5400 python scripts/perf_sweep.py dec 10
