@@ -46,7 +46,7 @@ from ..tables import HuffmanTable
 from ..types import ComponentType, HuffmanType
 from .huffman_encode import cap_for_quality
 
-from ..runtime import pallas_call as _pcall
+from ..runtime import pallas_call as _pcall, pallas_interpret
 I32 = jnp.int32
 U32 = jnp.uint32
 
@@ -1101,13 +1101,19 @@ def encode_dct_fused_rgb(rawW, rst3, hrst3, comp_specs, D2_h, bias2_h,
     encode while a plain 100 MB copy costs 2.55 — this kernel deletes
     that stage entirely and reads the same 100 MB raw directly.)
 
-    Grid is (tiles, 3): one component per grid step (constants from an
-    SMEM table indexed by the component grid id), with stage 1 chunked
-    over whole-band row slices — BOTH are VMEM-budget measures. v5e has
-    physical VMEM beyond Mosaic's 16 M default scoped budget, but
-    exceeding ~16 M hits a catastrophic spill cliff measured on chip:
-    18.3 M ran 951 ms and 20.6 M ran 25.5 s per 8K frame, vs 20-30 ms
-    for <= 16 M forms. Raising vmem_limit_bytes is a trap, not a fix.
+    Grid is (tiles,) with a ``lax.fori_loop`` over the 3 components
+    inside each step: the de-interleave transpose+pack runs ONCE per
+    tile (a (tiles, 3) grid re-transposed the 3x-wide raw per
+    component — measured 66.6 vs 26.4 ms at 8K), and the loop body is
+    traced once, so Mosaic REUSES the stage-1 chain's allocations
+    across components (the Python-unrolled 3-component form OOM'd at
+    18-26 M: the stack allocator does not reuse across unrolled
+    chunks). Component constants come from an SMEM table indexed by
+    the loop counter. VMEM budget note: v5e has physical VMEM beyond
+    Mosaic's 16 M default scoped budget, but exceeding ~16 M hits a
+    catastrophic spill cliff measured on chip: 18.3 M ran 951 ms and
+    20.6 M ran 25.5 s per 8K frame, vs 20-30 ms for <= 16 M forms.
+    Raising vmem_limit_bytes is a trap, not a fix.
 
     The de-interleave: per 8-row band, transpose the raw words
     (column-chunked — a whole 3x-wide band's 128-lane pad blew VMEM)
@@ -1161,123 +1167,158 @@ def encode_dct_fused_rgb(rawW, rst3, hrst3, comp_specs, D2_h, bias2_h,
     QW = max(d for d in range(1, min(ppb, 96) + 1) if ppb % d == 0)
     CW = 12 * QW
 
-    # per-component SMEM constants: m0 m1 m2 base cls qslot
-    cq_h = np.zeros((3, 6), np.int32)
-    for c in range(3):
-        if xform:
-            m9, base = xform
-            cq_h[c, 0:3] = m9[3 * c:3 * c + 3]
-            cq_h[c, 3] = base[c]
-        cq_h[c, 4] = comp_specs[c].comp_cls[0]
-        cq_h[c, 5] = comp_specs[c].comp_q[0]
-
-    # stage-1 row chunking: whole 8-row bands, segment-start aligned
-    # (the in-chunk DC roll's wrap row must be masked by rstart), sized
-    # ~<= 1024 pair rows so one chunk's chain plus the shared pack stays
-    # under Mosaic's 16 M scoped-VMEM budget — v5e has more physical
-    # VMEM but exceeding ~16 M hits a SPILL CLIFF measured at 35-900x
-    # slowdown (18.3 M -> 951 ms, 20.6 M -> 25.5 s at 8K; <= 16 M forms
-    # run in the 20-30 ms range)
-    import math
-    seg_r = max(seg_rows, 1)
-    step = ppb * (seg_r // math.gcd(ppb, seg_r))   # band + segment aligned
-    T2h = step * max(1, 1024 // step)
-    while T2 % T2h:
-        T2h -= step
-    CH = T2 // T2h
-
     ac512 = jnp.asarray(tabs.ac512)
     dc128 = jnp.asarray(np.concatenate([tabs.dc64, np.zeros(64, np.int32)]))
     D2 = jnp.asarray(D2_h)
     bq = jnp.asarray(np.concatenate(
         [bias2_h[None, :], qrows_h], axis=0).astype(np.float32))
     n_bq = int(bq.shape[0])
-    cq = jnp.asarray(cq_h)
-    spec0 = comp_specs[0]
 
-    def kernel(cq_ref, raw_ref, r_ref, h_ref, d2_ref, bq_ref, ac_ref,
-               dc_ref, out_ref, meta_ref):
+    # stage-1 row chunking INSIDE the component loop: stage 1 runs per
+    # T2h-row chunk (lax loops — traced once, allocations reused) with
+    # chunk outputs staged in small VMEM scratch. Chunk starts need
+    # only SEGMENT alignment (the in-chunk DC roll's wrap row is
+    # masked by the row0-based segment-start mask); the pack is global
+    # (psc scratch), so no band alignment is required. T2h targets
+    # ~256 pair rows: Mosaic's scheduler picks VMEM plans in discrete
+    # tiers — measured at 8K, the low tier needs T2h-chain + ~2.5 M
+    # fixed and the next tier jumps to 22 M the moment the limit
+    # exceeds the low tier's size, so the ONLY compilable configuration
+    # is a low-tier plan under a ~6 M limit (see RGB_VMEM below).
+    seg_r = max(seg_rows, 1)
+    T2h = seg_r * max(1, min(256, T2) // seg_r)
+    while T2 % T2h:
+        T2h -= seg_r
+    CH = T2 // T2h
+
+    # bench-only compile-size ablation: with a low VMEM limit the
+    # Mosaic OOM error reports each variant's exact stack need
+    # ("Scoped allocation with size X M"), localizing the hog
+    _ABL = frozenset(filter(None, os.environ.get(
+        "GPUJPEG_TPU_RGB_ABLATE", "").split(",")))
+
+    def kernel(raw_ref, r_ref, h_ref, d2_ref, bq_ref, ac_ref,
+               dc_ref, out_ref, meta_ref, psc, wsc):
         pid = pl.program_id(0)
-        c = pl.program_id(1)
         lane = jax.lax.broadcasted_iota(I32, (T2h, 128), 1)
         r_ = (lane >> 2) & 7
         cb = 4 * (lane >> 5) + (lane & 3)          # pair column 0..15
-        Bc = T2h // ppb                            # bands per chunk
 
-        wparts, bparts = [], []
-        for h in range(CH):
+        # de-interleave transpose+pack ONCE per tile (all 3 channels'
+        # bytes interleaved in the packed lanes), staged to scratch so
+        # the chunk loop reads dynamic row slices from a ref
+        if "nopack" not in _ABL:
             parts = []
-            for kb in range(h * Bc, (h + 1) * Bc):
+            for kb in range(Kb):
                 for j0 in range(0, 12 * ppb, CW):
                     sl = jnp.transpose(
                         raw_ref[8 * kb:8 * (kb + 1), j0:j0 + CW])
                     parts.append(_pack_rows_lanes(sl, 96))  # (CW//12, 96)
-            packed = jnp.concatenate(parts, axis=0)         # (T2h, 96)
-            packed = jnp.pad(packed, ((0, 0), (0, 32)))
+            packed = jnp.concatenate(parts, axis=0)         # (T2, 96)
+            psc[:, :] = jnp.pad(packed, ((0, 0), (0, 32)))
 
-            def channel(ci):
-                src = 3 * cb + ci                  # raw byte in pair row
-                g = jnp.take_along_axis(packed, (src >> 2) * 8 + r_,
-                                        axis=1)
-                return _srl(g, (src & 3) * 8) & 255
+        def channel(pk, ci):
+            src = 3 * cb + ci                  # raw byte in pair row
+            g = jnp.take_along_axis(pk, (src >> 2) * 8 + r_, axis=1)
+            return _srl(g, (src & 3) * 8) & 255
 
-            if xform:
-                acc = jnp.full((T2h, 128), 128, I32)
-                for i in range(3):
-                    ch = channel(i)
-                    acc = acc + cq_ref[c, i] * (ch + (ch == 255)
-                                                .astype(I32))
-                xb = jnp.clip((acc >> 8) + cq_ref[c, 3], 0, 255)
+        # components as a STATIC Python loop (Mosaic's live-range
+        # allocator reuses stack across unrolled repetitions — verified
+        # with a dedicated compile probe); only the stage-1 row chunks
+        # are a lax loop. Static component constants (class, quantizer
+        # row, color-matrix row) keep every ref access static — the
+        # dynamic-index variant drove the scheduler to 19-22 M plans.
+        for cc in range(3):
+            def chunk_body(h, c2, cc=cc):
+                r0 = h * T2h
+                pk = psc[pl.ds(r0, T2h), :]
+                if xform:
+                    m9, base = xform
+                    acc = jnp.full((T2h, 128), 128, I32)
+                    for i in range(3):
+                        ch = channel(pk, i)
+                        acc = acc + int(m9[3 * cc + i]) * (
+                            ch + (ch == 255).astype(I32))
+                    xb = jnp.clip((acc >> 8) + int(base[cc]), 0, 255)
+                else:
+                    xb = channel(pk, cc)
+                if "nostage1" in _ABL:
+                    w_t = (xb[:, :2 * W]).astype(jnp.uint32)
+                    b_t = xb[:, :2] & 7
+                else:
+                    spec_c = comp_specs[cc]
+                    w_t, b_t = _stage1_dct_tile(
+                        None, d2_ref, bq_ref, ac_ref, dc_ref, spec_c,
+                        tabs, W, T2h, seg_rows, 1, row0=pid * T2 + r0,
+                        xb=xb)
+                # words and bits share one scratch (lanes 0:2W and
+                # 2W:2W+2): a separate bits scratch pads its 2 lanes
+                # to a full 128-lane tile (~0.5 M)
+                wsc[pl.ds(r0, T2h), 0:2 * W] = \
+                    jax.lax.bitcast_convert_type(w_t, jnp.int32)
+                wsc[pl.ds(r0, T2h), 2 * W:2 * W + 2] = b_t
+                return c2
+
+            jax.lax.fori_loop(0, CH, chunk_body, 0, unroll=False)
+            w2 = _pack_rows_lanes(jax.lax.bitcast_convert_type(
+                wsc[:, 0:2 * W], jnp.uint32), 128)
+            b2 = _pack_rows_lanes(wsc[:, 2 * W:2 * W + 2], 128 // W)
+            if "nomerge" in _ABL:        # w2 is (spt, 128) exactly
+                out_ref[cc] = jnp.pad(w2, ((0, 0), (0, WO - 128)))
+                meta_ref[cc] = b2[:, :8]
             else:
-                xb = channel(c)
-            cls_over = jnp.full((T2h, 128), cq_ref[c, 4], I32)
-            qv_over = jnp.broadcast_to(
-                bq_ref[pl.ds(1 + cq_ref[c, 5], 1), :], (T2h, 128))
-            w_h, b_h = _stage1_dct_tile(
-                None, d2_ref, bq_ref, ac_ref, dc_ref, spec0,
-                tabs, W, T2h, seg_rows, 1, row0=pid * T2 + h * T2h,
-                xb=xb, cls_over=cls_over, qv_over=qv_over)
-            wparts.append(w_h)
-            bparts.append(b_h)
-        words = jnp.concatenate(wparts) if CH > 1 else wparts[0]
-        bits = jnp.concatenate(bparts) if CH > 1 else bparts[0]
-        w2 = _pack_rows_lanes(words, 128)
-        b2 = _pack_rows_lanes(bits, 128 // W)
-        out_w, meta = _merge_stuff_core(
-            w2, b2, r_ref[0], h_ref[0], W, cap_words, WO, max_stuff)
-        out_ref[0] = out_w
-        meta_ref[0] = meta
+                out_w, meta = _merge_stuff_core(
+                    w2, b2, r_ref[cc], h_ref[cc], W, cap_words, WO,
+                    max_stuff)
+                out_ref[cc] = out_w
+                meta_ref[cc] = meta
 
     out_w, meta = _pcall(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((3, S_c, WO), jnp.uint32),
                    jax.ShapeDtypeStruct((3, S_c, 8), jnp.int32)),
-        grid=(M // T2, 3),
+        grid=(M // T2,),
         in_specs=[
-            pl.BlockSpec((3, 6), lambda i, c: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((Kb * 8, 3 * ppb * 4), lambda i, c: (i, 0),
+            pl.BlockSpec((Kb * 8, 3 * ppb * 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, spt, 1), lambda i, c: (c, i, 0),
+            pl.BlockSpec((3, spt, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, spt, 1), lambda i, c: (c, i, 0),
+            pl.BlockSpec((3, spt, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, c: (0, 0),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bq, 128), lambda i, c: (0, 0),
+            pl.BlockSpec((n_bq, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((512,), lambda i, c: (0,),
+            pl.BlockSpec((512,), lambda i: (0,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128,), lambda i, c: (0,),
+            pl.BlockSpec((128,), lambda i: (0,),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, spt, WO), lambda i, c: (c, i, 0),
+            pl.BlockSpec((3, spt, WO), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, spt, 8), lambda i, c: (c, i, 0),
+            pl.BlockSpec((3, spt, 8), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ),
-    )(cq, rawW, rst3, hrst3, D2, bq, ac512, dc128)
+        scratch_shapes=[
+            pltpu.VMEM((T2, 128), I32),      # packed de-interleave bytes
+            pltpu.VMEM((T2, 2 * W + 2), I32),  # stage-1 word+bit chunks
+        ],
+        # STATUS (round 4): uncompilable on the current Mosaic
+        # toolchain at 8K — the scheduler's minimum VMEM plan for this
+        # kernel always lands a hair ABOVE whatever vmem_limit_bytes
+        # selects it (limit 3/4/5 M -> plan 5.07 M; the moment the
+        # limit exceeds the tight plan, ~5.324 M, it jumps straight to
+        # a 21.14 M plan; binary-searched to a <4 KB-wide, empty
+        # window; the error itself says "It should not be possible to
+        # run out of scoped vmem"). Kept behind GPUJPEG_TPU_RGB_FUSED
+        # for future toolchains; GPUJPEG_TPU_RGB_VMEM overrides the
+        # limit for sweeps. Full saga in BENCHMARKS.md round-4.
+        **({} if pallas_interpret() else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=int(os.environ.get(
+                    "GPUJPEG_TPU_RGB_VMEM", str(6 << 20))))}),
+    )(rawW, rst3, hrst3, D2, bq, ac512, dc128)
     seg_bits = meta[:, :, 0].reshape(-1)
     n_ff = meta[:, :, 1].reshape(-1)
     out_len = meta[:, :, 2].reshape(-1)

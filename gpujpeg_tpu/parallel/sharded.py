@@ -643,10 +643,13 @@ class ShardedDecoder:
                 check_vma=False,   # pallas_call out_shapes carry no vma
             ))
             self._cache[key] = fn
-        out = fn(jnp.asarray(dataT),
-                 jnp.asarray(np.ascontiguousarray(sc_in)),
-                 jnp.asarray(np.ascontiguousarray(sn_in)),
-                 *(jnp.asarray(a) for a in geo_args))
+        dev_args = (jnp.asarray(dataT),
+                    jnp.asarray(np.ascontiguousarray(sc_in)),
+                    jnp.asarray(np.ascontiguousarray(sn_in)),
+                    *(jnp.asarray(a) for a in geo_args))
+        # bench hook (mirrors Decoder.capture_device_call)
+        self.last_device_call = (fn, dev_args)
+        out = fn(*dev_args)
         if getattr(self, "_defer_get", False):
             return out          # decode_batch fetches at collect time
         return np.asarray(jax.device_get(out))
@@ -965,6 +968,10 @@ class ShardedEncoder:
 
         for tier in (1, 2):
             geo, fn = (b.geo1, b.fn1) if tier == 1 else b.tier2()
+            # bench hook (mirrors Decoder.capture_device_call): the
+            # compiled sharded jit + this batch's device args, so perf
+            # scripts can time pipelined device-only iterations
+            self.last_device_call = (fn, (bands_j, rst_j, has_j))
             out, out_len, seg_bits, n_ff = fn(bands_j, rst_j, has_j)
             len_h = np.asarray(jax.device_get(out_len))
             bits_h = np.asarray(jax.device_get(seg_bits))
