@@ -205,6 +205,37 @@ def test_device_decoder_foreign_jpeg():
     assert psnr(got.reshape(h, w, 3), pil) > 38.0
 
 
+def test_device_decoder_foreign_jpeg_subsampled():
+    """Foreign (PIL) 4:2:0 stream through the DEVICE decode path (the
+    reference GPU decoder handles arbitrary foreign subsampling,
+    gpujpeg_decoder.c:206; round-3 verdict flagged that only the golden
+    path covered this). Golden decode is the parity oracle (same
+    coefficients; IDCT f32 vs f64 may differ by 1 LSB), PIL the sanity
+    check (its upsampling filter differs from our nearest, so PSNR only)."""
+    h, w = 48, 64
+    img = make_test_rgb(h, w)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=85, subsampling=2)
+    data = buf.getvalue()
+
+    dec_g = Decoder(backend="golden")
+    dec_g.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+    want, _ = dec_g.decode(data)
+
+    import gpujpeg_tpu.models.decoder as dmod
+    dec = Decoder(backend="jax")
+    old = dmod.CPU_SEGMENT_THRESHOLD
+    dmod.CPU_SEGMENT_THRESHOLD = 0
+    try:
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        got, _ = dec.decode(data)
+    finally:
+        dmod.CPU_SEGMENT_THRESHOLD = old
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(got.reshape(h, w, 3), pil) > 30.0
+
+
 def test_16k_geometry_selects_chunked_path():
     """16K (15360x8640, 132 Mpix) plans must route through the lax.map
     segment-chunked encode (bounded live intermediates; a single-shot
