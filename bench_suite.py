@@ -193,16 +193,26 @@ def main():
             plan = make_plan(params, image)
             ctx = _enc_context(plan, *enc._tables(params))
             raw_dev = jnp.asarray(img.reshape(-1))
-            o = ctx.fn(raw_dev)
-            np.asarray(jax.lax.slice(o[1], (0,), (1,)))
-            t0 = time.perf_counter()
-            outs = [ctx.fn(raw_dev) for _ in range(8)]
-            np.asarray(jax.lax.slice(outs[-1][1], (0,), (1,)))
-            ms = (time.perf_counter() - t0) * 1e3 / 8
-            print(json.dumps(dict(config=f"8K_Q{q}",
-                                  encode_device_ms=round(ms, 2),
-                                  jpeg_mb=round(len(out) / 1e6, 2))),
-                  file=sys.stderr, flush=True)
+            # settle variant downgrades first (a high-quality geometry
+            # may exhaust every device variant and fall back to the
+            # host coder — timing ctx.fn directly would then crash on
+            # the failed compile)
+            from gpujpeg_tpu.ops.jax_pipeline import _call_with_downgrade
+            row = dict(config=f"8K_Q{q}", jpeg_mb=round(len(out) / 1e6, 2),
+                       variant=getattr(ctx.fn, "kind", "?"))
+            if _call_with_downgrade(ctx, raw_dev) is None:
+                row["encode_device_ms"] = None     # host-coder fallback
+                row["variant"] = "host"
+            else:
+                row["variant"] = getattr(ctx.fn, "kind", "?")
+                o = ctx.fn(raw_dev)
+                np.asarray(jax.lax.slice(o[1], (0,), (1,)))
+                t0 = time.perf_counter()
+                outs = [ctx.fn(raw_dev) for _ in range(8)]
+                np.asarray(jax.lax.slice(outs[-1][1], (0,), (1,)))
+                row["encode_device_ms"] = round(
+                    (time.perf_counter() - t0) * 1e3 / 8, 2)
+            print(json.dumps(row), file=sys.stderr, flush=True)
 
     hdr = ("config", "mpix", "encode_device_ms", "decode_device_ms",
            "encode_mpix_s", "decode_mpix_s")

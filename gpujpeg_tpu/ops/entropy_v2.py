@@ -557,6 +557,13 @@ def block_chunks_pallas(coeff, diff, cls, valid, tabs: PackedTables, W: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # in-kernel live set grows ~linearly with W (the (T2, 2W) window +
+    # per-word synthesis chains): the 8K Q90 point (W=56) asked 63.7M
+    # scoped VMEM at the W=4-tuned tile. Scale inversely, 16-block
+    # (8-row) aligned.
+    if W > 4:
+        tile = max(16, (tile * 4 // W) // 16 * 16)
+
     N = coeff.shape[0]
     pad = (-N) % tile
     if pad:
@@ -926,11 +933,26 @@ def band_perm_rows() -> np.ndarray:
     return (cb >= 8) * 64 + r * 8 + (cb & 7)
 
 
+def band_perm_rows_v() -> np.ndarray:
+    """:func:`band_perm_rows` for the VERTICAL plane-word pack
+    (``band_vert=True``): word (r, j) holds plane bytes (4r..4r+3, j) —
+    the native TPU u8 (32,128) sublane-packed tiling, so the XLA side
+    produces it at copy cost instead of the horizontal pack's ~4 ms
+    cross-lane shuffle (BENCHMARKS.md round-4 io split). After the
+    in-kernel transpose(2, Wp) + 32-lane row-collapse, lane ``l`` of a
+    pair row holds plane byte (row ``4*((l>>2)&1) + (l&3)``, in-pair
+    column ``l>>3``)."""
+    l = np.arange(128)
+    r = 4 * ((l >> 2) & 1) + (l & 3)
+    cb = l >> 3
+    return (cb >= 8) * 64 + r * 8 + (cb & 7)
+
+
 def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
                           D2_h, bias2_h, qrows_h, tabs: PackedTables,
                           W: int, bps: int, cap_words: int, cap_out: int,
                           max_stuff: int = MAX_STUFF, tile: int = 768,
-                          band_ppb: int = 0):
+                          band_ppb: int = 0, band_vert: bool = False):
     """The WHOLE entropy encode in ONE kernel: fused DCT+quant+stage-1
     plus the packed tree merge, byte stuffing and RST append of
     :func:`merge_stuff_packed` — for the flagship geometry
@@ -962,7 +984,17 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
     from jax.experimental.pallas import tpu as pltpu
 
     T2 = tile // 2
-    if band_ppb:
+    if band_ppb and band_vert:
+        # vertical plane-word pack: word (r, j) = plane bytes
+        # (4r..4r+3, j); two word rows per 8-row band, full plane width
+        # of lanes (band_ppb * 16). The caller pairs this with the
+        # band_perm_rows_v() DCT operator.
+        word_rows = pbw.shape[0]
+        assert pbw.shape[1] == band_ppb * 16, (pbw.shape, band_ppb)
+        assert word_rows % 2 == 0
+        M = word_rows // 2 * band_ppb
+        assert T2 % band_ppb == 0, (T2, band_ppb)
+    elif band_ppb:
         plane_rows = pbw.shape[0]
         assert pbw.shape[1] == band_ppb * 4, (pbw.shape, band_ppb)
         assert plane_rows % 8 == 0
@@ -1010,7 +1042,16 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
         from jax.experimental import pallas as pl
         pid = pl.program_id(0)
         for sub in range(KS):
-            if band_ppb:
+            if band_ppb and band_vert:
+                # vertical words: per band, transpose the TWO word rows
+                # (2, Wp) -> (Wp, 2) and collapse to 32 lanes — byte
+                # order absorbed by band_perm_rows_v()
+                pb = jnp.concatenate([
+                    _pack_rows_lanes(jnp.transpose(
+                        pb_ref[2 * (sub * Ksub + kb):
+                               2 * (sub * Ksub + kb + 1)]), 32)
+                    for kb in range(Ksub)], axis=0)
+            elif band_ppb:
                 # in-VMEM blockify: per plane 8-row band, a 2D transpose
                 # then the Mosaic row-collapse — byte order absorbed by
                 # the permuted DCT operator (band_perm_rows)
@@ -1036,11 +1077,15 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
             out_ref[sub * spt_s:(sub + 1) * spt_s] = out_w
             meta_ref[sub * spt_s:(sub + 1) * spt_s] = meta
 
-    pb_spec = (pl.BlockSpec((T2 // band_ppb * 8, band_ppb * 4),
-                            lambda i: (i, 0), memory_space=pltpu.VMEM)
-               if band_ppb else
-               pl.BlockSpec((T2, 32), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM))
+    if band_ppb and band_vert:
+        pb_spec = pl.BlockSpec((T2 // band_ppb * 2, band_ppb * 16),
+                               lambda i: (i, 0), memory_space=pltpu.VMEM)
+    elif band_ppb:
+        pb_spec = pl.BlockSpec((T2 // band_ppb * 8, band_ppb * 4),
+                               lambda i: (i, 0), memory_space=pltpu.VMEM)
+    else:
+        pb_spec = pl.BlockSpec((T2, 32), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
     out_w, meta = _pcall(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((S_pad, WO), jnp.uint32),

@@ -354,6 +354,18 @@ class _EncContext:
         # 2048, and 4096 pads small images and compiles slower)
         FUSED_TILE = int(os.environ.get("GPUJPEG_TPU_FUSED_TILE", "2048"))
         seg_rows = geo.bps // 2
+        # the stage-1 live set grows ~linearly with the per-block window
+        # width (words_per_block): the 8K Q90 sweep point (Wb=56) asked
+        # 59.7M scoped VMEM at the Q75-tuned tile vs the 16M budget —
+        # compile-stopping. Scale the tile inversely with Wb (anchored
+        # at the swept Wb=4 optimum), keeping segment alignment so the
+        # fused variants stay eligible; explicit env overrides win.
+        if (geo.words_per_block > 4
+                and "GPUJPEG_TPU_FUSED_TILE" not in os.environ):
+            align = max(2 * max(seg_rows, 1), 16)
+            FUSED_TILE = max(align,
+                             (FUSED_TILE * 4 // geo.words_per_block)
+                             // align * align)
         fused_ok = (use_pallas and packed_dct and not plan.params.interleaved
                     and (seg_rows == 0 or (FUSED_TILE // 2) % max(seg_rows, 1)
                          == 0)
@@ -442,7 +454,18 @@ class _EncContext:
                 hrst2 = jnp.asarray(np.pad(
                     np.asarray(geo.seg_has_rst),
                     (0, S_pad_f - S)).astype(np.int32)[:, None])
+                # vertical plane-word pack (GPUJPEG_TPU_VPACK=1): the
+                # word layout coincides with the native TPU u8 (32,128)
+                # sublane-packed tiling, so XLA materializes it at copy
+                # cost instead of the horizontal pack's cross-lane
+                # shuffle (~4 ms of the 8K io floor, BENCHMARKS.md
+                # round-4); the byte-order change folds into the DCT
+                # operator (band_perm_rows_v)
+                use_vert = (band_ok
+                            and bool(os.environ.get("GPUJPEG_TPU_VPACK")))
+                from .entropy_v2 import band_perm_rows_v
                 D2f_h = D2_h[band_perm_rows()] if band_ok else D2_h
+                D2f_v = D2_h[band_perm_rows_v()] if use_vert else None
 
                 # rgb-fused variant: raw interleaved bytes straight into
                 # the kernel (in-VMEM de-interleave + color transform;
@@ -535,6 +558,28 @@ class _EncContext:
                     planes = preprocess(raw, plan.image, plan, jnp)
                     if barrier_mode == "planes":
                         planes = jax.lax.optimization_barrier(tuple(planes))
+                    if band_ok and use_vert:
+                        # VERTICAL plane words: word (r, j) packs rows
+                        # 4r..4r+3 of column j — sublane-strided
+                        # shift-OR, measured cheaper than both the
+                        # horizontal pack (3.49 vs 5.75 ms at 8K) and
+                        # the transpose+bitcast form (4.01 ms)
+                        def _vpack(p):
+                            q = p.astype(jnp.uint32)
+                            return jax.lax.bitcast_convert_type(
+                                q[0::4] | (q[1::4] << 8)
+                                | (q[2::4] << 16) | (q[3::4] << 24),
+                                jnp.int32)
+                        pw = jnp.concatenate([_vpack(p) for p in planes])
+                        pad_rows = (Mp_f - M) // ppb * 2
+                        if pad_rows:
+                            pw = jnp.pad(pw, ((0, pad_rows), (0, 0)))
+                        return encode_dct_fused_full(
+                            pw, rst2, hrst2, spec, D2f_v, bias2_h,
+                            qrows_h, tabs, Wb, geo.bps,
+                            geo.cap_seg_words, geo.cap_out_bytes,
+                            geo.max_stuff, tile=2 * T2f, band_ppb=ppb,
+                            band_vert=True)
                     if band_ok:
                         # concat plane WORDS (no transpose): blockify
                         # happens in-VMEM inside the kernel
@@ -568,6 +613,10 @@ class _EncContext:
                 self._fn_args = (rst2, hrst2)
                 wrapped = lambda raw: fn_full(raw, *self._fn_args)
                 wrapped.kind = "fused_full"
+                # debug hook so A/B tests can assert the resolved input
+                # form instead of comparing a path to itself
+                wrapped.band_mode = ("vert" if use_vert
+                                     else "band" if band_ok else "packed")
                 return wrapped
 
             @jax.jit

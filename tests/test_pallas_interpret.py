@@ -201,6 +201,34 @@ def test_full_fused_kernel_matches_separate(monkeypatch):
     assert psnr(pil, img) > 30
 
 
+def test_vertical_pack_matches_band(monkeypatch):
+    """GPUJPEG_TPU_VPACK=1 feeds the fused_full kernel VERTICALLY packed
+    plane words (word = 4 row-adjacent bytes, the native TPU u8 tiling;
+    the byte-order change folds into the band_perm_rows_v DCT operator).
+    Streams must be byte-identical to the default horizontal pack."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    h, w = 128, 160
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=75, restart_interval=32)  # W=4, bps=32
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    monkeypatch.setenv("GPUJPEG_TPU_VPACK", "1")
+    jp._ENC_CACHE.clear()
+    vert = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    (ctx,) = jp._ENC_CACHE.values()
+    assert getattr(ctx.fn, "band_mode", None) == "vert", \
+        "knob set on a band-eligible geometry must engage the vertical pack"
+    monkeypatch.delenv("GPUJPEG_TPU_VPACK")
+    jp._ENC_CACHE.clear()
+    band = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    (ctx,) = jp._ENC_CACHE.values()
+    assert getattr(ctx.fn, "band_mode", None) == "band"
+    jp._ENC_CACHE.clear()
+    assert vert == band
+    pil = np.asarray(Image.open(io.BytesIO(vert)).convert("RGB"))
+    assert psnr(pil, img) > 30
+
+
 def test_rgb_fused_kernel_matches_band(monkeypatch):
     """The rgb-fused encode kernel (raw interleaved bytes in, in-VMEM
     de-interleave + fixed-point color transform in-kernel — the XLA
