@@ -183,9 +183,12 @@ def main():
         image = ImageParameters(width=W, height=H,
                                 color_space=ColorSpace.RGB,
                                 pixel_format=PixelFormat.PF_444_U8_P012)
-        ri = suggest_restart_interval(image, subsampled=False, pow2=True,
-                                      interleaved=False)
         for q in range(10, 101, 10):
+            # quality-aware: keeps the flagship kernel eligible at
+            # Q80-97 (the tier-1 word budget doubles there; ri halves)
+            ri = suggest_restart_interval(image, subsampled=False,
+                                          pow2=True, interleaved=False,
+                                          quality=q)
             params = Parameters(quality=q, restart_interval=ri,
                                 interleaved=False)
             enc = Encoder(backend="jax")

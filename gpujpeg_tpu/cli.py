@@ -191,7 +191,8 @@ def _adjust_params(args, params: Parameters, image: ImageParameters,
         if args.restart is None:
             ri = suggest_restart_interval(
                 image, subsampled=(sub != 444),
-                interleaved=params.interleaved, pow2=True)
+                interleaved=params.interleaved, pow2=True,
+                quality=params.quality)
             params = dataclasses.replace(params, restart_interval=ri)
     if args.native:
         params = dataclasses.replace(params, color_space_internal=cs)

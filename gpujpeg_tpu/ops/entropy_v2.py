@@ -1045,12 +1045,21 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
             if band_ppb and band_vert:
                 # vertical words: per band, transpose the TWO word rows
                 # (2, Wp) -> (Wp, 2) and collapse to 32 lanes — byte
-                # order absorbed by band_perm_rows_v()
+                # order absorbed by band_perm_rows_v(). The transpose
+                # runs in column CHUNKS: whole-band intermediates put
+                # the kernel 772 KB over the 16M scoped-VMEM budget at
+                # the (constraint-pinned) T2=1920 8K tile; chunk pair-
+                # rows stay contiguous so the byte order is unchanged.
+                Wp = band_ppb * 16
+                nv = next((n for n in (8, 4, 2, 1)
+                           if band_ppb % n == 0 and (Wp // n) % 16 == 0))
+                cw = Wp // nv
                 pb = jnp.concatenate([
                     _pack_rows_lanes(jnp.transpose(
                         pb_ref[2 * (sub * Ksub + kb):
-                               2 * (sub * Ksub + kb + 1)]), 32)
-                    for kb in range(Ksub)], axis=0)
+                               2 * (sub * Ksub + kb + 1),
+                               cv * cw:(cv + 1) * cw]), 32)
+                    for kb in range(Ksub) for cv in range(nv)], axis=0)
             elif band_ppb:
                 # in-VMEM blockify: per plane 8-row band, a 2D transpose
                 # then the Mosaic row-collapse — byte order absorbed by

@@ -94,7 +94,7 @@ def choose_restart_interval(params: Parameters, image: ImageParameters,
     subsampled = any(s != params.sampling_factor[0]
                      for s in params.sampling_factor[:image.comp_count])
     want = suggest_restart_interval(image, subsampled, params.interleaved,
-                                    pow2=True)
+                                    pow2=True, quality=params.quality)
     band_image = dataclasses.replace(image, height=rows)
     plan = make_plan(dataclasses.replace(params, restart_interval=0), band_image)
     if params.interleaved and image.comp_count > 1:

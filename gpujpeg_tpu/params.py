@@ -65,7 +65,8 @@ class ImageParameters:
 
 
 def suggest_restart_interval(img: ImageParameters, subsampled: bool,
-                             interleaved: bool, pow2: bool = False) -> int:
+                             interleaved: bool, pow2: bool = False,
+                             quality: int | None = None) -> int:
     """Heuristic restart interval by image size
     (reference: gpujpeg_encoder_suggest_restart_interval,
     gpujpeg_encoder.c:256-283). With ``pow2=False`` (default) the values
@@ -76,6 +77,17 @@ def suggest_restart_interval(img: ImageParameters, subsampled: bool,
     logarithmic merge tree, so ri=36 would waste 78% of the kernel rows
     where ri=32 wastes none. The TPU encoder paths (CLI, sharded encoder,
     benches) pass ``pow2=True`` explicitly to round accordingly.
+
+    With ``quality`` also given (pow2 mode, non-interleaved), the
+    suggestion additionally keeps the single-kernel fused encode
+    eligible: that kernel requires segments-of-blocks x words-per-block
+    == 128 lanes, and the tier-1 word budget grows with quality
+    (block_byte_budget, ops/entropy_v2.py) — at Q80-97 the interval
+    must halve to 16 or the encoder falls off the flagship kernel
+    (measured 43 vs ~29 ms at 8K Q80, BENCHMARKS.md round-4). Restart
+    interval is a throughput knob, not a fidelity one (the reference
+    documents the same tradeoff, FAQ.md:21-39), so the suggestion is
+    the right place for this.
     """
     mpix = img.width * img.height / 1_000_000.0
     if mpix < 1:
@@ -95,4 +107,10 @@ def suggest_restart_interval(img: ImageParameters, subsampled: bool,
         while p * 2 <= ri:
             p *= 2
         ri = p * 2 if ri - p > p * 2 - ri else p
+        if quality is not None and not interleaved:
+            # flagship-kernel eligibility: bps * W == 128 with the
+            # tier-1 word budget W = ceil(block_byte_budget/4)
+            w = 4 if quality < 80 else 8 if quality < 98 else 56
+            if 128 % w == 0 and ri > 128 // w:
+                ri = 128 // w
     return ri

@@ -201,6 +201,39 @@ def test_full_fused_kernel_matches_separate(monkeypatch):
     assert psnr(pil, img) > 30
 
 
+def test_full_fused_w8_matches_staged(monkeypatch):
+    """The quality-aware restart suggestion (params.py) keeps the
+    single-kernel fused encode eligible at Q80-97 by halving the
+    interval to 16 (tier-1 word budget W=8, so bps*W==128 needs
+    bps=16). That W=8 flagship path was previously unreachable —
+    pin it byte-identical to the staged device path (identical f32
+    coefficients; golden differs only by documented f64 rounding
+    ties on unpinned content)."""
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    h, w = 128, 160
+    img = make_test_rgb(h, w)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    # ri=16 x W=8 == 128 lanes (the 8K-scale suggestion; this image is
+    # too small for the size heuristic to reach it — see
+    # test_suggest_restart_interval_quality_aware for the suggestion)
+    params = Parameters(quality=85, restart_interval=16)
+    jp._ENC_CACHE.clear()
+    full = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    (ctx,) = jp._ENC_CACHE.values()
+    assert getattr(ctx.fn, "kind", None) == "fused_full", \
+        "Q85 ri=16 must engage the single-kernel fused encode (W=8)"
+    monkeypatch.setenv("GPUJPEG_TPU_NO_FUSED_DCT", "1")
+    jp._ENC_CACHE.clear()
+    staged = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    (ctx,) = jp._ENC_CACHE.values()
+    assert getattr(ctx.fn, "kind", None) == "staged"
+    jp._ENC_CACHE.clear()
+    assert full == staged
+    pil = np.asarray(Image.open(io.BytesIO(full)).convert("RGB"))
+    assert psnr(pil, img) > 30
+
+
 def test_vertical_pack_matches_band(monkeypatch):
     """GPUJPEG_TPU_VPACK=1 feeds the fused_full kernel VERTICALLY packed
     plane words (word = 4 row-adjacent bytes, the native TPU u8 tiling;

@@ -112,3 +112,29 @@ def test_fdct_idct_roundtrip_lossless_at_q1_tables():
     back = np.clip(np.rint(coeff @ W + 128.0), 0, 255)
     # with quant=1 the only loss is coefficient rounding: max error 1
     assert np.abs(back - blocks).max() <= 1
+
+
+def test_suggest_restart_interval_quality_aware():
+    """pow2 + quality: the suggestion keeps the flagship fused encode
+    eligible (bps * tier-1 words_per_block == 128; block_byte_budget,
+    ops/entropy_v2.py). Quality omitted -> reference-shaped heuristic
+    unchanged (gpujpeg_encoder.c:256-283)."""
+    from gpujpeg_tpu.params import ImageParameters, suggest_restart_interval
+    from gpujpeg_tpu.types import ColorSpace, PixelFormat
+    img = ImageParameters(width=7680, height=4320,
+                          color_space=ColorSpace.RGB,
+                          pixel_format=PixelFormat.PF_444_U8_P012)
+    base = suggest_restart_interval(img, subsampled=False,
+                                    interleaved=False, pow2=True)
+    assert base == 32
+    for q, want in ((10, 32), (75, 32), (80, 16), (90, 16), (97, 16),
+                    (98, 32), (100, 32)):   # W=56 has no 128-lane fit
+        got = suggest_restart_interval(img, subsampled=False,
+                                       interleaved=False, pow2=True,
+                                       quality=q)
+        assert got == want, (q, got, want)
+    # interleaved: eligibility clamp does not apply
+    assert suggest_restart_interval(img, subsampled=True, interleaved=True,
+                                    pow2=True, quality=90) == \
+        suggest_restart_interval(img, subsampled=True, interleaved=True,
+                                 pow2=True)
