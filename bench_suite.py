@@ -167,15 +167,17 @@ def bench_video(iters=100):
 
 
 def main():
-    do_sweep = "--sweep" in sys.argv
+    do_sweep = "--sweep" in sys.argv or "--sweep-only" in sys.argv
+    do_res = "--sweep-only" not in sys.argv
     do_16k = "--no-16k" not in sys.argv
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     rows = []
-    for name in ("HD", "4K", "8K") + (("16K",) if do_16k else ()):
-        rows.append(bench_res(name, iters if name != "16K" else 3))
-    rows.append(bench_video())
+    if do_res:
+        for name in ("HD", "4K", "8K") + (("16K",) if do_16k else ()):
+            rows.append(bench_res(name, iters if name != "16K" else 3))
+        rows.append(bench_video())
 
     if do_sweep:
         H, W = RES["8K"]

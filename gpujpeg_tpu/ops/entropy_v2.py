@@ -1885,6 +1885,12 @@ def stuff_and_rst_pallas(seg_words, seg_bits, rst_marker, has_rst,
 
     S, CW = seg_words.shape
     WO = cap_out // 4
+    # live set scales with the per-segment word footprint: the 8K Q100
+    # point (CW=770, WO=1184) asked 28.1M scoped VMEM at the Q75-tuned
+    # tile of 256. Scale inversely, anchored at the Q75 footprint.
+    load, base = CW + WO, 340
+    if load > base:
+        tile = max(8, (tile * base // load) // 8 * 8)
     S_pad = -(-S // tile) * tile
     if S_pad != S:
         seg_words = jnp.pad(seg_words, ((0, S_pad - S), (0, 0)))
