@@ -32,7 +32,7 @@ BASELINE_E2E_MS = 6.20      # GTX 3080, 8K Q75 encode incl. PCIe (README.md:97)
 # at 8K Q75 (BENCH_r03.json); a >GATE_PCT regression turns the bench
 # red. Ratchet DOWN after a deliberate, measured improvement — never up.
 EXPECT = {
-    "encode_ms": 26.4,
+    "encode_ms": 22.9,   # round-5 words front end (was 26.4)
     "decode_ms": 24.7,
 }
 GATE_PCT = float(os.environ.get("GPUJPEG_TPU_GATE_PCT", "10"))
@@ -160,7 +160,13 @@ def main():
     plan = make_plan(params, image)
     quant_zz, huff = enc._tables(params)
     ctx = _enc_context(plan, quant_zz, huff)
-    raw_dev = jnp.asarray(img.reshape(-1))
+    if getattr(ctx.fn, "input_form", "flat") == "words":
+        # round-5 words front end: the host views the raw bytes as i32
+        # words for free; device-resident input is those same bytes
+        from gpujpeg_tpu.ops.rgbpack import host_raw_words
+        raw_dev = jnp.asarray(host_raw_words(img, H, W))
+    else:
+        raw_dev = jnp.asarray(img.reshape(-1))
 
     def sync(o):
         np.asarray(jax.lax.slice(o[1], (0,), (1,)))
@@ -171,10 +177,10 @@ def main():
     # the bench measured as if it were the fused kernel
     kind = getattr(ctx.fn, "kind", "?")
     log(f"encode variant: {kind}")
-    downgraded = kind != "fused_full"
+    downgraded = kind != "fused_full_words"
     if downgraded:
-        log("BENCH FAIL: encode variant downgraded (expected fused_full); "
-            "see scripts/tpu_smoke.py")
+        log("BENCH FAIL: encode variant downgraded (expected "
+            "fused_full_words); see scripts/tpu_smoke.py")
     t0 = time.perf_counter()
     outs = [ctx.fn(raw_dev) for _ in range(iters)]
     sync(outs[-1])

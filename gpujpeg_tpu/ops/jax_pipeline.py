@@ -59,6 +59,11 @@ def _bucket(n: int, minimum: int = 4096) -> int:
 
 _ENC_CACHE: dict = {}
 
+#: sentinel from _call_with_downgrade: a runtime downgrade switched the
+#: pipeline from the words input form to the flat one — re-prepare the
+#: input and call again
+_REPREP = object()
+
 
 class _EncContext:
     """Device encoder (v2 entropy): preprocess -> MXU DCT+quant over the
@@ -116,15 +121,16 @@ class _EncContext:
             self._tier2 = ctx
         return self._tier2
 
-    def batched_fn(self):
+    def batched_fn(self, fn=None):
         """jit(vmap(fn)): B same-geometry frames in ONE device launch —
         the leading-batch-dim form of the reference's per-stream frame
         pipelining (SURVEY §2.2 row 5). Amortizes per-launch dispatch +
         small-grid underutilization, which dominates at HD sizes.
         Bit-identical per frame to fn (tested through the real kernels
         in interpreter mode). Keyed on fn identity so a runtime kernel
-        downgrade that rebuilds fn invalidates the batched wrapper."""
-        cur = self.fn
+        downgrade that rebuilds fn invalidates the batched wrapper.
+        ``fn`` selects the input form (defaults to the primary)."""
+        cur = fn if fn is not None else self.fn
         ent = getattr(self, "_batched", None)
         if ent is None or ent[0] is not cur:
             ent = (cur, jax.jit(jax.vmap(cur)))
@@ -617,6 +623,45 @@ class _EncContext:
                 # form instead of comparing a path to itself
                 wrapped.band_mode = ("vert" if use_vert
                                      else "band" if band_ok else "packed")
+                wrapped.input_form = "flat"
+
+                # words-form front end (round-5 io-floor fix): the host
+                # views the raw bytes as (H, 3W/4) i32 words for FREE
+                # before upload, and the whole preprocess+pack stage
+                # becomes one fused word-domain elementwise pass
+                # (ops/rgbpack.py: 2.0 vs 6.1 ms standalone at 8K on
+                # chip, byte-identical). Device-resident u8 inputs keep
+                # the flat form above — a device-side u8->word bitcast
+                # materializes a lane-padded (N/4, 4) intermediate
+                # (measured RESOURCE_EXHAUSTED at 8K).
+                from .rgbpack import pack_eligible, pack_consts
+                use_words = (band_ok and not use_vert
+                             and pack_eligible(plan)
+                             and "fused_full_words" not in self._disabled)
+                if use_words:
+                    m9p, basep = pack_consts(plan)
+                    from .rgbpack import pack_plane_words
+                    pad_rows_w = (Mp_f - M) // ppb * 8
+
+                    @jax.jit
+                    def fn_full_w(raw_w, rst2, hrst2):
+                        pw = pack_plane_words(raw_w, m9p, basep,
+                                              barrier_mode)
+                        if pad_rows_w:
+                            pw = jnp.pad(pw, ((0, pad_rows_w), (0, 0)))
+                        return encode_dct_fused_full(
+                            pw, rst2, hrst2, spec, D2f_h, bias2_h,
+                            qrows_h, tabs, Wb, geo.bps,
+                            geo.cap_seg_words, geo.cap_out_bytes,
+                            geo.max_stuff, tile=2 * T2f, band_ppb=ppb)
+
+                    wrapped_w = lambda raw_w: fn_full_w(raw_w,
+                                                        *self._fn_args)
+                    wrapped_w.kind = "fused_full_words"
+                    wrapped_w.band_mode = "words"
+                    wrapped_w.input_form = "words"
+                    wrapped_w.flat_form = wrapped
+                    return wrapped_w
                 return wrapped
 
             @jax.jit
@@ -703,15 +748,25 @@ def _call_with_downgrade(ctx, raw_j):
     The downgrade is recorded in ctx._disabled (checked by _build_fn)
     rather than by flipping the GPUJPEG_TPU_NO_* env vars: env mutation
     is process-global and racy under concurrent encoders, and would not
-    persist to the tier-2 rebuild."""
+    persist to the tier-2 rebuild.
+
+    Returns _REPREP when a downgrade changed the required input form
+    (words -> flat): the caller must re-prepare raw_j and retry."""
+    words_in = raw_j.dtype == jnp.int32     # words-form input
     while True:
+        fn = ctx.fn
+        if getattr(fn, "input_form", "flat") == "words" and not words_in:
+            fn = fn.flat_form               # device-resident u8 input
+        elif getattr(fn, "input_form", "flat") != "words" and words_in:
+            return _REPREP
         try:
-            return jax.block_until_ready(ctx.fn(raw_j))
+            return jax.block_until_ready(fn(raw_j))
         except Exception as e:  # pragma: no cover - kernel gaps
             if os.environ.get("GPUJPEG_TPU_STRICT"):
                 raise
-            kind = getattr(ctx.fn, "kind", None)
-            if kind not in ("fused_full_rgb", "fused_full", "fused"):
+            kind = getattr(fn, "kind", None)
+            if kind not in ("fused_full_rgb", "fused_full_words",
+                            "fused_full", "fused"):
                 return None
             import logging
             logging.getLogger(__name__).warning(
@@ -719,6 +774,7 @@ def _call_with_downgrade(ctx, raw_j):
                 "rebuilding the next-simpler variant", kind, e)
             ctx._disabled.add(kind)
             ctx.fn = ctx._build_fn(ctx.geo)
+            ctx._batched = None
 
 
 def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
@@ -729,11 +785,21 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
     ctx = _enc_context(plan, quant_zz, huff)
     perf_stats = bool(getattr(plan.params, "perf_stats", False))
     t_h2d = time.perf_counter()
+    # words-form front end: host inputs upload as (H, 3W/4) i32 words
+    # (a free view — same bytes); device-resident u8 arrays and the
+    # perf_stats staged pipeline keep the flat u8 form
+    use_words = (getattr(ctx.fn, "input_form", "flat") == "words"
+                 and not isinstance(raw, jax.Array)
+                 and not (perf_stats and getattr(ctx, "_stage_fns", None)))
     if isinstance(raw, jax.Array):
         # device-resident input: the analog of the reference's
         # GPUJPEG_ENCODER_INPUT_GPU_IMAGE / OpenGL-texture paths
         # (gpujpeg_encoder.c:353-395) — no host round trip
         raw_j = raw.reshape(-1).astype(jnp.uint8)
+    elif use_words:
+        from .rgbpack import host_raw_words
+        raw_j = jnp.asarray(host_raw_words(raw, plan.image.height,
+                                           plan.image.width))
     else:
         raw_j = jnp.asarray(np.asarray(raw, dtype=np.uint8).reshape(-1))
     if perf_stats:
@@ -747,7 +813,11 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
                 encoder, ctx, raw_j)
         else:
             res = _call_with_downgrade(ctx, raw_j)
-            if res is None:
+            if res is _REPREP:      # downgrade dropped the words form
+                raw_j = jnp.asarray(
+                    np.asarray(raw, dtype=np.uint8).reshape(-1))
+                res = _call_with_downgrade(ctx, raw_j)
+            if res is None or res is _REPREP:
                 return None         # host golden coder
             out_flat, out_len, seg_bits, n_ff = res
         out_len_h = np.asarray(out_len)
@@ -821,19 +891,32 @@ def encode_batch_device(encoder, raws, plan: CoderPlan, quant_zz, huff,
         return
     B = min(_batch_frames_auto(int(np.asarray(raws[0]).size)), n)
 
+    # words-form front end for all-host batches (see
+    # encode_segments_device); any device-resident frame keeps the
+    # whole batch on the flat u8 form — mixed stacks can't share one
+    # vmapped executable
+    use_words = (getattr(ctx.fn, "input_form", "flat") == "words"
+                 and not any(isinstance(r, jax.Array) for r in raws))
+    fn1 = ctx.fn if (use_words or getattr(ctx.fn, "input_form", "flat")
+                     == "flat") else ctx.fn.flat_form
+
     def to_dev(raw):
         if isinstance(raw, jax.Array):
             return raw.reshape(-1).astype(jnp.uint8)
+        if use_words:
+            from .rgbpack import host_raw_words
+            return jnp.asarray(host_raw_words(raw, plan.image.height,
+                                              plan.image.width))
         return jnp.asarray(np.asarray(raw, dtype=np.uint8).reshape(-1))
 
     def launch(chunk):
         try:
             if B == 1:
-                return ctx.fn(to_dev(chunk[0]))
+                return fn1(to_dev(chunk[0]))
             arrs = [to_dev(r) for r in chunk]
             if len(arrs) < B:   # pad the tail chunk; outputs are dropped
                 arrs += [arrs[-1]] * (B - len(arrs))
-            return ctx.batched_fn()(jnp.stack(arrs))
+            return ctx.batched_fn(fn1)(jnp.stack(arrs))
         except Exception:
             if os.environ.get("GPUJPEG_TPU_STRICT"):
                 raise
