@@ -205,7 +205,11 @@ class Decoder:
                     # a full-frame D2H
                     np.asarray(raw.reshape(-1)[:1])
                     return raw, oi
-                return np.asarray(raw), oi
+                host = np.asarray(raw)
+                if host.dtype == np.int32:
+                    # words-tail device output: identical bytes, free view
+                    host = host.view("<u1").reshape(-1)
+                return host, oi
             except Exception:
                 # deferred kernel failure at sync time: re-decode this
                 # frame synchronously

@@ -1107,20 +1107,44 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     # chip — BENCHMARKS.md round-3 — and was DELETED with its data;
     # DEC_BAND stays as the single A/B hook for the tail seam.)
     use_band = bool(os.environ.get("GPUJPEG_TPU_DEC_BAND"))
+    inv = np.empty(plan.n_blocks, dtype=np.int32)
+    inv[plan.block_plane_idx] = np.arange(plan.n_blocks, dtype=np.int32)
+    # both reorders are identities on the common non-interleaved path
+    # (scan order == plane order, padding segments at the tail); a
+    # (n_blocks, 64) row gather is ~15 ms at 8K, so skip them
+    nb = plan.n_blocks
+    out_row_identity = bool(
+        np.array_equal(out_row, np.arange(nb, dtype=np.int64)))
+    inv_identity = bool(
+        np.array_equal(inv, np.arange(nb, dtype=np.int32)))
+    # pixel-words tail (round 5): run.pixels fuses dequant+IDCT into the
+    # huffman kernel (the MXU contracts the coefficient dim on operands
+    # already in VMEM — the 400 MB coefficient array never exists in
+    # HBM and the kernel writes 4x fewer bytes), then ONE 2-D transpose
+    # + the in-VMEM un-blockify + a lane-aligned word-domain inverse
+    # transform/interleave produce the raw words directly (host views
+    # them as the u8 buffer for free). Eligible on the identity
+    # non-interleaved path when block rows hold whole segments and the
+    # output is full-res interleaved RGB-order u8
+    # (rgbpack.unpack_eligible). GPUJPEG_TPU_DEC_PX=0 opts back out.
+    # (A coefficient-layout native tail was built first and measured
+    # 30.1 vs 25.4 on chip — the u8 un-blockify transpose from the
+    # k-seg layout costs more than the saved scan transpose;
+    # BENCHMARKS.md round-5.)
+    from .rgbpack import unpack_eligible
+    use_px = (use_v3 and out_row_identity and inv_identity
+              and not use_band
+              and not (plan.params.interleaved
+                       and plan.image.comp_count > 1)
+              and all(c.data_width % (8 * bps) == 0
+                      and c.block_count % bps == 0
+                      for c in plan.components)
+              and unpack_eligible(plan, out_image)
+              and os.environ.get("GPUJPEG_TPU_DEC_PX", "1") != "0")
     key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad, use_v3,
-           seg_tile, use_band)
+           seg_tile, use_band, use_px)
     fn = _DEC_V2_CACHE.get(key)
     if fn is None:
-        inv = np.empty(plan.n_blocks, dtype=np.int32)
-        inv[plan.block_plane_idx] = np.arange(plan.n_blocks, dtype=np.int32)
-        # both reorders are identities on the common non-interleaved path
-        # (scan order == plane order, padding segments at the tail); a
-        # (n_blocks, 64) row gather is ~15 ms at 8K, so skip them
-        nb = plan.n_blocks
-        out_row_identity = bool(
-            np.array_equal(out_row, np.arange(nb, dtype=np.int64)))
-        inv_identity = bool(
-            np.array_equal(inv, np.arange(nb, dtype=np.int32)))
         # reorder indices are jit ARGUMENTS (identity on the flagship
         # path; embedded-constant lowering costs minutes when present)
         inv_j = (jnp.zeros((1,), jnp.int32) if inv_identity
@@ -1141,18 +1165,52 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             run = make_decode_kernel(seg_tile, bps, wcap, n_slots,
                                      bps * 68 + 16, tpl, 4)
 
-        def stage_huffman(rows_j, seg_comp_j, seg_nblk_j, quick,
-                          maxcode, delta, huffval, dcs, acs,
-                          out_row_a, inv_a):
-            from . import pallas_decode as _pd
-            t = _pd.DecTables(quick, maxcode, delta, huffval)
-            out3 = run(rows_j, seg_comp_j, seg_nblk_j, t, dcs, acs)
-            flat = out3.reshape(-1, 64)
-            coeff_scan = (flat[:nb] if out_row_identity
-                          else flat[out_row_a])
-            return coeff_scan if inv_identity else coeff_scan[inv_a]
+        if use_px:
+            from .pallas_decode import unblockify_bands
+            from .rgbpack import interleave_raw_words, unpack_consts
+            m9i, basei = unpack_consts(plan, out_image)
+            q_of = np.zeros(4, np.int32)
+            for i, c in enumerate(plan.components):
+                q_of[c.index] = i           # Wq rows are comp-major
+            q_of_j = jnp.asarray(q_of)
+            n_c = len(comp_slices)
+            dh0, dw0 = comp_slices[0][2], comp_slices[0][3]
 
-        def stage_idct(coeff_plane, Ws):
+            def stage_huffman(rows_j, seg_comp_j, seg_nblk_j, quick,
+                              maxcode, delta, huffval, dcs, acs, Wq):
+                from . import pallas_decode as _pd
+                t = _pd.DecTables(quick, maxcode, delta, huffval)
+                return run.pixels(rows_j, seg_comp_j, seg_nblk_j, t,
+                                  dcs, acs, Wq, q_of_j)
+
+            def stage_idct(pxw, Ws):
+                """(bps, 16, S_pad) pixel words -> plane words: ONE 2-D
+                transpose (vreg-aligned merges on both sides) brings
+                rows to plan block order, then the in-VMEM un-blockify
+                rebuilds all components' planes in one launch."""
+                Sp = pxw.shape[2]
+                w2 = pxw.reshape(bps * 16, Sp).T
+                w2 = w2.reshape(Sp * bps, 16)[:nb]
+                pall = unblockify_bands(w2, n_c * dh0, dw0, K=12)
+                planes = [pall[i * dh0:(i + 1) * dh0]
+                          for i in range(n_c)]
+                return list(jax.lax.optimization_barrier(tuple(planes)))
+
+            def stage_post(planes):
+                return interleave_raw_words(planes, m9i, basei)
+        else:
+            def stage_huffman(rows_j, seg_comp_j, seg_nblk_j, quick,
+                              maxcode, delta, huffval, dcs, acs,
+                              out_row_a, inv_a):
+                from . import pallas_decode as _pd
+                t = _pd.DecTables(quick, maxcode, delta, huffval)
+                out3 = run(rows_j, seg_comp_j, seg_nblk_j, t, dcs, acs)
+                flat = out3.reshape(-1, 64)
+                coeff_scan = (flat[:nb] if out_row_identity
+                              else flat[out_row_a])
+                return coeff_scan if inv_identity else coeff_scan[inv_a]
+
+        def stage_idct_plan(coeff_plane, Ws):
             """Fused dequant+IDCT with the un-blockify in-VMEM: the
             plain IDCT matmul's pixels pack 4-per-word
             (``dequant_idct_words`` — identical operand chain, so XLA's
@@ -1180,16 +1238,24 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             # the pixel chain (measured 73 -> 21 ms at 8K)
             return list(jax.lax.optimization_barrier(tuple(planes)))
 
-        def stage_post(planes):
-            return postprocess(planes, out_image, plan, jnp)
+        if not use_px:
+            stage_idct = stage_idct_plan
+
+            def stage_post(planes):
+                return postprocess(planes, out_image, plan, jnp)
 
         @jax.jit
         def fn_j(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode, delta,
                  huffval, dcs, acs, Ws, out_row_a, inv_a):
-            coeff_plane = stage_huffman(rows_j, seg_comp_j, seg_nblk_j,
-                                        quick, maxcode, delta, huffval,
-                                        dcs, acs, out_row_a, inv_a)
-            return stage_post(stage_idct(coeff_plane, Ws))
+            if use_px:
+                pxw = stage_huffman(rows_j, seg_comp_j, seg_nblk_j,
+                                    quick, maxcode, delta, huffval,
+                                    dcs, acs, jnp.stack(Ws))
+            else:
+                pxw = stage_huffman(rows_j, seg_comp_j, seg_nblk_j,
+                                    quick, maxcode, delta, huffval,
+                                    dcs, acs, out_row_a, inv_a)
+            return stage_post(stage_idct(pxw, Ws))
 
         def fn(rows_j, seg_comp_j, seg_nblk_j, quick, maxcode, delta,
                huffval, dcs, acs, Ws):
@@ -1198,8 +1264,13 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
 
         s_huff_j = jax.jit(stage_huffman)
 
-        def s_huff(*args):
-            return s_huff_j(*args, out_row_j, inv_j)
+        if use_px:
+            def s_huff(*args):     # perf_stats passes Ws as the tail arg
+                *a, Ws_ = args
+                return s_huff_j(*a, jnp.stack(Ws_))
+        else:
+            def s_huff(*args):
+                return s_huff_j(*args, out_row_j, inv_j)
 
         # per-stage jits for perf_stats mode: the reference reports
         # huffman/idct/postprocess splits (gpujpeg_common.h:315-325)
@@ -1209,6 +1280,7 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         fn.batched = jax.jit(jax.vmap(
             fn_j, in_axes=(0,) + (None,) * 11))
         fn.reorders = (out_row_j, inv_j)
+        fn.px_tail = fn.words_out = use_px
         _DEC_V2_CACHE[key] = fn
 
     # device copies of the IDCT operators cached per quant-table set
@@ -1308,7 +1380,9 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         return fn(*args_dev, Ws)
     if getattr(decoder, "perf_stats", False):
         s_huff, s_idct, s_post = fn.stages
-        coeff_plane = s_huff(*args_dev)
+        huff_args = args_dev + ((Ws,) if getattr(fn, "px_tail", False)
+                                else ())
+        coeff_plane = s_huff(*huff_args)
         sync(coeff_plane)
         t1 = time.perf_counter()
         planes = s_idct(coeff_plane, Ws)
@@ -1330,6 +1404,11 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     if not getattr(decoder, "output_to_device", False):
         t_d2h = time.perf_counter()
         raw = np.asarray(raw)   # D2H (the reference's default output path)
+        if raw.dtype == np.int32:
+            # words-tail output (fn.words_out): same bytes as the u8
+            # raw buffer — a free host-side view (decode mirror of the
+            # encode words front end)
+            raw = raw.view("<u1").reshape(-1)
         decoder.stats.duration_memory_from = \
             (time.perf_counter() - t_d2h) * 1e3
     return raw

@@ -54,6 +54,13 @@ def _pad1k(n: int) -> int:
     return -(-n // 1024) * 1024
 
 
+def _collapse_lanes(x, G: int):
+    """(R*G, 128) -> (R, G*128): collapse whole 128-lane row groups into
+    the lane axis (vreg-aligned shape cast — the supported Mosaic
+    reshape family; see entropy_v2._pack_rows_lanes)."""
+    return x.reshape(x.shape[0] // G, G * 128)
+
+
 def _delta_row(delta):
     """Pack the (n_slots, 17) value-index delta table into one 128-lane
     row at stride 18 (slot*18 + len; lane slot*18+17 stays 0 for the
@@ -147,7 +154,11 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
     def kernel(dataT_ref, segcomp_ref, segnblk_ref,
                quick_ref, maxcode_ref, dlrow_ref, huffval_ref,
                dcslot_ref, acslot_ref,
-               out_ref, bitpos, dcpred, slowsc):
+               *rest, pixels=False, n_q=0):
+        if pixels:
+            wq_ref, qc_ref, out_ref, bitpos, dcpred, slowsc = rest
+        else:
+            out_ref, bitpos, dcpred, slowsc = rest
         b = pl.program_id(1)
 
         @pl.when(b == 0)
@@ -487,7 +498,45 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                          w0_init, w1_init, w2_init))
         bitpos[:] = bp_f
         dcpred[:] = dcp_f
-        out_ref[0, :, :] = cf_f.astype(OUT_DT)
+        if pixels:
+            # In-kernel fused dequant+IDCT + pixel-word pack (round 5):
+            # the coefficients are ALREADY in VMEM as k-major (64*G,
+            # 128) rows — collapse G row-groups into lanes and the MXU
+            # contracts the coefficient dim directly: (64, 64) @ (64,
+            # G*128) per grid step. One matmul per unique quant table,
+            # lane-selected by component (scan boundaries can split a
+            # tile); the +128/rint/clip epilogue matches
+            # dct.dequant_idct_device exactly, and the 4-per-word pack
+            # is sublane-strided (cheap). Output block (16, G, 128):
+            # 4x less HBM write than the coefficient layouts.
+            cff = _collapse_lanes(cf_f, G).astype(jnp.float32)
+            qsl = jnp.zeros((G, 128), I32)
+            for ci in range(4):
+                qsl = jnp.where(comp == ci, qc_ref[ci], qsl)
+            qrow = _collapse_lanes(qsl, G)            # (1, G*128)
+            px = None
+            for qi in range(n_q):
+                # W rows are the (zig-zag) coefficient index k, cols the
+                # pixel index p (dct.idct_operator_f32 is applied as
+                # x @ W) — contract k on both sides: y[p, lane]
+                y = jax.lax.dot_general(
+                    wq_ref[qi], cff, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) + 128.0
+                yi = jnp.clip(jnp.rint(y), 0.0, 255.0).astype(I32)
+                px = yi if px is None else jnp.where(qrow == qi, yi, px)
+            # 4-per-word pack WITHOUT strided slices (Mosaic lowers
+            # them via a gather that rejects): collapse groups of 4
+            # rows into the lane axis (vreg-aligned), then the four
+            # byte sources are contiguous static lane slices
+            L = G * 128
+            x4 = px.reshape(16, 4 * L)
+            pw = (x4[:, 0 * L:1 * L] | (x4[:, 1 * L:2 * L] << 8)
+                  | (x4[:, 2 * L:3 * L] << 16)
+                  | (x4[:, 3 * L:4 * L] << 24))       # (16, G*128)
+            out_ref[0] = pw.reshape(16, G, 128)
+        else:
+            out_ref[0, :, :] = cf_f.astype(OUT_DT)
 
     def run_raw(dataT, seg_comp, seg_nblk, tabs: DecTables,
                 dc_slot: np.ndarray, ac_slot: np.ndarray):
@@ -540,6 +589,68 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
           jnp.asarray(dc_slot), jnp.asarray(ac_slot))
         return out.reshape(bps // KB, n_tiles, KB, 64, G, 128)
 
+    def run_pixels(dataT, seg_comp, seg_nblk, tabs: DecTables,
+                   dc_slot: np.ndarray, ac_slot: np.ndarray,
+                   Wq, q_of_comp):
+        """Fused huffman+dequant+IDCT: pixel-WORD output (bps, 16,
+        S_pad) — block slot b of every segment, 16 int32 words packing
+        the block's 64 natural-order pixels 4-per-word LE. ``Wq``:
+        (n_q, 64, 64) f32 stacked idct_operator_f32 tables;
+        ``q_of_comp``: (4,) i32 component -> Wq row. The IDCT runs on
+        the MXU inside the kernel (operands already in VMEM), so the
+        kernel writes 4x fewer bytes than the coefficient layouts and
+        no XLA pass ever sees the 400 MB coefficient array."""
+        import functools
+        n_q = int(Wq.shape[0])
+        S = dataT.shape[1]
+        n_tiles = S // seg_tile
+        grid = (n_tiles, bps // KB)
+        out_shape = jax.ShapeDtypeStruct(
+            (bps // KB, KB * 16, n_tiles * G, 128), OUT_DT)
+        out_spec = pl.BlockSpec((1, KB * 16, G, 128),
+                                lambda i, b: (b, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out = _pcall(
+            functools.partial(kernel, pixels=True, n_q=n_q),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((wcap, seg_tile), lambda i, b: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 128), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 128), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_pad1k(n_slots * (1 << QUICK_BITS) // 2),),
+                             lambda i, b: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_slots, 18), lambda i, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128,), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_pad1k(n_slots * 128),), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4,), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4,), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_q, 64, 64), lambda i, b: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4,), lambda i, b: (0,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((G, 128), I32),       # bitpos
+                pltpu.VMEM((4 * G, 128), I32),   # dcpred planes
+                pltpu.VMEM(((1 if uses_tpl else 2 * NSL * G), 128), I32),
+            ],
+        )(dataT, seg_comp, seg_nblk,
+          _pack16(tabs.quick), jnp.asarray(tabs.maxcode),
+          _delta_row(tabs.delta), _pack16(tabs.huffval),
+          jnp.asarray(dc_slot), jnp.asarray(ac_slot),
+          jnp.asarray(Wq), jnp.asarray(q_of_comp))
+        return out.reshape(bps, 16, S)
+
     def run(dataT, seg_comp, seg_nblk, tabs: DecTables,
             dc_slot: np.ndarray, ac_slot: np.ndarray):
         S = dataT.shape[1]
@@ -551,5 +662,6 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
         return o.reshape(S * bps, 64)
 
     run.raw = run_raw
+    run.pixels = run_pixels
     run.dims = (KB, G)
     return run

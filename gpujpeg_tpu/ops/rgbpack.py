@@ -137,6 +137,86 @@ def pack_consts(plan):
     return (tuple(int(v) for v in m9), tuple(int(v) for v in base))
 
 
+def _expand_signed(c):
+    """(c)*256/255 with C truncation toward zero (colorspace semantics
+    for possibly-negative operands)."""
+    q = c * 256
+    return jnp.sign(q) * (jnp.abs(q) // 255)
+
+
+def interleave_raw_words(planes, m9, base):
+    """Decode mirror of :func:`pack_plane_words`: 3 (H, W/4) int32
+    plane-word arrays -> (H, 3W/4) int32 raw interleaved words, with
+    the inverse fixed-point color transform (ops/colorspace.py
+    ``_transform_from`` semantics, exact) applied per byte lane-aligned
+    and the stride-3 word interleave done as one minor-dim stack+reshape
+    (measured at copy speed on chip). ``m9``/``base`` from
+    colorspace.MATRIX_FROM, or None/None for identity."""
+    H, QW = planes[0].shape
+    # out[t][ci] = output channel ci of pixel byte t
+    chans = []
+    for t in range(4):
+        if m9 is None:
+            chans.append([_byte(planes[ci], t) for ci in range(3)])
+            continue
+        r = [_expand_signed(_byte(planes[ci], t) - base[ci])
+             for ci in range(3)]
+        chans.append([
+            jnp.clip((m9[3 * i] * r[0] + m9[3 * i + 1] * r[1]
+                      + m9[3 * i + 2] * r[2] + 128) >> 8, 0, 255)
+            for i in range(3)])
+    # inverse byte map: raw word wi byte bp holds channel ci of pixel t
+    # where _BYTE_MAP[ci][t] == (wi, bp)
+    words = [None, None, None]
+    for ci in range(3):
+        for t in range(4):
+            wi, bp = _BYTE_MAP[ci][t]
+            v = chans[t][ci] << (8 * bp) if bp else chans[t][ci]
+            words[wi] = v if words[wi] is None else words[wi] | v
+    return jnp.stack(words, axis=-1).reshape(H, 3 * QW)
+
+
+def unpack_consts(plan, out_image):
+    """(m9, base) for :func:`interleave_raw_words` from the decode
+    color pair; (None, None) for identity; None when the pair is not a
+    single inverse-RGB matrix (caller keeps the u8-domain
+    postprocess)."""
+    from ..types import ColorSpace
+    from .colorspace import MATRIX_FROM
+    cs_from = ColorSpace(plan.params.color_space_internal)
+    cs_to = ColorSpace(out_image.color_space)
+    if cs_from in (cs_to, ColorSpace.NONE) or cs_to == ColorSpace.NONE:
+        return (None, None)
+    if cs_to == ColorSpace.RGB and cs_from in MATRIX_FROM:
+        m9, base = MATRIX_FROM[cs_from]
+        return (tuple(int(v) for v in m9), tuple(int(v) for v in base))
+    return None
+
+
+def unpack_eligible(plan, out_image) -> bool:
+    """True when the word-domain decode tail can produce this output:
+    interleaved 3-byte RGB-order raw at full resolution from three
+    equal full-res components, word-divisible width, expressible
+    inverse transform."""
+    from ..types import PixelFormat as _PF
+    img = plan.image
+    comps = plan.components
+    if os.environ.get("GPUJPEG_TPU_NO_WORD_PACK"):
+        return False
+    return (
+        _PF(out_image.pixel_format) == _PF.PF_444_U8_P012
+        and out_image.width == img.width
+        and out_image.height == img.height
+        and len(comps) == 3
+        and all(c.index == i for i, c in enumerate(comps))
+        and all(c.width == img.width and c.height == img.height
+                and c.data_width == img.width
+                and c.data_height == img.height for c in comps)
+        and img.width % 4 == 0
+        and unpack_consts(plan, out_image) is not None
+    )
+
+
 def pack_eligible(plan) -> bool:
     """True when the word-domain pack can feed the band-input encode
     for this plan: interleaved 3-byte RGB-order raw, three

@@ -643,3 +643,63 @@ def test_decode_band_knob_bit_identical(monkeypatch):
     np.testing.assert_array_equal(np.asarray(raw), np.asarray(raw_band))
 
 
+
+
+def test_px_tail_matches_plan_tail(monkeypatch):
+    """The fused pixel-words decode tail (run.pixels: in-kernel MXU
+    dequant+IDCT + word pack + un-blockify + word-domain postprocess)
+    produces the IDENTICAL raw buffer to the plan (coefficient) tail in
+    exact arithmetic. 128x512 ri=32: flagship geometry with block rows
+    holding whole segments (px-tail eligibility needs data_width/8 %
+    bps == 0), unique to this test's caches."""
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 128, 512
+    img = make_test_rgb(h, w)
+    params = Parameters(quality=75, restart_interval=32, interleaved=False)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+    old = dmod.CPU_SEGMENT_THRESHOLD
+    dmod.CPU_SEGMENT_THRESHOLD = 0
+    try:
+        outs = {}
+        for px in ("0", "1"):
+            monkeypatch.setenv("GPUJPEG_TPU_DEC_PX", px)
+            dec = Decoder(backend="jax")
+            dec.set_output_format(ColorSpace.RGB,
+                                  PixelFormat.PF_444_U8_P012)
+            raw, _ = dec.decode(data)
+            outs[px] = np.asarray(raw).reshape(-1)
+    finally:
+        dmod.CPU_SEGMENT_THRESHOLD = old
+    assert outs["1"].dtype == np.uint8
+    assert np.array_equal(outs["0"], outs["1"])
+    # and the px tail actually served (eligibility didn't silently fail)
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    assert any(getattr(f, "px_tail", False)
+               for f in jp._DEC_V2_CACHE.values())
+
+
+def test_px_tail_decode_batch(monkeypatch):
+    """decode_batch's fused/vmapped launch composes with the px tail."""
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 64, 256
+    params = Parameters(quality=75, restart_interval=32, interleaved=False)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    frames = [make_test_rgb(h, w, seed=s) for s in (1, 2, 3)]
+    datas = [Encoder(backend="golden").encode(f.reshape(-1), params, image)
+             for f in frames]
+    old = dmod.CPU_SEGMENT_THRESHOLD
+    dmod.CPU_SEGMENT_THRESHOLD = 0
+    try:
+        dec = Decoder(backend="jax")
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        outs = dec.decode_batch(datas)
+        singles = [dec.decode(d)[0] for d in datas]
+    finally:
+        dmod.CPU_SEGMENT_THRESHOLD = old
+    assert len(outs) == 3
+    for (raw, _), want in zip(outs, singles):
+        assert np.array_equal(np.asarray(raw).reshape(-1),
+                              np.asarray(want).reshape(-1))
