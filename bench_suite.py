@@ -60,6 +60,15 @@ def make_image(H, W, seed=7):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def enc_input(ctx, img, H, W):
+    """Device-resident input in the context's form (i32 words for the
+    round-5 flagship front end — same bytes, free host view)."""
+    if getattr(ctx.fn, "input_form", "flat") == "words":
+        from gpujpeg_tpu.ops.rgbpack import host_raw_words
+        return jnp.asarray(host_raw_words(img, H, W))
+    return jnp.asarray(img.reshape(-1))
+
+
 def bench_res(name, iters):
     H, W = RES[name]
     img = make_image(H, W)
@@ -74,7 +83,7 @@ def bench_res(name, iters):
     plan = make_plan(params, image)
     quant_zz, huff = enc._tables(params)
     ctx = _enc_context(plan, quant_zz, huff)
-    raw_dev = jnp.asarray(img.reshape(-1))
+    raw_dev = enc_input(ctx, img, H, W)
 
     def sync(o):
         np.asarray(jax.lax.slice(o[1], (0,), (1,)))
@@ -128,7 +137,7 @@ def bench_video(iters=100):
     enc.encode(frames[0], params, image)
     plan = make_plan(params, image)
     ctx = _enc_context(plan, *enc._tables(params))
-    devs = [jnp.asarray(f.reshape(-1)) for f in frames]
+    devs = [enc_input(ctx, f, H, W) for f in frames]
     outs = [ctx.fn(devs[0])]
     np.asarray(jax.lax.slice(outs[0][1], (0,), (1,)))
     t0 = time.perf_counter()
@@ -197,15 +206,20 @@ def main():
             out = enc.encode(img, params, image)
             plan = make_plan(params, image)
             ctx = _enc_context(plan, *enc._tables(params))
-            raw_dev = jnp.asarray(img.reshape(-1))
+            raw_dev = enc_input(ctx, img, H, W)
             # settle variant downgrades first (a high-quality geometry
             # may exhaust every device variant and fall back to the
             # host coder — timing ctx.fn directly would then crash on
             # the failed compile)
-            from gpujpeg_tpu.ops.jax_pipeline import _call_with_downgrade
+            from gpujpeg_tpu.ops.jax_pipeline import (
+                _REPREP, _call_with_downgrade)
             row = dict(config=f"8K_Q{q}", jpeg_mb=round(len(out) / 1e6, 2),
                        variant=getattr(ctx.fn, "kind", "?"))
-            if _call_with_downgrade(ctx, raw_dev) is None:
+            res = _call_with_downgrade(ctx, raw_dev)
+            if res is _REPREP:      # words form downgraded away
+                raw_dev = jnp.asarray(img.reshape(-1))
+                res = _call_with_downgrade(ctx, raw_dev)
+            if res is None or res is _REPREP:
                 row["encode_device_ms"] = None     # host-coder fallback
                 row["variant"] = "host"
             else:
@@ -217,6 +231,25 @@ def main():
                 np.asarray(jax.lax.slice(outs[-1][1], (0,), (1,)))
                 row["encode_device_ms"] = round(
                     (time.perf_counter() - t0) * 1e3 / 8, 2)
+            # decode at the same quality (reference README.md:140-144
+            # publishes the full decode Q sweep too)
+            try:
+                dec = Decoder(backend="jax")
+                dec.output_to_device = True
+                dec.capture_device_call = True
+                dec.decode(out)
+                dfn, dargs = dec.last_device_call
+                leaf = lambda r: np.asarray(
+                    jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
+                leaf(dfn(*dargs))
+                t0 = time.perf_counter()
+                rs = [dfn(*dargs) for _ in range(8)]
+                leaf(rs[-1])
+                row["decode_device_ms"] = round(
+                    (time.perf_counter() - t0) * 1e3 / 8, 2)
+            except Exception as e:
+                row["decode_device_ms"] = None
+                row["decode_err"] = str(e)[:80]
             print(json.dumps(row), file=sys.stderr, flush=True)
 
     hdr = ("config", "mpix", "encode_device_ms", "decode_device_ms",

@@ -933,26 +933,11 @@ def band_perm_rows() -> np.ndarray:
     return (cb >= 8) * 64 + r * 8 + (cb & 7)
 
 
-def band_perm_rows_v() -> np.ndarray:
-    """:func:`band_perm_rows` for the VERTICAL plane-word pack
-    (``band_vert=True``): word (r, j) holds plane bytes (4r..4r+3, j) —
-    the native TPU u8 (32,128) sublane-packed tiling, so the XLA side
-    produces it at copy cost instead of the horizontal pack's ~4 ms
-    cross-lane shuffle (BENCHMARKS.md round-4 io split). After the
-    in-kernel transpose(2, Wp) + 32-lane row-collapse, lane ``l`` of a
-    pair row holds plane byte (row ``4*((l>>2)&1) + (l&3)``, in-pair
-    column ``l>>3``)."""
-    l = np.arange(128)
-    r = 4 * ((l >> 2) & 1) + (l & 3)
-    cb = l >> 3
-    return (cb >= 8) * 64 + r * 8 + (cb & 7)
-
-
 def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
                           D2_h, bias2_h, qrows_h, tabs: PackedTables,
                           W: int, bps: int, cap_words: int, cap_out: int,
                           max_stuff: int = MAX_STUFF, tile: int = 768,
-                          band_ppb: int = 0, band_vert: bool = False):
+                          band_ppb: int = 0):
     """The WHOLE entropy encode in ONE kernel: fused DCT+quant+stage-1
     plus the packed tree merge, byte stuffing and RST append of
     :func:`merge_stuff_packed` — for the flagship geometry
@@ -984,17 +969,7 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
     from jax.experimental.pallas import tpu as pltpu
 
     T2 = tile // 2
-    if band_ppb and band_vert:
-        # vertical plane-word pack: word (r, j) = plane bytes
-        # (4r..4r+3, j); two word rows per 8-row band, full plane width
-        # of lanes (band_ppb * 16). The caller pairs this with the
-        # band_perm_rows_v() DCT operator.
-        word_rows = pbw.shape[0]
-        assert pbw.shape[1] == band_ppb * 16, (pbw.shape, band_ppb)
-        assert word_rows % 2 == 0
-        M = word_rows // 2 * band_ppb
-        assert T2 % band_ppb == 0, (T2, band_ppb)
-    elif band_ppb:
+    if band_ppb:
         plane_rows = pbw.shape[0]
         assert pbw.shape[1] == band_ppb * 4, (pbw.shape, band_ppb)
         assert plane_rows % 8 == 0
@@ -1042,25 +1017,7 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
         from jax.experimental import pallas as pl
         pid = pl.program_id(0)
         for sub in range(KS):
-            if band_ppb and band_vert:
-                # vertical words: per band, transpose the TWO word rows
-                # (2, Wp) -> (Wp, 2) and collapse to 32 lanes — byte
-                # order absorbed by band_perm_rows_v(). The transpose
-                # runs in column CHUNKS: whole-band intermediates put
-                # the kernel 772 KB over the 16M scoped-VMEM budget at
-                # the (constraint-pinned) T2=1920 8K tile; chunk pair-
-                # rows stay contiguous so the byte order is unchanged.
-                Wp = band_ppb * 16
-                nv = next((n for n in (8, 4, 2, 1)
-                           if band_ppb % n == 0 and (Wp // n) % 16 == 0))
-                cw = Wp // nv
-                pb = jnp.concatenate([
-                    _pack_rows_lanes(jnp.transpose(
-                        pb_ref[2 * (sub * Ksub + kb):
-                               2 * (sub * Ksub + kb + 1),
-                               cv * cw:(cv + 1) * cw]), 32)
-                    for kb in range(Ksub) for cv in range(nv)], axis=0)
-            elif band_ppb:
+            if band_ppb:
                 # in-VMEM blockify: per plane 8-row band, a 2D transpose
                 # then the Mosaic row-collapse — byte order absorbed by
                 # the permuted DCT operator (band_perm_rows)
@@ -1086,10 +1043,7 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
             out_ref[sub * spt_s:(sub + 1) * spt_s] = out_w
             meta_ref[sub * spt_s:(sub + 1) * spt_s] = meta
 
-    if band_ppb and band_vert:
-        pb_spec = pl.BlockSpec((T2 // band_ppb * 2, band_ppb * 16),
-                               lambda i: (i, 0), memory_space=pltpu.VMEM)
-    elif band_ppb:
+    if band_ppb:
         pb_spec = pl.BlockSpec((T2 // band_ppb * 8, band_ppb * 4),
                                lambda i: (i, 0), memory_space=pltpu.VMEM)
     else:
@@ -1128,7 +1082,7 @@ def encode_dct_fused_full(pbw, rst_marker, has_rst, spec: FusedSpec,
 
 def rgb_transform_consts(cs_from, cs_to):
     """Static (matrix9, base3) for the in-kernel forward color transform
-    of :func:`encode_dct_fused_rgb`; ``()`` for identity; ``None`` when
+    of the words front end (ops/rgbpack.py); ``()`` for identity; ``None`` when
     the pair is not expressible as one forward fixed-point matrix (the
     caller falls back to the XLA preprocess)."""
     from ..types import ColorSpace
@@ -1139,244 +1093,6 @@ def rgb_transform_consts(cs_from, cs_to):
     if cs_from == ColorSpace.RGB and cs_to in MATRIX_TO:
         return MATRIX_TO[cs_to]
     return None
-
-
-def encode_dct_fused_rgb(rawW, rst3, hrst3, comp_specs, D2_h, bias2_h,
-                         qrows_h, tabs: PackedTables, W: int, bps: int,
-                         cap_words: int, cap_out: int,
-                         max_stuff: int = MAX_STUFF, tile: int = 3840,
-                         ppb: int = 0, xform=()):
-    """The rgb-interleaved flagship encode in ONE kernel: in-VMEM
-    de-interleave + fixed-point color transform + blockify + DCT/quant +
-    stage-1 + merge + stuff — the raw interleaved bytes are the ONLY
-    kernel input; neither the component planes nor the packed-block
-    array ever exist in HBM. (Round-4 on-chip io split: the XLA
-    preprocess + plane-words materialization cost 6.4 ms of the 8K Q75
-    encode while a plain 100 MB copy costs 2.55 — this kernel deletes
-    that stage entirely and reads the same 100 MB raw directly.)
-
-    Grid is (tiles,) with a ``lax.fori_loop`` over the 3 components
-    inside each step: the de-interleave transpose+pack runs ONCE per
-    tile (a (tiles, 3) grid re-transposed the 3x-wide raw per
-    component — measured 66.6 vs 26.4 ms at 8K), and the loop body is
-    traced once, so Mosaic REUSES the stage-1 chain's allocations
-    across components (the Python-unrolled 3-component form OOM'd at
-    18-26 M: the stack allocator does not reuse across unrolled
-    chunks). Component constants come from an SMEM table indexed by
-    the loop counter. VMEM budget note: v5e has physical VMEM beyond
-    Mosaic's 16 M default scoped budget, but exceeding ~16 M hits a
-    catastrophic spill cliff measured on chip: 18.3 M ran 951 ms and
-    20.6 M ran 25.5 s per 8K frame, vs 20-30 ms for <= 16 M forms.
-    Raising vmem_limit_bytes is a trap, not a fix.
-
-    The de-interleave: per 8-row band, transpose the raw words
-    (column-chunked — a whole 3x-wide band's 128-lane pad blew VMEM)
-    and pack to (ppb, 96)-lane pair rows; component c's pixel byte
-    (row r, pair column cb) sits at packed lane 8*((3*cb+c)>>2) + r,
-    byte (3*cb+c)&3 — ONE per-lane gather + shift per channel, after
-    which the byte order matches the band path exactly, so the same
-    permuted DCT operator ``D2_h[band_perm_rows()]`` absorbs the
-    relayout.
-
-    The color transform is the reference's forward 8-bit fixed-point
-    matrix (ops/colorspace.py semantics, bit-exact): r = c + (c == 255)
-    (== (c*256)//255 for 0..255), out = clip(((m.r + 128) >> 8) + base).
-    Channels fold into the accumulator one at a time (never three live
-    at once — VMEM).
-
-    rawW: (plane_rows, 3*ppb*4) int32 — raw rows' bytes packed 4-per-
-    word LE; plane_rows == image height (8-aligned), width == 16*ppb.
-    rst3/hrst3: (3, S_c, 1) int32 per-component RST tables.
-    comp_specs: three component-local FusedSpecs (comp_starts == (0,),
-    equal n_real_blocks/seg_rows — the grid form requires equal
-    component geometry). Returns (out u32 (3*S_c*WO,), out_len,
-    seg_bits, n_ff) — comp-major rows == plan segment order.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    T2 = tile // 2
-    plane_rows = rawW.shape[0]
-    assert ppb > 0 and rawW.shape[1] == 3 * ppb * 4, (rawW.shape, ppb)
-    assert plane_rows % 8 == 0 and T2 % ppb == 0
-    Kb = T2 // ppb
-    assert (plane_rows // 8) % Kb == 0, (plane_rows, Kb)
-    M = plane_rows // 8 * ppb              # block pairs per component
-    assert bps * W == 128 and cap_out % 4 == 0
-    assert (2 * T2) % bps == 0 and (T2 * 2 * W) % 128 == 0
-    spt = 2 * T2 // bps                    # segments per tile per comp
-    S_c = 2 * M // bps
-    assert rst3.shape == (3, S_c, 1), (rst3.shape, S_c)
-    WO = cap_out // 4
-    seg_rows = comp_specs[0].seg_rows
-    n_real = comp_specs[0].n_real_blocks
-    assert all(s.seg_rows == seg_rows and s.n_real_blocks == n_real
-               for s in comp_specs)
-
-    # column-chunked transpose+pack: _pack_rows_lanes pads the 8-lane
-    # transposed rows to full 128-lane vregs (a 16x inflation), so
-    # chunks of 12*QW words bound each padded temp to ~(CW, 128); 12 |
-    # CW keeps a pair's 12-word group inside one chunk so packed rows
-    # concatenate in order.
-    QW = max(d for d in range(1, min(ppb, 96) + 1) if ppb % d == 0)
-    CW = 12 * QW
-
-    ac512 = jnp.asarray(tabs.ac512)
-    dc128 = jnp.asarray(np.concatenate([tabs.dc64, np.zeros(64, np.int32)]))
-    D2 = jnp.asarray(D2_h)
-    bq = jnp.asarray(np.concatenate(
-        [bias2_h[None, :], qrows_h], axis=0).astype(np.float32))
-    n_bq = int(bq.shape[0])
-
-    # stage-1 row chunking INSIDE the component loop: stage 1 runs per
-    # T2h-row chunk (lax loops — traced once, allocations reused) with
-    # chunk outputs staged in small VMEM scratch. Chunk starts need
-    # only SEGMENT alignment (the in-chunk DC roll's wrap row is
-    # masked by the row0-based segment-start mask); the pack is global
-    # (psc scratch), so no band alignment is required. T2h targets
-    # ~256 pair rows: Mosaic's scheduler picks VMEM plans in discrete
-    # tiers — measured at 8K, the low tier needs T2h-chain + ~2.5 M
-    # fixed and the next tier jumps to 22 M the moment the limit
-    # exceeds the low tier's size, so the ONLY compilable configuration
-    # is a low-tier plan under a ~6 M limit (see RGB_VMEM below).
-    seg_r = max(seg_rows, 1)
-    T2h = seg_r * max(1, min(256, T2) // seg_r)
-    while T2 % T2h:
-        T2h -= seg_r
-    CH = T2 // T2h
-
-    # bench-only compile-size ablation: with a low VMEM limit the
-    # Mosaic OOM error reports each variant's exact stack need
-    # ("Scoped allocation with size X M"), localizing the hog
-    _ABL = frozenset(filter(None, os.environ.get(
-        "GPUJPEG_TPU_RGB_ABLATE", "").split(",")))
-
-    def kernel(raw_ref, r_ref, h_ref, d2_ref, bq_ref, ac_ref,
-               dc_ref, out_ref, meta_ref, psc, wsc):
-        pid = pl.program_id(0)
-        lane = jax.lax.broadcasted_iota(I32, (T2h, 128), 1)
-        r_ = (lane >> 2) & 7
-        cb = 4 * (lane >> 5) + (lane & 3)          # pair column 0..15
-
-        # de-interleave transpose+pack ONCE per tile (all 3 channels'
-        # bytes interleaved in the packed lanes), staged to scratch so
-        # the chunk loop reads dynamic row slices from a ref
-        if "nopack" not in _ABL:
-            parts = []
-            for kb in range(Kb):
-                for j0 in range(0, 12 * ppb, CW):
-                    sl = jnp.transpose(
-                        raw_ref[8 * kb:8 * (kb + 1), j0:j0 + CW])
-                    parts.append(_pack_rows_lanes(sl, 96))  # (CW//12, 96)
-            packed = jnp.concatenate(parts, axis=0)         # (T2, 96)
-            psc[:, :] = jnp.pad(packed, ((0, 0), (0, 32)))
-
-        def channel(pk, ci):
-            src = 3 * cb + ci                  # raw byte in pair row
-            g = jnp.take_along_axis(pk, (src >> 2) * 8 + r_, axis=1)
-            return _srl(g, (src & 3) * 8) & 255
-
-        # components as a STATIC Python loop (Mosaic's live-range
-        # allocator reuses stack across unrolled repetitions — verified
-        # with a dedicated compile probe); only the stage-1 row chunks
-        # are a lax loop. Static component constants (class, quantizer
-        # row, color-matrix row) keep every ref access static — the
-        # dynamic-index variant drove the scheduler to 19-22 M plans.
-        for cc in range(3):
-            def chunk_body(h, c2, cc=cc):
-                r0 = h * T2h
-                pk = psc[pl.ds(r0, T2h), :]
-                if xform:
-                    m9, base = xform
-                    acc = jnp.full((T2h, 128), 128, I32)
-                    for i in range(3):
-                        ch = channel(pk, i)
-                        acc = acc + int(m9[3 * cc + i]) * (
-                            ch + (ch == 255).astype(I32))
-                    xb = jnp.clip((acc >> 8) + int(base[cc]), 0, 255)
-                else:
-                    xb = channel(pk, cc)
-                if "nostage1" in _ABL:
-                    w_t = (xb[:, :2 * W]).astype(jnp.uint32)
-                    b_t = xb[:, :2] & 7
-                else:
-                    spec_c = comp_specs[cc]
-                    w_t, b_t = _stage1_dct_tile(
-                        None, d2_ref, bq_ref, ac_ref, dc_ref, spec_c,
-                        tabs, W, T2h, seg_rows, 1, row0=pid * T2 + r0,
-                        xb=xb)
-                # words and bits share one scratch (lanes 0:2W and
-                # 2W:2W+2): a separate bits scratch pads its 2 lanes
-                # to a full 128-lane tile (~0.5 M)
-                wsc[pl.ds(r0, T2h), 0:2 * W] = \
-                    jax.lax.bitcast_convert_type(w_t, jnp.int32)
-                wsc[pl.ds(r0, T2h), 2 * W:2 * W + 2] = b_t
-                return c2
-
-            jax.lax.fori_loop(0, CH, chunk_body, 0, unroll=False)
-            w2 = _pack_rows_lanes(jax.lax.bitcast_convert_type(
-                wsc[:, 0:2 * W], jnp.uint32), 128)
-            b2 = _pack_rows_lanes(wsc[:, 2 * W:2 * W + 2], 128 // W)
-            if "nomerge" in _ABL:        # w2 is (spt, 128) exactly
-                out_ref[cc] = jnp.pad(w2, ((0, 0), (0, WO - 128)))
-                meta_ref[cc] = b2[:, :8]
-            else:
-                out_w, meta = _merge_stuff_core(
-                    w2, b2, r_ref[cc], h_ref[cc], W, cap_words, WO,
-                    max_stuff)
-                out_ref[cc] = out_w
-                meta_ref[cc] = meta
-
-    out_w, meta = _pcall(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((3, S_c, WO), jnp.uint32),
-                   jax.ShapeDtypeStruct((3, S_c, 8), jnp.int32)),
-        grid=(M // T2,),
-        in_specs=[
-            pl.BlockSpec((Kb * 8, 3 * ppb * 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, spt, 1), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, spt, 1), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bq, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((512,), lambda i: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128,), lambda i: (0,),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((3, spt, WO), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, spt, 8), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((T2, 128), I32),      # packed de-interleave bytes
-            pltpu.VMEM((T2, 2 * W + 2), I32),  # stage-1 word+bit chunks
-        ],
-        # STATUS (round 4): uncompilable on the current Mosaic
-        # toolchain at 8K — the scheduler's minimum VMEM plan for this
-        # kernel always lands a hair ABOVE whatever vmem_limit_bytes
-        # selects it (limit 3/4/5 M -> plan 5.07 M; the moment the
-        # limit exceeds the tight plan, ~5.324 M, it jumps straight to
-        # a 21.14 M plan; binary-searched to a <4 KB-wide, empty
-        # window; the error itself says "It should not be possible to
-        # run out of scoped vmem"). Kept behind GPUJPEG_TPU_RGB_FUSED
-        # for future toolchains; GPUJPEG_TPU_RGB_VMEM overrides the
-        # limit for sweeps. Full saga in BENCHMARKS.md round-4.
-        **({} if pallas_interpret() else {
-            "compiler_params": pltpu.CompilerParams(
-                vmem_limit_bytes=int(os.environ.get(
-                    "GPUJPEG_TPU_RGB_VMEM", str(6 << 20))))}),
-    )(rawW, rst3, hrst3, D2, bq, ac512, dc128)
-    seg_bits = meta[:, :, 0].reshape(-1)
-    n_ff = meta[:, :, 1].reshape(-1)
-    out_len = meta[:, :, 2].reshape(-1)
-    return out_w.reshape(-1), out_len, seg_bits, n_ff
 
 
 def split_fused_output(out, Mp: int, n_keep: int, W: int):

@@ -460,132 +460,20 @@ class _EncContext:
                 hrst2 = jnp.asarray(np.pad(
                     np.asarray(geo.seg_has_rst),
                     (0, S_pad_f - S)).astype(np.int32)[:, None])
-                # vertical plane-word pack (GPUJPEG_TPU_VPACK=1): the
-                # word layout coincides with the native TPU u8 (32,128)
-                # sublane-packed tiling, so XLA materializes it at copy
-                # cost instead of the horizontal pack's cross-lane
-                # shuffle (~4 ms of the 8K io floor, BENCHMARKS.md
-                # round-4); the byte-order change folds into the DCT
-                # operator (band_perm_rows_v)
-                use_vert = (band_ok
-                            and bool(os.environ.get("GPUJPEG_TPU_VPACK")))
-                from .entropy_v2 import band_perm_rows_v
                 D2f_h = D2_h[band_perm_rows()] if band_ok else D2_h
-                D2f_v = D2_h[band_perm_rows_v()] if use_vert else None
-
-                # rgb-fused variant: raw interleaved bytes straight into
-                # the kernel (in-VMEM de-interleave + color transform;
-                # round-4 io split: XLA preprocess + plane-words
-                # materialization was 6.4 ms of the 8K encode). Under
-                # full_ok the row order is identity (every segment
-                # exactly bps blocks), so with equal-geometry components
-                # and whole-tile height the kernel's (3, S/3, ...) output
-                # IS plan order — no padding, no reorder.
-                #
-                # DEFAULT OFF (GPUJPEG_TPU_RGB_FUSED=1 opts in): measured
-                # 66.6 ms vs 26.4 on chip at 8K Q75 — the (tiles, 3)
-                # grid re-transposes the full 3-wide raw per component
-                # (3x the in-VMEM shuffle work), and every <=16M-VMEM
-                # restructure that shares the pack hit Mosaic's
-                # no-stack-reuse-across-unrolled-chunks OOM
-                # (BENCHMARKS.md round-4). Byte-identical; kept as the
-                # starting point for a fori_loop-chunked rewrite.
-                from ..types import PixelFormat as _PF
-                from .entropy_v2 import (FusedSpec, encode_dct_fused_rgb,
-                                         rgb_transform_consts)
-                img = plan.image
-                comps = plan.components
-                xform = rgb_transform_consts(
-                    img.color_space, plan.params.color_space_internal)
-                # rgb tile must also divide the band count (whole-image
-                # grid); prefer the band Kb, else the largest eligible
-                # divisor of n_bands
-                _kb_rgb_ok = _kb_ok
-                Kb_r = 0
-                if band_ok and img.height % 8 == 0:
-                    n_bands_r = img.height // 8
-                    Kb_r = Kb if (_kb_rgb_ok(Kb)
-                                  and n_bands_r % Kb == 0) else next(
-                        (k for k in sorted(
-                            range(1, n_bands_r + 1),
-                            key=lambda k: abs(k * ppb - T2))
-                         if _kb_rgb_ok(k) and n_bands_r % k == 0), 0)
-                rgb_ok = (band_ok and Kb_r > 0 and xform is not None
-                          and _PF(img.pixel_format) ==
-                          _PF.PF_444_U8_P012
-                          and len(comps) == 3 and S % 3 == 0
-                          and all(c.width == img.width
-                                  and c.height == img.height
-                                  and c.data_width == img.width
-                                  and c.data_height == img.height
-                                  for c in comps)
-                          and img.height % 8 == 0
-                          and (img.height // 8) % Kb_r == 0
-                          and "fused_full_rgb" not in self._disabled
-                          and bool(os.environ.get(
-                              "GPUJPEG_TPU_RGB_FUSED")))
-                if rgb_ok:
-                    S_c = S // 3
-                    T2r = Kb_r * ppb
-                    seg_rows_l = geo.bps // 2
-                    comp_specs = tuple(
-                        FusedSpec((0,), (int(c.comp_type),),
-                                  (int(c.quant_table_index),),
-                                  c.block_count, seg_rows_l)
-                        for c in comps)
-                    rst3 = jnp.asarray(np.asarray(geo.seg_rst_marker)
-                                       .astype(np.int32)
-                                       .reshape(3, S_c, 1))
-                    hrst3 = jnp.asarray(np.asarray(geo.seg_has_rst)
-                                        .astype(np.int32)
-                                        .reshape(3, S_c, 1))
-                    W3 = img.width * 3
-
-                    @jax.jit
-                    def fn_rgb(raw, rst3, hrst3):
-                        m = raw.reshape(img.height, W3 // 4, 4)
-                        rw = jax.lax.bitcast_convert_type(
-                            jax.lax.bitcast_convert_type(m, jnp.uint32),
-                            jnp.int32)
-                        return encode_dct_fused_rgb(
-                            rw, rst3, hrst3, comp_specs, D2f_h, bias2_h,
-                            qrows_h, tabs, Wb, geo.bps,
-                            geo.cap_seg_words, geo.cap_out_bytes,
-                            geo.max_stuff, tile=2 * T2r, ppb=ppb,
-                            xform=xform)
-
-                    self._fn_args = (rst3, hrst3)
-                    wrapped = lambda raw: fn_rgb(raw, *self._fn_args)
-                    wrapped.kind = "fused_full_rgb"
-                    return wrapped
+                # (Two parked io-floor alternatives were DELETED in
+                # round 5, their prize collected by the words front end
+                # below: the VPACK vertical plane-word pack — XLA-side
+                # win, in-VMEM un-pack loss, 51.6 vs 27.1 ms — and the
+                # monolithic rgb-fused kernel, blocked by a Mosaic
+                # scheduler plan-selection cliff. Full A/B record:
+                # BENCHMARKS.md rounds 4-5.)
 
                 @jax.jit
                 def fn_full(raw, rst2, hrst2):
                     planes = preprocess(raw, plan.image, plan, jnp)
                     if barrier_mode == "planes":
                         planes = jax.lax.optimization_barrier(tuple(planes))
-                    if band_ok and use_vert:
-                        # VERTICAL plane words: word (r, j) packs rows
-                        # 4r..4r+3 of column j — sublane-strided
-                        # shift-OR, measured cheaper than both the
-                        # horizontal pack (3.49 vs 5.75 ms at 8K) and
-                        # the transpose+bitcast form (4.01 ms)
-                        def _vpack(p):
-                            q = p.astype(jnp.uint32)
-                            return jax.lax.bitcast_convert_type(
-                                q[0::4] | (q[1::4] << 8)
-                                | (q[2::4] << 16) | (q[3::4] << 24),
-                                jnp.int32)
-                        pw = jnp.concatenate([_vpack(p) for p in planes])
-                        pad_rows = (Mp_f - M) // ppb * 2
-                        if pad_rows:
-                            pw = jnp.pad(pw, ((0, pad_rows), (0, 0)))
-                        return encode_dct_fused_full(
-                            pw, rst2, hrst2, spec, D2f_v, bias2_h,
-                            qrows_h, tabs, Wb, geo.bps,
-                            geo.cap_seg_words, geo.cap_out_bytes,
-                            geo.max_stuff, tile=2 * T2f, band_ppb=ppb,
-                            band_vert=True)
                     if band_ok:
                         # concat plane WORDS (no transpose): blockify
                         # happens in-VMEM inside the kernel
@@ -621,8 +509,7 @@ class _EncContext:
                 wrapped.kind = "fused_full"
                 # debug hook so A/B tests can assert the resolved input
                 # form instead of comparing a path to itself
-                wrapped.band_mode = ("vert" if use_vert
-                                     else "band" if band_ok else "packed")
+                wrapped.band_mode = "band" if band_ok else "packed"
                 wrapped.input_form = "flat"
 
                 # words-form front end (round-5 io-floor fix): the host
@@ -635,7 +522,7 @@ class _EncContext:
                 # materializes a lane-padded (N/4, 4) intermediate
                 # (measured RESOURCE_EXHAUSTED at 8K).
                 from .rgbpack import pack_eligible, pack_consts
-                use_words = (band_ok and not use_vert
+                use_words = (band_ok
                              and pack_eligible(plan)
                              and "fused_full_words" not in self._disabled)
                 if use_words:
@@ -1166,7 +1053,7 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                                      bps * 68 + 16, tpl, 4)
 
         if use_px:
-            from .pallas_decode import unblockify_bands
+            from .pallas_decode import unblockify_K, unblockify_bands
             from .rgbpack import interleave_raw_words, unpack_consts
             m9i, basei = unpack_consts(plan, out_image)
             q_of = np.zeros(4, np.int32)
@@ -1191,7 +1078,7 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                 Sp = pxw.shape[2]
                 w2 = pxw.reshape(bps * 16, Sp).T
                 w2 = w2.reshape(Sp * bps, 16)[:nb]
-                pall = unblockify_bands(w2, n_c * dh0, dw0, K=12)
+                pall = unblockify_bands(w2, n_c * dh0, dw0, K=unblockify_K(dw0))
                 planes = [pall[i * dh0:(i + 1) * dh0]
                           for i in range(n_c)]
                 return list(jax.lax.optimization_barrier(tuple(planes)))
@@ -1222,7 +1109,7 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             measured +25 ms at 8K from the fusion break).
             ``GPUJPEG_TPU_DEC_BAND=1`` opts in (A/B aid; see the
             default-off note at the cache key)."""
-            from .pallas_decode import unblockify_bands
+            from .pallas_decode import unblockify_K, unblockify_bands
             planes = []
             for (start, count, dh, dw), W in zip(comp_slices, Ws):
                 coeff = coeff_plane[start:start + count]

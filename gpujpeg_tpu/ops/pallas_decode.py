@@ -227,6 +227,14 @@ def build_segment_rows_t(concat, lo, hi, plan, Wcap: int,
     return rowsT.view(np.int32)
 
 
+def unblockify_K(plane_cols: int) -> int:
+    """Bands per grid step for :func:`unblockify_bands`: per-band VMEM
+    scales with the plane width, so hold K*bpb roughly constant
+    (anchored at the measured 8K optimum K=12, bpb=960; K=12 at 16K
+    widths asked 25.3M scoped VMEM vs the 16M budget on chip)."""
+    return max(1, min(64, 12 * 960 // max(plane_cols // 8, 1)))
+
+
 def unblockify_bands(words, plane_rows: int, plane_cols: int, K: int = 4):
     """Pallas in-VMEM un-blockify: (plane_rows//8 * plane_cols//8, 16)
     int32 block words (:func:`..dct.dequant_idct_words` — a block's

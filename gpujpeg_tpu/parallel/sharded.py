@@ -281,6 +281,9 @@ class ShardedDecoder:
                 return
             try:
                 bands = np.asarray(jax.device_get(item.out))
+                if bands.dtype == np.int32:
+                    # px-tail bands: raw words — identical bytes
+                    bands = bands.view("<u1").reshape(bands.shape[0], -1)
             except Exception:
                 import os
                 if os.environ.get("GPUJPEG_TPU_STRICT"):
@@ -562,10 +565,6 @@ class ShardedDecoder:
         th = hashlib.sha1(b"".join(
             (tabs.quick.tobytes(), tabs.maxcode.tobytes(),
              tabs.delta.tobytes(), tabs.huffval.tobytes()))).hexdigest()
-        key = ("dec_v3", plan.params, plan.image, band_out, n, wcap,
-               S_pad, seg_tile, n_slots, tuple(int(v) for v in dc_slot),
-               tuple(int(v) for v in ac_slot), th, qts,
-               bool(os.environ.get("GPUJPEG_TPU_DEC_BAND")))
         nb = plan.n_blocks
         slot_in_seg = np.arange(nb, dtype=np.int32) - \
             plan.seg_block_start[plan.block_segment]
@@ -582,6 +581,24 @@ class ShardedDecoder:
         # serialize into the lowered module — minutes of lowering at 8K+)
         geo_args = ([] if out_row_identity else [out_row]) + \
             ([] if inv_identity else [inv])
+        # per-band px tail (round 5): bands inherit the single-chip
+        # fused pixel-words tail — in-kernel MXU dequant+IDCT, 2-D
+        # transpose, in-VMEM un-blockify, word-domain inverse
+        # transform/interleave (jax_pipeline._decode_device_v2 notes);
+        # the band output is then raw WORDS, viewed as bytes at stitch
+        from ..ops.rgbpack import unpack_consts, unpack_eligible
+        use_px = (out_row_identity and inv_identity
+                  and not (plan.params.interleaved
+                           and plan.image.comp_count > 1)
+                  and all(c.data_width % (8 * bps) == 0
+                          and c.block_count % bps == 0
+                          for c in plan.components)
+                  and unpack_eligible(plan, band_out)
+                  and os.environ.get("GPUJPEG_TPU_DEC_PX", "1") != "0")
+        key = ("dec_v3", plan.params, plan.image, band_out, n, wcap,
+               S_pad, seg_tile, n_slots, tuple(int(v) for v in dc_slot),
+               tuple(int(v) for v in ac_slot), th, qts, use_px,
+               bool(os.environ.get("GPUJPEG_TPU_DEC_BAND")))
         fn = self._cache.get(key)
         if fn is None:
             run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl)
@@ -600,6 +617,43 @@ class ShardedDecoder:
             use_band = bool(os.environ.get("GPUJPEG_TPU_DEC_BAND"))
             Ws = tuple(jnp.asarray(idct_operator_f32(q)) for q in qts)
 
+            if use_px:
+                from ..ops.pallas_decode import unblockify_K, unblockify_bands
+                from ..ops.rgbpack import interleave_raw_words
+                m9i, basei = unpack_consts(plan, band_out)
+                q_of = np.zeros(4, np.int32)
+                for i, c in enumerate(plan.components):
+                    q_of[c.index] = i
+                q_of_j = jnp.asarray(q_of)
+                Wq = jnp.stack(Ws)          # keyed by qts in self._cache
+                n_c = len(comp_slices)
+                dh0, dw0 = comp_slices[0][2], comp_slices[0][3]
+
+                def local_fn(dT, sc, sn, *geo):
+                    def one(d, c_, n_):
+                        pxw = run.pixels(d, c_, n_, tabs, dc_slot,
+                                         ac_slot, Wq, q_of_j)
+                        Sp = pxw.shape[2]
+                        w2 = pxw.reshape(bps * 16, Sp).T
+                        w2 = w2.reshape(Sp * bps, 16)[:nb]
+                        pall = unblockify_bands(w2, n_c * dh0, dw0, K=unblockify_K(dw0))
+                        planes = [pall[i * dh0:(i + 1) * dh0]
+                                  for i in range(n_c)]
+                        planes = list(
+                            jax.lax.optimization_barrier(tuple(planes)))
+                        return interleave_raw_words(planes, m9i, basei)
+                    return jax.vmap(one)(dT, sc, sn)
+
+                fn = jax.jit(_shard_map(
+                    local_fn, mesh=self.mesh,
+                    in_specs=(P("seg", None, None), P("seg", None, None),
+                              P("seg", None, None)) + (P(),) * len(geo_args),
+                    out_specs=P("seg", None, None),
+                    check_vma=False,
+                ))
+                self._cache[key] = fn
+                return self._run_dec_v3(fn, dataT, sc_in, sn_in, geo_args)
+
             # small decode tables ride as captured constants (replicated)
             def local_fn(dT, sc, sn, *geo):
                 gi = iter(geo)
@@ -617,7 +671,7 @@ class ShardedDecoder:
                     # XLA blocks_to_plane transpose this replaces was
                     # half the single-chip decode tail, BENCHMARKS.md)
                     from ..ops.blocks import blocks_to_plane
-                    from ..ops.pallas_decode import unblockify_bands
+                    from ..ops.pallas_decode import unblockify_K, unblockify_bands
                     planes = []
                     for (start, count, dh, dw), W in zip(comp_slices, Ws):
                         cs = coeff[start:start + count]
@@ -643,6 +697,9 @@ class ShardedDecoder:
                 check_vma=False,   # pallas_call out_shapes carry no vma
             ))
             self._cache[key] = fn
+        return self._run_dec_v3(fn, dataT, sc_in, sn_in, geo_args)
+
+    def _run_dec_v3(self, fn, dataT, sc_in, sn_in, geo_args):
         dev_args = (jnp.asarray(dataT),
                     jnp.asarray(np.ascontiguousarray(sc_in)),
                     jnp.asarray(np.ascontiguousarray(sn_in)),
@@ -652,7 +709,11 @@ class ShardedDecoder:
         out = fn(*dev_args)
         if getattr(self, "_defer_get", False):
             return out          # decode_batch fetches at collect time
-        return np.asarray(jax.device_get(out))
+        out_h = np.asarray(jax.device_get(out))
+        if out_h.dtype == np.int32:
+            # px-tail bands emit raw words — identical bytes, free view
+            out_h = out_h.view("<u1").reshape(out_h.shape[0], -1)
+        return out_h
 
     @staticmethod
     def _stitch(raw_bands: np.ndarray, out_image: ImageParameters,

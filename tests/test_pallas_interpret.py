@@ -187,7 +187,8 @@ def test_full_fused_kernel_matches_separate(monkeypatch):
     jp._ENC_CACHE.clear()
     full = Encoder(backend="jax").encode(img.reshape(-1), params, image)
     (ctx,) = jp._ENC_CACHE.values()
-    assert getattr(ctx.fn, "kind", None) == "fused_full", \
+    assert getattr(ctx.fn, "kind", None) in ("fused_full_words",
+                                             "fused_full"), \
         "flagship geometry must engage the single-kernel fused encode"
     monkeypatch.setenv("GPUJPEG_TPU_NO_FULL_FUSED", "1")
     jp._ENC_CACHE.clear()
@@ -221,7 +222,7 @@ def test_full_fused_w8_matches_staged(monkeypatch):
     jp._ENC_CACHE.clear()
     full = Encoder(backend="jax").encode(img.reshape(-1), params, image)
     (ctx,) = jp._ENC_CACHE.values()
-    assert getattr(ctx.fn, "kind", None) == "fused_full", \
+    assert getattr(ctx.fn, "kind", None) in ("fused_full_words", "fused_full"), \
         "Q85 ri=16 must engage the single-kernel fused encode (W=8)"
     monkeypatch.setenv("GPUJPEG_TPU_NO_FUSED_DCT", "1")
     jp._ENC_CACHE.clear()
@@ -231,66 +232,6 @@ def test_full_fused_w8_matches_staged(monkeypatch):
     jp._ENC_CACHE.clear()
     assert full == staged
     pil = np.asarray(Image.open(io.BytesIO(full)).convert("RGB"))
-    assert psnr(pil, img) > 30
-
-
-def test_vertical_pack_matches_band(monkeypatch):
-    """GPUJPEG_TPU_VPACK=1 feeds the fused_full kernel VERTICALLY packed
-    plane words (word = 4 row-adjacent bytes, the native TPU u8 tiling;
-    the byte-order change folds into the band_perm_rows_v DCT operator).
-    Streams must be byte-identical to the default horizontal pack."""
-    import gpujpeg_tpu.ops.jax_pipeline as jp
-    h, w = 128, 160
-    img = make_test_rgb(h, w)
-    params = Parameters(quality=75, restart_interval=32)  # W=4, bps=32
-    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
-                            pixel_format=PixelFormat.PF_444_U8_P012)
-    monkeypatch.setenv("GPUJPEG_TPU_VPACK", "1")
-    jp._ENC_CACHE.clear()
-    vert = Encoder(backend="jax").encode(img.reshape(-1), params, image)
-    (ctx,) = jp._ENC_CACHE.values()
-    assert getattr(ctx.fn, "band_mode", None) == "vert", \
-        "knob set on a band-eligible geometry must engage the vertical pack"
-    monkeypatch.delenv("GPUJPEG_TPU_VPACK")
-    jp._ENC_CACHE.clear()
-    band = Encoder(backend="jax").encode(img.reshape(-1), params, image)
-    (ctx,) = jp._ENC_CACHE.values()
-    assert getattr(ctx.fn, "band_mode", None) == "band"
-    jp._ENC_CACHE.clear()
-    assert vert == band
-    pil = np.asarray(Image.open(io.BytesIO(vert)).convert("RGB"))
-    assert psnr(pil, img) > 30
-
-
-def test_rgb_fused_kernel_matches_band(monkeypatch):
-    """The rgb-fused encode kernel (raw interleaved bytes in, in-VMEM
-    de-interleave + fixed-point color transform in-kernel — the XLA
-    preprocess never runs) must produce byte-identical streams to the
-    band-input fused_full path, and saturated pixels must hit the
-    c + (c == 255) expand edge exactly."""
-    import gpujpeg_tpu.ops.jax_pipeline as jp
-    h, w = 128, 128
-    img = make_test_rgb(h, w).copy()
-    img[0:8, 0:8] = 255            # expand edge: (255*256)//255 == 256
-    img[8:16, 0:8] = 0
-    params = Parameters(quality=75, restart_interval=32)  # W=4, bps=32
-    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
-                            pixel_format=PixelFormat.PF_444_U8_P012)
-    monkeypatch.setenv("GPUJPEG_TPU_RGB_FUSED", "1")   # default-off knob
-    jp._ENC_CACHE.clear()
-    rgb = Encoder(backend="jax").encode(img.reshape(-1), params, image)
-    (ctx,) = jp._ENC_CACHE.values()
-    assert getattr(ctx.fn, "kind", None) == "fused_full_rgb", \
-        "rgb 4:4:4 geometry with the knob set must engage the rgb-fused encode"
-    monkeypatch.delenv("GPUJPEG_TPU_RGB_FUSED")
-    jp._ENC_CACHE.clear()
-    band = Encoder(backend="jax").encode(img.reshape(-1), params, image)
-    (ctx,) = jp._ENC_CACHE.values()
-    assert getattr(ctx.fn, "kind", None) == "fused_full"
-    jp._ENC_CACHE.clear()
-    assert rgb == band
-    # cross-check against an independent decoder
-    pil = np.asarray(Image.open(io.BytesIO(rgb)).convert("RGB"))
     assert psnr(pil, img) > 30
 
 
@@ -402,10 +343,19 @@ def test_encode_kernel_downgrade_chain(monkeypatch):
 
     def sabotage(self, geo):
         fn = orig_build(self, geo)
-        if getattr(fn, "kind", None) == "fused_full":
+        # blow up BOTH fused_full forms: the words primary must fall to
+        # the flat form (via the _REPREP re-prep), then to "fused"
+        if getattr(fn, "kind", None) in ("fused_full_words", "fused_full"):
             def boom(raw):
                 raise RuntimeError("synthetic Mosaic failure")
-            boom.kind = "fused_full"
+            boom.kind = fn.kind
+            boom.input_form = getattr(fn, "input_form", "flat")
+            if getattr(fn, "flat_form", None) is not None:
+                def boom_flat(raw):
+                    raise RuntimeError("synthetic Mosaic failure")
+                boom_flat.kind = "fused_full"
+                boom_flat.input_form = "flat"
+                boom.flat_form = boom_flat
             return boom
         return fn
 
@@ -703,3 +653,39 @@ def test_px_tail_decode_batch(monkeypatch):
     for (raw, _), want in zip(outs, singles):
         assert np.array_equal(np.asarray(raw).reshape(-1),
                               np.asarray(want).reshape(-1))
+
+
+def test_sharded_px_band_decode_matches_single_chip():
+    """Sharded decode bands on the px tail must produce the
+    byte-identical frame to the single-chip device decode (the
+    multi-chip invariant), with the px fn actually serving."""
+    import dataclasses
+    from jax.sharding import Mesh
+    import jax
+    import gpujpeg_tpu.models.decoder as dmod
+    from gpujpeg_tpu.parallel import ShardedDecoder, ShardedEncoder
+    from gpujpeg_tpu.parallel.sharded import choose_restart_interval
+
+    h, w = 128, 512
+    img = make_test_rgb(h, w, seed=11)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(quality=75, interleaved=False)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4),
+                ("frame", "seg"))
+    ri = choose_restart_interval(params, image, 4)
+    params = dataclasses.replace(params, restart_interval=ri)
+    data = ShardedEncoder(mesh).encode(img, params, image)
+    dec = ShardedDecoder(mesh)
+    raw, _ = dec.decode(data)
+    assert any(k[0] == "dec_v3" and k[-2] is True
+               for k in dec._cache if isinstance(k, tuple)), \
+        "px band tail did not serve"
+    old = dmod.CPU_SEGMENT_THRESHOLD
+    dmod.CPU_SEGMENT_THRESHOLD = 0
+    try:
+        single, _ = Decoder(backend="jax").decode(data)
+    finally:
+        dmod.CPU_SEGMENT_THRESHOLD = old
+    assert np.array_equal(np.asarray(raw).reshape(-1),
+                          np.asarray(single).reshape(-1))
