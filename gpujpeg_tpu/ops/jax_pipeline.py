@@ -204,103 +204,7 @@ class _EncContext:
             cls_h = np.asarray(geo.block_cls).reshape(-1, 2)
             qidx_all = jnp.asarray(cls_h[:, 0] * n_q + cls_h[:, 1])
 
-        # Very large plans (16K): chunk the DCT+entropy stages over
-        # segment ranges with lax.map so live intermediates stay bounded.
-        # Safe at segment granularity because DC prediction resets at
-        # every segment start (plan.py: dc_pred = -1 at idx % ri == 0).
         S = geo.n_segments
-        if geo.n_rows > 2 * self.CHUNK_ROWS and S > 1:
-            segs_per_chunk = max(1, self.CHUNK_ROWS // geo.bps)
-            n_chunks = -(-S // segs_per_chunk)
-            S_pad = n_chunks * segs_per_chunk
-            rpad = (S_pad - S) * geo.bps
-            CR = segs_per_chunk * geo.bps
-            idx_p = np.pad(idx_plane, (0, rpad),
-                           constant_values=plan.n_blocks)
-            chunks = (
-                jnp.asarray(idx_p.reshape(n_chunks, CR)),
-                jnp.asarray(np.pad(geo.block_cls, (0, rpad))
-                            .reshape(n_chunks, CR)),
-                jnp.asarray(np.pad(geo.block_valid, (0, rpad))
-                            .reshape(n_chunks, CR)),
-                jnp.asarray(np.pad(geo.dc_dist, (0, rpad))
-                            .reshape(n_chunks, CR)),
-                jnp.asarray(np.pad(geo.seg_rst_marker, (0, S_pad - S))
-                            .reshape(n_chunks, segs_per_chunk)),
-                jnp.asarray(np.pad(geo.seg_has_rst, (0, S_pad - S))
-                            .reshape(n_chunks, segs_per_chunk)),
-            )
-            distances = geo.dc_distances
-            bps, csw = geo.bps, geo.cap_seg_words
-            cob, W = geo.cap_out_bytes, geo.words_per_block
-            mstuff = geo.max_stuff
-            qidx_arg = (qidx_all if packed_dct and CR % 2 == 0
-                        else jnp.zeros((1,), jnp.int32))
-
-            # geometry tensors (and the quant divisors — see
-            # dct_quant_packed) are jit ARGUMENTS, not closed-over
-            # constants: constants serialize into the lowered module and
-            # cost minutes of host-side lowering at 8K+ (measured 250 s)
-            @jax.jit
-            def fn_chunked(raw, chunks, qidx_all, qdiv_a, q2tab_a):
-                planes = preprocess(raw, plan.image, plan, jnp)
-                planes = jax.lax.optimization_barrier(tuple(planes))
-                pblocks = jnp.concatenate(
-                    [plane_to_blocks(p, jnp) for p in planes])
-
-                def tail(x, clsc, valc, dcdc, rstc, hrstc):
-                    y = jax.lax.dot_general(
-                        x, D, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32) - bias
-                    rows = jnp.rint(y / qdiv_a[clsc]).astype(jnp.int32)
-                    return encode_rows_arrays(
-                        rows, clsc, valc, dcdc, rstc, hrstc, distances,
-                        bps, csw, cob, W, tabs, use_pallas, mstuff)
-
-                if packed_dct and CR % 2 == 0:
-                    pb = jnp.concatenate(
-                        [pblocks, jnp.zeros((rpad, 64), pblocks.dtype)])
-                    qidx_p = jnp.concatenate(
-                        [qidx_all, jnp.zeros(rpad // 2, qidx_all.dtype)])
-                    xs = (pb.reshape(n_chunks, CR // 2, 128),
-                          qidx_p.reshape(n_chunks, CR // 2)) + tuple(chunks[1:])
-
-                    def body(c):
-                        pbc, qic, clsc, valc, dcdc, rstc, hrstc = c
-                        rows = dct_quant_packed(pbc, qic,
-                                                q2tab_a).reshape(-1, 64)
-                        return encode_rows_arrays(
-                            rows, clsc, valc, dcdc, rstc, hrstc, distances,
-                            bps, csw, cob, W, tabs, use_pallas, mstuff)
-                elif identity_gather:
-                    pb = jnp.concatenate(
-                        [pblocks, jnp.zeros((rpad, 64), pblocks.dtype)])
-                    xs = (pb.reshape(n_chunks, CR, 64),) + tuple(chunks[1:])
-
-                    def body(c):
-                        pbc, clsc, valc, dcdc, rstc, hrstc = c
-                        return tail(pbc.astype(jnp.float32), clsc, valc,
-                                    dcdc, rstc, hrstc)
-                else:
-                    pb = jnp.concatenate(
-                        [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
-                    xs = tuple(chunks)
-
-                    def body(c):
-                        idxc, clsc, valc, dcdc, rstc, hrstc = c
-                        return tail(pb[idxc].astype(jnp.float32), clsc,
-                                    valc, dcdc, rstc, hrstc)
-
-                out, out_len, seg_bits, n_ff = jax.lax.map(body, xs)
-                return (out.reshape(-1), out_len.reshape(-1),
-                        seg_bits.reshape(-1), n_ff.reshape(-1))
-
-            self._stage_fns = None      # no staged timing for huge plans
-            self._fn_args = (chunks, qidx_arg, qdiv, q2tab)
-            wrapped = lambda raw: fn_chunked(raw, *self._fn_args)
-            wrapped.kind = "chunked"
-            return wrapped
 
         def stage_pre(raw):
             planes = preprocess(raw, plan.image, plan, jnp)
@@ -572,6 +476,110 @@ class _EncContext:
             self._fn_args = (rst_p, hrst_p)
             wrapped = lambda raw: fn_fused(raw, *self._fn_args)
             wrapped.kind = "fused"
+            return wrapped
+
+        # Very large plans only reach this point when no fused kernel
+        # variant is eligible (the fused paths above returned already):
+        # the flagship band/words pipeline has no full-size XLA
+        # intermediates, so 16K runs single-launch there (round 5 —
+        # encode was previously always chunked at 194.8 ms / 681 Mpix/s
+        # vs the decode's single-launch 2243 Mpix/s on the same frame).
+        # The staged XLA formulation below, by contrast, materializes
+        # ~18 GB of (n_rows, .) intermediates at 16K and must chunk the
+        # DCT+entropy stages over segment ranges with lax.map. Safe at
+        # segment granularity: DC prediction resets at every segment
+        # start (plan.py: dc_pred = -1 at idx % ri == 0).
+        if geo.n_rows > 2 * self.CHUNK_ROWS and S > 1:
+            segs_per_chunk = max(1, self.CHUNK_ROWS // geo.bps)
+            n_chunks = -(-S // segs_per_chunk)
+            S_pad = n_chunks * segs_per_chunk
+            rpad = (S_pad - S) * geo.bps
+            CR = segs_per_chunk * geo.bps
+            idx_p = np.pad(idx_plane, (0, rpad),
+                           constant_values=plan.n_blocks)
+            chunks = (
+                jnp.asarray(idx_p.reshape(n_chunks, CR)),
+                jnp.asarray(np.pad(geo.block_cls, (0, rpad))
+                            .reshape(n_chunks, CR)),
+                jnp.asarray(np.pad(geo.block_valid, (0, rpad))
+                            .reshape(n_chunks, CR)),
+                jnp.asarray(np.pad(geo.dc_dist, (0, rpad))
+                            .reshape(n_chunks, CR)),
+                jnp.asarray(np.pad(geo.seg_rst_marker, (0, S_pad - S))
+                            .reshape(n_chunks, segs_per_chunk)),
+                jnp.asarray(np.pad(geo.seg_has_rst, (0, S_pad - S))
+                            .reshape(n_chunks, segs_per_chunk)),
+            )
+            distances = geo.dc_distances
+            bps, csw = geo.bps, geo.cap_seg_words
+            cob, W = geo.cap_out_bytes, geo.words_per_block
+            mstuff = geo.max_stuff
+            qidx_arg = (qidx_all if packed_dct and CR % 2 == 0
+                        else jnp.zeros((1,), jnp.int32))
+
+            # geometry tensors (and the quant divisors — see
+            # dct_quant_packed) are jit ARGUMENTS, not closed-over
+            # constants: constants serialize into the lowered module and
+            # cost minutes of host-side lowering at 8K+ (measured 250 s)
+            @jax.jit
+            def fn_chunked(raw, chunks, qidx_all, qdiv_a, q2tab_a):
+                planes = preprocess(raw, plan.image, plan, jnp)
+                planes = jax.lax.optimization_barrier(tuple(planes))
+                pblocks = jnp.concatenate(
+                    [plane_to_blocks(p, jnp) for p in planes])
+
+                def tail(x, clsc, valc, dcdc, rstc, hrstc):
+                    y = jax.lax.dot_general(
+                        x, D, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32) - bias
+                    rows = jnp.rint(y / qdiv_a[clsc]).astype(jnp.int32)
+                    return encode_rows_arrays(
+                        rows, clsc, valc, dcdc, rstc, hrstc, distances,
+                        bps, csw, cob, W, tabs, use_pallas, mstuff)
+
+                if packed_dct and CR % 2 == 0:
+                    pb = jnp.concatenate(
+                        [pblocks, jnp.zeros((rpad, 64), pblocks.dtype)])
+                    qidx_p = jnp.concatenate(
+                        [qidx_all, jnp.zeros(rpad // 2, qidx_all.dtype)])
+                    xs = (pb.reshape(n_chunks, CR // 2, 128),
+                          qidx_p.reshape(n_chunks, CR // 2)) + tuple(chunks[1:])
+
+                    def body(c):
+                        pbc, qic, clsc, valc, dcdc, rstc, hrstc = c
+                        rows = dct_quant_packed(pbc, qic,
+                                                q2tab_a).reshape(-1, 64)
+                        return encode_rows_arrays(
+                            rows, clsc, valc, dcdc, rstc, hrstc, distances,
+                            bps, csw, cob, W, tabs, use_pallas, mstuff)
+                elif identity_gather:
+                    pb = jnp.concatenate(
+                        [pblocks, jnp.zeros((rpad, 64), pblocks.dtype)])
+                    xs = (pb.reshape(n_chunks, CR, 64),) + tuple(chunks[1:])
+
+                    def body(c):
+                        pbc, clsc, valc, dcdc, rstc, hrstc = c
+                        return tail(pbc.astype(jnp.float32), clsc, valc,
+                                    dcdc, rstc, hrstc)
+                else:
+                    pb = jnp.concatenate(
+                        [pblocks, jnp.zeros((1, 64), pblocks.dtype)])
+                    xs = tuple(chunks)
+
+                    def body(c):
+                        idxc, clsc, valc, dcdc, rstc, hrstc = c
+                        return tail(pb[idxc].astype(jnp.float32), clsc,
+                                    valc, dcdc, rstc, hrstc)
+
+                out, out_len, seg_bits, n_ff = jax.lax.map(body, xs)
+                return (out.reshape(-1), out_len.reshape(-1),
+                        seg_bits.reshape(-1), n_ff.reshape(-1))
+
+            self._stage_fns = None      # no staged timing for huge plans
+            self._fn_args = (chunks, qidx_arg, qdiv, q2tab)
+            wrapped = lambda raw: fn_chunked(raw, *self._fn_args)
+            wrapped.kind = "chunked"
             return wrapped
 
         @jax.jit

@@ -237,10 +237,13 @@ def test_device_decoder_foreign_jpeg_subsampled():
 
 
 def test_16k_geometry_selects_chunked_path():
-    """16K (15360x8640, 132 Mpix) plans must route through the lax.map
-    segment-chunked encode (bounded live intermediates; a single-shot
-    plan would materialize ~18 GB at once). Plan/geometry invariants
-    checked without running the jit."""
+    """16K (132 Mpix) plans must route through the lax.map
+    segment-chunked encode when NO fused kernel variant is eligible
+    (this CPU build without interpret mode): the staged XLA formulation
+    would materialize ~18 GB at once. (On TPU the flagship
+    fused_full_words path serves 16K single-launch — round 5: 194.8 ->
+    92.1 ms — because it has no full-size XLA intermediates.)
+    Plan/geometry invariants checked without running the jit."""
     from gpujpeg_tpu.ops.jax_pipeline import _EncContext
     from gpujpeg_tpu.plan import make_plan
     params = Parameters(quality=75, restart_interval=32)
