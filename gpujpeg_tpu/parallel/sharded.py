@@ -900,21 +900,43 @@ class ShardedEncoder:
 
         def make_fn(geo_t):
             fc = _fused_band_ctx(geo_t)
+            # words front end per band (round 5): the host views the
+            # band's raw bytes as i32 words for free and the whole
+            # preprocess+pack stage becomes one lane-aligned word pass
+            # (ops/rgbpack.py; the single-chip encoder's io-floor fix)
+            from ..ops.rgbpack import pack_consts, pack_eligible
+            words_mode = bool(fc and fc["band_ok"] and pack_eligible(plan))
+            if words_mode:
+                m9p, basep = pack_consts(plan)
 
             def encode_band_fused(raw_band, rst, has_rst):
                 from ..ops.blocks import plane_to_blocks_u32
                 from ..ops.entropy_v2 import encode_dct_fused_full
+                from ..ops.rgbpack import pack_plane_words
                 S = plan.n_segments
                 S_pad, M, T2f, ppb = (fc["S_pad"], fc["M"], fc["T2f"],
                                       fc["ppb"])
                 Mp_f = S_pad * geo_t.bps // 2
-                planes = preprocess(raw_band, band_image, plan, jnp)
-                planes = jax.lax.optimization_barrier(tuple(planes))
+                if not words_mode:
+                    planes = preprocess(raw_band, band_image, plan, jnp)
+                    planes = jax.lax.optimization_barrier(tuple(planes))
                 rst2 = jnp.pad(rst.astype(jnp.int32),
                                (0, S_pad - S))[:, None]
                 hrst2 = jnp.pad(has_rst.astype(jnp.int32),
                                 (0, S_pad - S))[:, None]
-                if fc["band_ok"]:
+                if words_mode:
+                    raw_w = raw_band.reshape(band_image.height, -1)
+                    pw = pack_plane_words(raw_w, m9p, basep, "planes")
+                    pad_rows = (Mp_f - M) // ppb * 8
+                    if pad_rows:
+                        pw = jnp.pad(pw, ((0, pad_rows), (0, 0)))
+                    out, out_len, seg_bits, n_ff = encode_dct_fused_full(
+                        pw, rst2, hrst2, fc["spec"], fc["D2f_h"],
+                        fc["bias2_h"], fc["qrows_h"], tabs, fc["Wb"],
+                        geo_t.bps, geo_t.cap_seg_words,
+                        geo_t.cap_out_bytes, geo_t.max_stuff,
+                        tile=2 * T2f, band_ppb=ppb)
+                elif fc["band_ok"]:
                     pw = jnp.concatenate([
                         jax.lax.bitcast_convert_type(
                             jax.lax.bitcast_convert_type(
@@ -990,7 +1012,10 @@ class ShardedEncoder:
                                    # (the on-chip multi-device path; the
                                    # CPU suite's XLA fallback hid this)
             ))
-            return lambda bands, rst, has: jfn(bands, rst, has, *geo_args)
+            wrapped = lambda bands, rst, has: jfn(bands, rst, has,
+                                                 *geo_args)
+            wrapped.input_form = "words" if words_mode else "flat"
+            return wrapped
 
         built = _ShardedBuild(
             layout=layout, quant_zz=quant_zz, huff=huff,
@@ -1024,11 +1049,20 @@ class ShardedEncoder:
             split_raw_bands(raws[min(i, B - 1)], image, layout)
             for i in range(Bp)
         ])  # (Bp, n_bands, band_bytes)
-        bands_j = jnp.asarray(bands)
         rst_j, has_j = jnp.asarray(b.rst_np), jnp.asarray(b.has_np)
+        bands_cache: dict = {}
+
+        def bands_for(form):
+            # words form: free host view of the same bytes (the
+            # single-chip encoder's round-5 io-floor trick, per band)
+            if form not in bands_cache:
+                bands_cache[form] = jnp.asarray(
+                    bands.view("<i4") if form == "words" else bands)
+            return bands_cache[form]
 
         for tier in (1, 2):
             geo, fn = (b.geo1, b.fn1) if tier == 1 else b.tier2()
+            bands_j = bands_for(getattr(fn, "input_form", "flat"))
             # bench hook (mirrors Decoder.capture_device_call): the
             # compiled sharded jit + this batch's device args, so perf
             # scripts can time pipelined device-only iterations

@@ -53,7 +53,11 @@ def main():
     plan = make_plan(params, image)
     quant_zz, huff = Encoder()._tables(params)
     ctx = _enc_context(plan, quant_zz, huff)
-    raw_j = jnp.asarray(img.reshape(-1))
+    if getattr(ctx.fn, "input_form", "flat") == "words":
+        from gpujpeg_tpu.ops.rgbpack import host_raw_words
+        raw_j = jnp.asarray(host_raw_words(img, H, W))
+    else:
+        raw_j = jnp.asarray(img.reshape(-1))
     sync(ctx.fn(raw_j))
     t0 = time.perf_counter()
     outs = [ctx.fn(raw_j) for _ in range(iters)]
@@ -83,6 +87,20 @@ def main():
           f"({shard_ms / single_ms * 100 - 100:+.1f}% vs single-chip)",
           flush=True)
 
+    # ---- single-chip decode floor ----
+    from gpujpeg_tpu.models.decoder import Decoder
+    d1 = Decoder(backend="jax")
+    d1.output_to_device = True
+    d1.capture_device_call = True
+    d1.decode(want)
+    fn1, args1 = d1.last_device_call
+    sync(fn1(*args1))
+    t0 = time.perf_counter()
+    rs = [fn1(*args1) for _ in range(iters)]
+    sync(rs[-1])
+    dsingle_ms = (time.perf_counter() - t0) * 1e3 / iters
+    print(f"single-chip device decode: {dsingle_ms:.2f} ms", flush=True)
+
     # ---- sharded decoder, 1-device mesh ----
     dec = ShardedDecoder(mesh)
     raw, _ = dec.decode(want)
@@ -93,8 +111,13 @@ def main():
     rs = [fnd(*argsd) for _ in range(iters)]
     sync(rs[-1])
     dshard_ms = (time.perf_counter() - t0) * 1e3 / iters
-    print(f"sharded device decode (1-band mesh): {dshard_ms:.2f} ms",
+    print(f"sharded device decode (1-band mesh): {dshard_ms:.2f} ms "
+          f"({dshard_ms / dsingle_ms * 100 - 100:+.1f}% vs single-chip)",
           flush=True)
+    same = np.array_equal(
+        np.asarray(raw).reshape(-1).view(np.uint8),
+        np.asarray(d1.decode(want)[0]).reshape(-1).view(np.uint8))
+    print(f"sharded decode bytes == single-chip: {same}", flush=True)
 
 
 if __name__ == "__main__":
