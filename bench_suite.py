@@ -184,8 +184,13 @@ def main():
 
     rows = []
     if do_res:
+        # iteration depth scales inversely with size: the ~0.5-1 ms
+        # per-call tunnel dispatch floor (measured round 5) dominates
+        # small configs at shallow pipelines — HD measured 2.81 ms at
+        # 20 iters vs 1.74 at 100
+        depth = {"HD": 5 * iters, "4K": 2 * iters, "8K": iters, "16K": 3}
         for name in ("HD", "4K", "8K") + (("16K",) if do_16k else ()):
-            rows.append(bench_res(name, iters if name != "16K" else 3))
+            rows.append(bench_res(name, depth[name]))
         rows.append(bench_video())
 
     if do_sweep:
