@@ -959,9 +959,21 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
         # scratch (4 arrays x 10 code lengths)
         per_seg = (wcap * 4 * 2 + 64 * V3_OUT_BYTES * 2
                    + 50 * 8 * 4 // 128 * 4 + 160)
-        # 2048 measured fastest at 8K (larger tiles gain nothing once
-        # lane utilization saturates; smaller ones pay launch overhead)
-        seg_tile = max(128, min(2048, (8 << 20) // max(per_seg, 1)))
+        # 2048 measured fastest at 8K for the plan tail; the px tail's
+        # out block is 4x smaller (16 pixel words vs 64 coefficients),
+        # freeing VMEM for 4096 (12.43 vs 12.69 ms at 8K Q75, round 5)
+        from .rgbpack import unpack_eligible as _upk
+        bps_pre = int(plan.max_seg_block_count)
+        px_possible = (not (plan.params.interleaved
+                            and plan.image.comp_count > 1)
+                       and all(c.data_width % (8 * bps_pre) == 0
+                               and c.block_count % bps_pre == 0
+                               for c in plan.components)
+                       and _upk(plan, out_image)
+                       and os.environ.get("GPUJPEG_TPU_DEC_PX", "1")
+                       != "0")
+        cap = 4096 if px_possible else 2048
+        seg_tile = max(128, min(cap, (8 << 20) // max(per_seg, 1)))
         seg_tile = 1 << (seg_tile.bit_length() - 1)
         tile_env = int(os.environ.get("GPUJPEG_TPU_DEC_SEG_TILE", "0") or 0)
         if tile_env >= 128 and tile_env % 128 == 0:
