@@ -60,7 +60,7 @@ def main():
     params = Parameters(quality=75, restart_interval=ri)
     plan = make_plan(params, image)
     quant_zz, huff = Encoder()._tables(params)
-    raw_dev = jnp.asarray(img.reshape(-1))
+    raw_dev = jnp.asarray(img.reshape(-1))   # replaced post-ctx if words
     I32 = jnp.int32
 
     def sync(o):
@@ -200,11 +200,16 @@ def main():
         jp._ENC_CACHE.clear()
         try:
             ctx = jp._enc_context(plan, quant_zz, huff)
+            if getattr(ctx.fn, "input_form", "flat") == "words":
+                from gpujpeg_tpu.ops.rgbpack import host_raw_words
+                arg = jnp.asarray(host_raw_words(img, H, W))
+            else:
+                arg = raw_dev
             t0 = time.perf_counter()
-            sync(ctx.fn(raw_dev))
+            sync(ctx.fn(arg))
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
-            outs = [ctx.fn(raw_dev) for _ in range(iters)]
+            outs = [ctx.fn(arg) for _ in range(iters)]
             sync(outs[-1])
             ms = (time.perf_counter() - t0) * 1e3 / iters
             results[mode] = ms
