@@ -1,8 +1,8 @@
 """On-chip perf/regression gate (run on real TPU hardware).
 
 Asserts, at the flagship 8K Q75 geometry:
-  (a) the encode context serves the `fused_full` kernel variant — not a
-      silent downgrade (round 2 shipped exactly that failure mode:
+  (a) the encode context serves the flagship kernel variant — not a
+      silent downgrade — now `fused_full_words` (round 2 shipped that failure mode:
       Mosaic rejected the fused kernel on hardware while the interpreter
       accepted it, and the bench silently measured the fallback);
   (b) pipelined device encode and decode ms have not regressed more
@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # checked-in steady-state expectations, ms at 8K Q75 ri=32 pow2
 # (TPU v5 lite via the dev tunnel; see BENCHMARKS.md round-3 table)
 EXPECT = {
-    "encode_ms": 27.9,   # round-3 band-input kernel (in-VMEM blockify)
-    "decode_ms": 26.5,   # round-3 regression fix + knob campaign
+    "encode_ms": 23.0,   # round-5 words front end
+    "decode_ms": 13.5,   # round-5 fused pixel-words tail
 }
 GATE_PCT = float(os.environ.get("GPUJPEG_TPU_GATE_PCT", "10"))
 
@@ -71,7 +71,11 @@ def main() -> int:
     plan = make_plan(params, image)
     quant_zz, huff = enc._tables(params)
     ctx = jp._enc_context(plan, quant_zz, huff)
-    raw_dev = jnp.asarray(img.reshape(-1))
+    if getattr(ctx.fn, "input_form", "flat") == "words":
+        from gpujpeg_tpu.ops.rgbpack import host_raw_words
+        raw_dev = jnp.asarray(host_raw_words(img, H, W))
+    else:
+        raw_dev = jnp.asarray(img.reshape(-1))
 
     def esync(o):
         np.asarray(jax.lax.slice(o[1], (0,), (1,)))
@@ -79,9 +83,9 @@ def main() -> int:
     esync(ctx.fn(raw_dev))                 # warm (compile + any downgrade)
     kind = getattr(ctx.fn, "kind", "?")
     print(f"encode variant: {kind}", flush=True)
-    if kind != "fused_full":
+    if kind != "fused_full_words":
         failures.append(f"encode variant downgraded to {kind!r} "
-                        f"(expected fused_full)")
+                        f"(expected fused_full_words)")
     t0 = time.perf_counter()
     outs = [ctx.fn(raw_dev) for _ in range(iters)]
     esync(outs[-1])
