@@ -33,7 +33,7 @@ BASELINE_E2E_MS = 6.20      # GTX 3080, 8K Q75 encode incl. PCIe (README.md:97)
 # red. Ratchet DOWN after a deliberate, measured improvement — never up.
 EXPECT = {
     "encode_ms": 23.0,   # round-5 words front end (was 26.4; 22.45-24.9 session swing)
-    "decode_ms": 13.5,   # round-5 fused pixel-words tail (was 24.7; 12.3-14.3 swing)
+    "decode_ms": 12.5,   # round-5 px tail + tile 4096 + deduped Wq (11.5-13 swing)
     # single-call decode WALL incl. host parse + tunnel H2D + dispatch:
     # 238-265 ms typical this tunnel but spikes past 400 on tunnel
     # variance (measured back-to-back 264 -> 403) — the gate is sized

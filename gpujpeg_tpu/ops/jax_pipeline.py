@@ -1048,8 +1048,17 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                       for c in plan.components)
               and unpack_eligible(plan, out_image)
               and os.environ.get("GPUJPEG_TPU_DEC_PX", "1") != "0")
+    # quant-table identity per component, deduplicated: the px tail
+    # runs one in-kernel IDCT matmul per UNIQUE table (typically 2, not
+    # n_comp), lane-selecting by component
+    qt_keys = tuple(
+        tuple(int(x) for x in info.quant_tables[
+            info.components[c.index].quant_table_index])
+        for c in plan.components)
+    uniq_qts = tuple(dict.fromkeys(qt_keys))
+    q_of_map = tuple(uniq_qts.index(k) for k in qt_keys)
     key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad, use_v3,
-           seg_tile, use_band, use_px)
+           seg_tile, use_band, use_px, q_of_map if use_px else None)
     fn = _DEC_V2_CACHE.get(key)
     if fn is None:
         # reorder indices are jit ARGUMENTS (identity on the flagship
@@ -1078,7 +1087,7 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
             m9i, basei = unpack_consts(plan, out_image)
             q_of = np.zeros(4, np.int32)
             for i, c in enumerate(plan.components):
-                q_of[c.index] = i           # Wq rows are comp-major
+                q_of[c.index] = q_of_map[i]   # Wq rows are UNIQUE tables
             q_of_j = jnp.asarray(q_of)
             n_c = len(comp_slices)
             dh0, dw0 = comp_slices[0][2], comp_slices[0][3]
@@ -1192,15 +1201,14 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
 
     # device copies of the IDCT operators cached per quant-table set
     # (another stream-family constant; a fresh upload per call costs
-    # tunnel round-trips)
-    qt_keys = tuple(
-        tuple(int(x) for x in info.quant_tables[
-            info.components[c.index].quant_table_index])
-        for c in plan.components)
+    # tunnel round-trips). The px tail takes the UNIQUE tables (its
+    # in-kernel matmul count); the plan tail zips per component.
+    ws_src = uniq_qts if use_px else qt_keys
+    ws_key = (ws_src, use_px)
     ws_cached = getattr(decoder, "_dev_ws_cache", None)
-    if ws_cached is None or ws_cached[0] != qt_keys:
-        Ws = tuple(jnp.asarray(idct_operator_f32(k)) for k in qt_keys)
-        decoder._dev_ws_cache = (qt_keys, Ws)
+    if ws_cached is None or ws_cached[0] != ws_key:
+        Ws = tuple(jnp.asarray(idct_operator_f32(k)) for k in ws_src)
+        decoder._dev_ws_cache = (ws_key, Ws)
     else:
         Ws = ws_cached[1]
     if use_v3:

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # (TPU v5 lite via the dev tunnel; see BENCHMARKS.md round-3 table)
 EXPECT = {
     "encode_ms": 23.0,   # round-5 words front end
-    "decode_ms": 13.5,   # round-5 fused pixel-words tail
+    "decode_ms": 12.5,   # round-5 px tail + deduped Wq
 }
 GATE_PCT = float(os.environ.get("GPUJPEG_TPU_GATE_PCT", "10"))
 
