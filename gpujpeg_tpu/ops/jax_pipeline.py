@@ -961,7 +961,9 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                    + 50 * 8 * 4 // 128 * 4 + 160)
         # 2048 measured fastest at 8K for the plan tail; the px tail's
         # out block is 4x smaller (16 pixel words vs 64 coefficients),
-        # freeing VMEM for 4096 (12.43 vs 12.69 ms at 8K Q75, round 5)
+        # freeing VMEM for bigger tiles (8K Q75: 12.69/12.43/11.18 ms
+        # at 2048/4096/8192, round 5 — fewer grid steps; the per_seg
+        # divisor still shrinks the tile at content-heavy qualities)
         from .rgbpack import unpack_eligible as _upk
         bps_pre = int(plan.max_seg_block_count)
         px_possible = (not (plan.params.interleaved
@@ -972,7 +974,7 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
                        and _upk(plan, out_image)
                        and os.environ.get("GPUJPEG_TPU_DEC_PX", "1")
                        != "0")
-        cap = 4096 if px_possible else 2048
+        cap = 8192 if px_possible else 2048
         seg_tile = max(128, min(cap, (8 << 20) // max(per_seg, 1)))
         seg_tile = 1 << (seg_tile.bit_length() - 1)
         tile_env = int(os.environ.get("GPUJPEG_TPU_DEC_SEG_TILE", "0") or 0)
