@@ -921,7 +921,9 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     S = plan.n_segments
     bps = int(plan.max_seg_block_count)
 
-    # unique table slots
+    # unique table slots, DC tables FIRST: with every AC slot >= the
+    # DC count, the kernel's AC-only symbol-B lookups skip the DC
+    # halves of the packed quick/huffval scans (round 5)
     uniq: list = []
     def slot_of(t):
         for i, u in enumerate(uniq):
@@ -933,8 +935,14 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     ac_slot = np.zeros(4, np.int32)
     for c in plan.components:
         dc_slot[c.index] = slot_of(dc_by_comp[c.index])
+    n_dc = len(uniq)
+    for c in plan.components:
         ac_slot[c.index] = slot_of(ac_by_comp[c.index])
     n_slots = len(uniq)
+    # a degenerate stream could share one table object across classes;
+    # the skip is only sound when no AC slot is a DC slot
+    ac_base = n_dc if all(
+        int(ac_slot[c.index]) >= n_dc for c in plan.components) else 0
     tabs = build_dec_tables_v2(uniq)
 
     concat, lo_r, hi_r, wcap = segment_ranges_wcap(
@@ -1060,7 +1068,8 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
     uniq_qts = tuple(dict.fromkeys(qt_keys))
     q_of_map = tuple(uniq_qts.index(k) for k in qt_keys)
     key = (plan.params, plan.image, out_image, wcap, n_slots, S_pad, use_v3,
-           seg_tile, use_band, use_px, q_of_map if use_px else None)
+           seg_tile, use_band, use_px, q_of_map if use_px else None,
+           ac_base)
     fn = _DEC_V2_CACHE.get(key)
     if fn is None:
         # reorder indices are jit ARGUMENTS (identity on the flagship
@@ -1078,7 +1087,8 @@ def _decode_device_v2(decoder, plan: CoderPlan, info, scan_data,
 
         if use_v3:
             from .pallas_decode_v3 import make_decode_kernel_v3
-            run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl)
+            run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl,
+                                        ac_base)
         else:
             run = make_decode_kernel(seg_tile, bps, wcap, n_slots,
                                      bps * 68 + 16, tpl, 4)

@@ -32,17 +32,20 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 
-def _bcast_lookup16(packed_table, idx, n_entries: int):
+def _bcast_lookup16(packed_table, idx, n_entries: int, h0: int = 0):
     """(G, 128) lookup in a 16-bit-packed flat table (two entries per
     i32 word) via broadcast halves + lane gather: packing halves the
     broadcast-halves scan, the dominant per-iteration cost of the
-    decode loop."""
+    decode loop. ``h0`` skips leading halves the caller knows no lane
+    can index (one half == one 256-entry table slot): with DC slots
+    ordered before AC slots, symbol B's AC-only lookups scan only the
+    AC halves (round 5)."""
     G = idx.shape[0]
     n_half = n_entries // 256
     p = idx >> 1
     lo = p & 127
     out = None
-    for h in range(n_half):
+    for h in range(h0, n_half):
         tbl = jnp.broadcast_to(
             packed_table[h * 128:(h + 1) * 128].reshape(1, 128), (G, 128))
         part = _lane_gather(tbl, lo)
@@ -95,7 +98,7 @@ V3_OUT_BYTES = 4   # int32 coefficient output. Packing two 16-bit
 
 
 def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
-                          interleaved_tpl: np.ndarray):
+                          interleaved_tpl: np.ndarray, ac_base: int = 0):
     """seg_tile must be a multiple of 128; wcap the per-segment word
     capacity (data arrives transposed as (wcap, S)).
 
@@ -261,7 +264,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             return jnp.where(s > 0,
                              (a << su) | (bvec >> (jnp.uint32(32) - su)), a)
 
-        def lookup_sym(view, is_dc, slot):
+        def lookup_sym(view, is_dc, slot, h0=0):
             """One Huffman symbol from a 32-bit view: (sym, ln). The
             >QUICK_BITS slow path (T.81 F.16) runs inline every
             iteration: with ~seg_tile lanes in lockstep some lane misses
@@ -280,10 +283,11 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             peek16 = (view >> jnp.uint32(16)).astype(I32)
             q_idx = slot * (1 << QUICK_BITS) + (peek16 >> (16 - QUICK_BITS))
             q = _bcast_lookup16(quick_ref[:], q_idx,
-                                n_slots * (1 << QUICK_BITS))
+                                n_slots * (1 << QUICK_BITS), h0)
             if "quick" in _DBL:   # bench-only stage doubling
-                q = q | (rz & _bcast_lookup16(quick_ref[:], q_idx + rz,
-                                              n_slots * (1 << QUICK_BITS)))
+                q = q | (rz & _bcast_lookup16(
+                    quick_ref[:], q_idx + rz,
+                    n_slots * (1 << QUICK_BITS), h0))
             q_len = q & 31
             q_sym = q >> 5
 
@@ -299,7 +303,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
             dlt = _gather128(dlrow_ref[:], slot * 18 + s_len)
             v_idx = jnp.clip(s_code + dlt, 0, 255)
             s_sym = _bcast_lookup16(huffval_ref[:], slot * 256 + v_idx,
-                                    n_slots * 256)
+                                    n_slots * 256, h0)
             if "slow" in _DBL:    # bench-only stage doubling
                 cnt2 = None
                 for l in SLOW_LENS:
@@ -410,7 +414,7 @@ def make_decode_kernel_v3(seg_tile: int, bps: int, wcap: int, n_slots: int,
                 sB = soff + cA
                 viewB = jnp.where(sB < 32, mkview(w0, w1, sB),
                                   mkview(w1, w2, sB - 32))
-                symB, lnB = lookup_sym(viewB, None, aslot)
+                symB, lnB = lookup_sym(viewB, None, aslot, ac_base)
                 catB = symB & 15
                 runB = symB >> 4
                 valB = extract_val(viewB, lnB, catB)

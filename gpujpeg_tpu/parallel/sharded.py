@@ -484,8 +484,12 @@ class ShardedDecoder:
         ac_slot = np.zeros(4, np.int32)
         for c in plan.components:
             dc_slot[c.index] = slot_of(dc_by_comp[c.index])
+        n_dc = len(uniq)
+        for c in plan.components:
             ac_slot[c.index] = slot_of(ac_by_comp[c.index])
         n_slots = len(uniq)
+        ac_base = n_dc if all(
+            int(ac_slot[c.index]) >= n_dc for c in plan.components) else 0
         tabs = build_dec_tables_v2(uniq)
 
         # per-band destuffed word rows; common Wcap across bands
@@ -596,12 +600,14 @@ class ShardedDecoder:
                   and unpack_eligible(plan, band_out)
                   and os.environ.get("GPUJPEG_TPU_DEC_PX", "1") != "0")
         key = ("dec_v3", plan.params, plan.image, band_out, n, wcap,
-               S_pad, seg_tile, n_slots, tuple(int(v) for v in dc_slot),
+               S_pad, seg_tile, n_slots, ac_base,
+               tuple(int(v) for v in dc_slot),
                tuple(int(v) for v in ac_slot), th, qts, use_px,
                bool(os.environ.get("GPUJPEG_TPU_DEC_BAND")))
         fn = self._cache.get(key)
         if fn is None:
-            run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl)
+            run = make_decode_kernel_v3(seg_tile, bps, wcap, n_slots, tpl,
+                                        ac_base)
 
             comp_slices = []
             pos = 0
