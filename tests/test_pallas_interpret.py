@@ -689,3 +689,34 @@ def test_sharded_px_band_decode_matches_single_chip():
         dmod.CPU_SEGMENT_THRESHOLD = old
     assert np.array_equal(np.asarray(raw).reshape(-1),
                           np.asarray(single).reshape(-1))
+
+
+def test_px_tail_w8_geometry(monkeypatch):
+    """The Q80-97 flagship family (ri=16, tier-1 word budget W=8) must
+    also serve the px decode tail and match the plan tail exactly
+    (eligibility: data_width/8 % 16 == 0 -> width % 1024... 128x1024
+    keeps bps=16 rows whole)."""
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 64, 1024
+    img = make_test_rgb(h, w, seed=21)
+    params = Parameters(quality=85, restart_interval=16, interleaved=False)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="golden").encode(img.reshape(-1), params, image)
+    old = dmod.CPU_SEGMENT_THRESHOLD
+    dmod.CPU_SEGMENT_THRESHOLD = 0
+    try:
+        outs = {}
+        for px in ("0", "1"):
+            monkeypatch.setenv("GPUJPEG_TPU_DEC_PX", px)
+            dec = Decoder(backend="jax")
+            dec.set_output_format(ColorSpace.RGB,
+                                  PixelFormat.PF_444_U8_P012)
+            raw, _ = dec.decode(data)
+            outs[px] = np.asarray(raw).reshape(-1)
+    finally:
+        dmod.CPU_SEGMENT_THRESHOLD = old
+    assert np.array_equal(outs["0"], outs["1"])
+    import gpujpeg_tpu.ops.jax_pipeline as jp
+    assert any(getattr(f, "px_tail", False)
+               for f in jp._DEC_V2_CACHE.values())
