@@ -531,18 +531,37 @@ def _chunk_planes_lanes(c, diff, cls, valid, t, W: int):
     part0 = jnp.where(ln > 0, part0, 0)
     part1 = jnp.where((s0 < 0) & (ln > 0),
                       val << jnp.clip(32 + s0, 0, 31), 0)
+    # OR == ADD here: chunks occupy DISJOINT bit ranges of each word
+    # (consecutive bitstream positions), so per word the two half-block
+    # reductions are ONE MXU matmul against a static (128, 2) half
+    # indicator — exact via a 16-bit split (each half-sum stays a
+    # 16-bit field, no carries, well under f32's 2^24). Replaces the
+    # 6-step shift-OR tree per word. (A masked cross-lane SUM reduce
+    # form was tried first and REJECTED by the Mosaic scheduler — a
+    # 17.5M scoped-VMEM plan vs the 16M budget at every tile size, the
+    # rgb-kernel plan-selection cliff; the matmul form schedules
+    # through the MXU pipeline instead.)
+    hm_r = jax.lax.broadcasted_iota(I32, (128, 2), 0)
+    hm_c = jax.lax.broadcasted_iota(I32, (128, 2), 1)
+    Hm = ((hm_r < 64) == (hm_c == 0)).astype(jnp.float32)
     cols_l, cols_r = [], []
     for w in range(W):
         contrib = jnp.where(j == w, part0, 0)
         if w > 0:
             contrib = contrib | jnp.where(j == w - 1, part1, 0)
-        s = 1
-        while s < 64:
-            contrib = contrib | jnp.concatenate(
-                [contrib[:, s:], jnp.zeros((T2, s), I32)], axis=1)
-            s <<= 1
-        cols_l.append(contrib[:, 0:1])
-        cols_r.append(contrib[:, 64:65])
+        lo = (contrib & 0xFFFF).astype(jnp.float32)
+        hi = _srl(contrib, 16).astype(jnp.float32)
+        slo = jax.lax.dot_general(
+            lo, Hm, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).astype(I32)
+        shi = jax.lax.dot_general(
+            hi, Hm, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).astype(I32)
+        word2 = slo | (shi << 16)           # (T2, 2): [left, right]
+        cols_l.append(word2[:, 0:1])
+        cols_r.append(word2[:, 1:2])
     words = jnp.concatenate(cols_l + cols_r, axis=1).astype(U32)
 
     bsum = base_bits + eob_len
