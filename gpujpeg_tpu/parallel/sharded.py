@@ -642,12 +642,18 @@ class ShardedDecoder:
                         Sp = pxw.shape[2]
                         w2 = pxw.reshape(bps * 16, Sp).T
                         w2 = w2.reshape(Sp * bps, 16)[:nb]
-                        pall = unblockify_bands(w2, n_c * dh0, dw0, K=unblockify_K(dw0))
+                        pall = unblockify_bands(w2, n_c * dh0, dw0,
+                                                K=unblockify_K(dw0))
                         planes = [pall[i * dh0:(i + 1) * dh0]
                                   for i in range(n_c)]
                         planes = list(
                             jax.lax.optimization_barrier(tuple(planes)))
                         return interleave_raw_words(planes, m9i, basei)
+                    if dT.shape[0] == 1:
+                        # one band per device (the common mesh): skip
+                        # the vmap — a vmapped pallas_call gains a batch
+                        # grid dim that costs real per-step overhead
+                        return one(dT[0], sc[0], sn[0])[None]
                     return jax.vmap(one)(dT, sc, sn)
 
                 fn = jax.jit(_shard_map(
