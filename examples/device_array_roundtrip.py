@@ -25,9 +25,18 @@ def main():
 
     dec = Decoder()
     raw_device, out_image = dec.decode_to_device(data)     # stays on device
-    print(type(raw_device), out_image.width, out_image.height)
-    mse = float(jnp.mean((jnp.asarray(raw_device, jnp.float32)
-                          - frame_host.reshape(-1)) ** 2))
+    # the flagship (px-tail) decode leaves the pixels as int32 RAW WORDS
+    # — the same bytes as the u8 buffer, and exactly the encoder's
+    # words-form input, so transcode chains stay zero-copy on device
+    print(type(raw_device), raw_device.dtype, out_image.width,
+          out_image.height)
+    data2 = Encoder().encode(raw_device, params, image)    # re-encode chain
+    print(f"transcode: {len(data)} -> {len(data2)} bytes, no host copy")
+    host = np.asarray(raw_device)
+    if host.dtype == np.int32:
+        host = host.view("<u1")                            # free view
+    mse = float(np.mean((host.reshape(-1).astype(np.float32)
+                         - frame_host.reshape(-1)) ** 2))
     print(f"round-trip MSE: {mse:.1f}")
 
 

@@ -683,10 +683,21 @@ def encode_segments_device(encoder, raw, plan: CoderPlan, quant_zz, huff):
     # words-form front end: host inputs upload as (H, 3W/4) i32 words
     # (a free view — same bytes); device-resident u8 arrays and the
     # perf_stats staged pipeline keep the flat u8 form
+    dev_words = (isinstance(raw, jax.Array) and raw.dtype == jnp.int32)
     use_words = (getattr(ctx.fn, "input_form", "flat") == "words"
-                 and not isinstance(raw, jax.Array)
+                 and (dev_words or not isinstance(raw, jax.Array))
                  and not (perf_stats and getattr(ctx, "_stage_fns", None)))
-    if isinstance(raw, jax.Array):
+    if dev_words and use_words:
+        # device-resident raw WORDS (e.g. the px decode tail's
+        # output_to_device array): already the words front end's input
+        # — zero-copy transcode chaining
+        raw_j = raw.reshape(plan.image.height, -1)
+    elif dev_words:
+        # words input but a flat-only context: reinterpret on host (the
+        # device-side bitcast materializes a lane-padded intermediate)
+        raw_j = jnp.asarray(
+            np.ascontiguousarray(np.asarray(raw)).view("<u1").reshape(-1))
+    elif isinstance(raw, jax.Array):
         # device-resident input: the analog of the reference's
         # GPUJPEG_ENCODER_INPUT_GPU_IMAGE / OpenGL-texture paths
         # (gpujpeg_encoder.c:353-395) — no host round trip
@@ -791,11 +802,17 @@ def encode_batch_device(encoder, raws, plan: CoderPlan, quant_zz, huff,
     # whole batch on the flat u8 form — mixed stacks can't share one
     # vmapped executable
     use_words = (getattr(ctx.fn, "input_form", "flat") == "words"
-                 and not any(isinstance(r, jax.Array) for r in raws))
+                 and all((not isinstance(r, jax.Array))
+                         or r.dtype == jnp.int32 for r in raws))
     fn1 = ctx.fn if (use_words or getattr(ctx.fn, "input_form", "flat")
                      == "flat") else ctx.fn.flat_form
 
     def to_dev(raw):
+        if isinstance(raw, jax.Array) and raw.dtype == jnp.int32:
+            if use_words:      # device raw words: zero-copy chaining
+                return raw.reshape(plan.image.height, -1)
+            return jnp.asarray(np.ascontiguousarray(np.asarray(raw))
+                               .view("<u1").reshape(-1))
         if isinstance(raw, jax.Array):
             return raw.reshape(-1).astype(jnp.uint8)
         if use_words:

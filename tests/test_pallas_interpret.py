@@ -720,3 +720,30 @@ def test_px_tail_w8_geometry(monkeypatch):
     import gpujpeg_tpu.ops.jax_pipeline as jp
     assert any(getattr(f, "px_tail", False)
                for f in jp._DEC_V2_CACHE.values())
+
+
+def test_device_words_transcode_chain():
+    """decode_to_device's px-tail output (int32 raw words) feeds the
+    encoder's words front end directly — the zero-copy transcode chain.
+    The re-encoded stream must byte-match encoding the equivalent host
+    bytes."""
+    import gpujpeg_tpu.models.decoder as dmod
+    h, w = 128, 512
+    img = make_test_rgb(h, w, seed=31)
+    params = Parameters(quality=75, restart_interval=32, interleaved=False)
+    image = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    data = Encoder(backend="jax").encode(img.reshape(-1), params, image)
+    old = dmod.CPU_SEGMENT_THRESHOLD
+    dmod.CPU_SEGMENT_THRESHOLD = 0
+    try:
+        dec = Decoder(backend="jax")
+        dec.set_output_format(ColorSpace.RGB, PixelFormat.PF_444_U8_P012)
+        raw_dev, _ = dec.decode_to_device(data)
+        assert raw_dev.dtype.name == "int32"   # px tail words
+        data2 = Encoder(backend="jax").encode(raw_dev, params, image)
+        host_bytes = np.asarray(raw_dev).view("<u1").reshape(-1)
+        want = Encoder(backend="jax").encode(host_bytes, params, image)
+    finally:
+        dmod.CPU_SEGMENT_THRESHOLD = old
+    assert data2 == want
