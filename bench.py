@@ -66,9 +66,10 @@ def make_image(H, W, seed=7):
 
 
 def wait_for_backend():
-    """Probe backend init in subprocesses with a bounded timeout: a
-    wedged device tunnel otherwise hangs jax.devices() indefinitely and
-    the bench produces no output at all. Retries for up to
+    """Probe backend init AND a real compute in subprocesses with a
+    bounded timeout: a wedged device tunnel can list devices yet hang
+    every execution (observed after a worker crash, round 5), and would
+    otherwise hang the bench with no output at all. Retries for up to
     GPUJPEG_BENCH_INIT_WAIT seconds (default 900), then exits non-zero
     with a clear message."""
     import subprocess
@@ -80,7 +81,8 @@ def wait_for_backend():
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
-                 "import jax; jax.devices(); print('ok')"],
+                 "import numpy, jax, jax.numpy as jnp; jax.devices(); "
+                 "numpy.asarray(jnp.ones((8, 128)).sum()); print('ok')"],
                 timeout=180, capture_output=True, text=True)
             if r.returncode == 0 and "ok" in r.stdout:
                 return

@@ -32,7 +32,7 @@ def main():
           out_image.height)
     data2 = Encoder().encode(raw_device, params, image)    # re-encode chain
     print(f"transcode: {len(data)} -> {len(data2)} bytes, no host copy")
-    host = np.asarray(raw_device)
+    host = np.ascontiguousarray(np.asarray(raw_device))
     if host.dtype == np.int32:
         host = host.view("<u1")                            # free view
     mse = float(np.mean((host.reshape(-1).astype(np.float32)

@@ -24,6 +24,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# The axon site hook imports jax before this script's env vars stick —
+# force the CPU platform via config (this soak once crashed the shared
+# TPU worker when the env-only pin silently failed)
+import jax                                                    # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
 import gpujpeg_tpu as gj                                      # noqa: E402
 import gpujpeg_tpu.models.decoder as dmod                     # noqa: E402
 
