@@ -334,8 +334,14 @@ class Decoder:
 
         out_image = ImageParameters(
             width=info.width, height=info.height,
-            color_space=self.output_color_space or ColorSpace.RGB,
-            pixel_format=self.output_format or info.deduce_pixel_format(),
+            color_space=(self.output_color_space
+                         if self.output_color_space is not None
+                         else ColorSpace.RGB),
+            # explicit None check: PixelFormat.U8 == 0 is falsy, so an
+            # `or` would silently ignore a requested grayscale output
+            pixel_format=(self.output_format
+                          if self.output_format is not None
+                          else info.deduce_pixel_format()),
         )
 
         use_golden = (self.backend == "golden"

@@ -24,11 +24,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# The axon site hook imports jax before this script's env vars stick —
-# force the CPU platform via config (this soak once crashed the shared
-# TPU worker when the env-only pin silently failed)
+# The axon site hook imports jax AND initializes its backend before
+# this script's in-process env/config pins can stick (this soak once
+# crashed the shared TPU worker that way) — verify the backend and
+# re-exec with the env var set at interpreter start if needed
 import jax                                                    # noqa: E402
-jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+if jax.default_backend() != "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 import gpujpeg_tpu as gj                                      # noqa: E402
 import gpujpeg_tpu.models.decoder as dmod                     # noqa: E402
@@ -73,9 +80,20 @@ def main():
             dec = gj.Decoder(backend="jax")
             dec.set_output_format(gj.ColorSpace.RGB,
                                   gj.PixelFormat.PF_444_U8_P012)
-            raw, _ = dec.decode(data)
-            raw = np.asarray(raw).reshape(h, w, 3)
-            graw, _ = gj.Decoder(backend="golden").decode(data)
+            raw, oi_dbg = dec.decode(data)
+            raw_arr = np.asarray(raw)
+            if raw_arr.size != h * w * 3:
+                fails += 1
+                print(f"FAIL size {tag}: got {raw_arr.size} expect "
+                      f"{h*w*3}; oi.pf={int(oi_dbg.pixel_format)} "
+                      f"oi.cs={int(oi_dbg.color_space)} "
+                      f"dtype={raw_arr.dtype}", flush=True)
+                continue
+            raw = raw_arr.reshape(h, w, 3)
+            gdec = gj.Decoder(backend="golden")
+            gdec.set_output_format(gj.ColorSpace.RGB,
+                                   gj.PixelFormat.PF_444_U8_P012)
+            graw, _ = gdec.decode(data)
             graw = np.asarray(graw).reshape(h, w, 3)
             # device stream must parse + decode close to the golden
             # decode of the same stream (f32/f64 tie scope: tiny diffs)
@@ -104,6 +122,18 @@ def main():
             fails += 1
             print(f"FAIL exception {tag}: {type(e).__name__}: "
                   f"{str(e)[:140]}", flush=True)
+            if "reshape" in str(e):
+                try:
+                    d2 = gj.Decoder(backend="jax")
+                    d2.set_output_format(gj.ColorSpace.RGB,
+                                         gj.PixelFormat.PF_444_U8_P012)
+                    r2, o2 = d2.decode(data)
+                    print(f"  retry: size {np.asarray(r2).size} "
+                          f"pf {int(o2.pixel_format)} "
+                          f"of {d2.output_format!r} "
+                          f"oc {d2.output_color_space!r}", flush=True)
+                except Exception as e2:
+                    print(f"  retry failed: {e2}", flush=True)
     print(f"soak: {n} cases, {fails} failures", flush=True)
     return 1 if fails else 0
 

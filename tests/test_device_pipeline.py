@@ -375,3 +375,24 @@ def test_decode_batch_fuse_disabled_still_pipelines(monkeypatch):
     got = dec.decode_batch(datas)
     for (g, _), w_ in zip(got, want):
         assert np.array_equal(g, w_)
+
+
+def test_set_output_format_u8_gray():
+    """PixelFormat.U8 has enum value 0 — a falsy-or in decode() used to
+    silently ignore a requested grayscale output (round-5 soak find)."""
+    from gpujpeg_tpu.models.decoder import Decoder
+    from gpujpeg_tpu.models.encoder import Encoder
+    from gpujpeg_tpu.params import ImageParameters, Parameters
+    from gpujpeg_tpu.types import ColorSpace, PixelFormat
+    import numpy as np
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    image = ImageParameters(width=48, height=32, color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.PF_444_U8_P012)
+    params = Parameters(quality=85, restart_interval=4)
+    data = Encoder(backend="golden").encode(img, params, image)
+    dec = Decoder(backend="golden")
+    dec.set_output_format(ColorSpace.YCBCR_BT601_256LVLS, PixelFormat.U8)
+    raw, oi = dec.decode(data)
+    assert int(oi.pixel_format) == int(PixelFormat.U8)
+    assert np.asarray(raw).size == 32 * 48     # one grayscale plane
