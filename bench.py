@@ -302,20 +302,24 @@ def main():
     # first call.
     warm_first_s = first_iter_s
     vals = []
-    try:
-        for tag in ("seed", "warm"):
+    for tag in ("seed", "warm"):
+        # per-run guard: a seed run timing out (e.g. a degraded tunnel
+        # paying a fresh-universe compile) must not skip the warm run —
+        # whatever the seed DID compile is cached for it
+        try:
             r = subprocess.run([sys.executable, "-c", warm_src],
-                               timeout=420, capture_output=True, text=True)
+                               timeout=600, capture_output=True, text=True)
             for line in r.stdout.splitlines():
                 if line.startswith("FIRST_ITER_S"):
                     vals.append(float(line.split()[1]))
-        if vals:
-            warm_first_s = vals[-1]
-        log(f"warm-cache first iteration (subprocess seed/warm): "
-            f"{'/'.join(f'{v:.2f}' for v in vals)} s "
-            f"(in-process was {first_iter_s:.2f} s)")
-    except Exception as e:  # pragma: no cover
-        log(f"warm first-iteration subprocess failed: {e}")
+        except Exception as e:  # pragma: no cover
+            log(f"warm first-iteration {tag} run failed: "
+                f"{type(e).__name__}")
+    if vals:
+        warm_first_s = vals[-1]
+    log(f"warm-cache first iteration (subprocess seed/warm): "
+        f"{'/'.join(f'{v:.2f}' for v in vals)} s "
+        f"(in-process was {first_iter_s:.2f} s)")
 
     gate_fail = False
     for name, meas in (("encode_ms", dev_ms), ("decode_ms", dms),
