@@ -70,11 +70,12 @@ def wait_for_backend():
     bounded timeout: a wedged device tunnel can list devices yet hang
     every execution (observed after a worker crash, round 5), and would
     otherwise hang the bench with no output at all. Retries for up to
-    GPUJPEG_BENCH_INIT_WAIT seconds (default 900), then exits non-zero
+    GPUJPEG_BENCH_INIT_WAIT seconds (default 2400 — a crashed tunnel
+    worker was observed taking hours to come back), then exits non-zero
     with a clear message."""
     import subprocess
     deadline = time.time() + float(
-        os.environ.get("GPUJPEG_BENCH_INIT_WAIT", "900"))
+        os.environ.get("GPUJPEG_BENCH_INIT_WAIT", "2400"))
     attempt = 0
     while True:
         attempt += 1
